@@ -1,0 +1,94 @@
+"""DuckDB SQL twins of the catalog derivations in :mod:`catalog`.
+
+The driver verifies every ``queries()`` entry against ``oracle_sql()`` by
+running the SQL in DuckDB over the same parquet tables.  Any derivation used
+by a Spark query must be reproduced *bit-identically* here — keep this module
+in lockstep with catalog.py / expressions.py.  All fragments are plain ANSI-ish
+DuckDB SQL built from column-name strings.
+"""
+
+from __future__ import annotations
+
+
+def project_code_sql(key: str) -> str:
+    """DuckDB twin of catalog.project_code."""
+    return (
+        f"('Q' || chr(({key} % 26 + 65)::INT)"
+        f" || chr((({key} // 26) % 26 + 65)::INT)"
+        f" || chr((({key} // 676) % 26 + 65)::INT) || 'X')"
+    )
+
+
+def checksum_char_sql(code9: str) -> str:
+    """DuckDB twin of expressions.barcode_checksum_char (mod-34 weighted sum)."""
+    s = (
+        f"list_sum(list_transform(generate_series(1, length({code9})),"
+        f" i -> ascii(substring({code9}, i, 1)) * i))"
+    )
+    n = f"(({s}) % 34 + 48)"
+    return f"chr((CASE WHEN {n} > 57 THEN {n} + 7 ELSE {n} END)::INT)"
+
+
+def sample_code9_sql(key: str, class_char: str = "A") -> str:
+    return f"({project_code_sql(key)} || lpad(({key} % 999 + 1)::VARCHAR, 3, '0') || '{class_char}')"
+
+
+def sample_barcode_sql(key: str, class_char: str = "A") -> str:
+    code9 = sample_code9_sql(key, class_char)
+    return f"({code9} || {checksum_char_sql(code9)})"
+
+
+#: entity-model CTE block — DuckDB twin of catalog.{samples,experiments,files,
+#: sample_parents,vocabularies}_view.  Prepend as f"WITH {ENTITY_CTES} SELECT ...".
+ENTITY_CTES = f"""
+samples AS (
+  SELECT {sample_barcode_sql('c_custkey')} AS code,
+         'SPACE_' || (c_custkey % 5)::VARCHAR AS space,
+         {project_code_sql('c_custkey')} AS project,
+         'Q_TEST_SAMPLE' AS type,
+         c_custkey AS custkey,
+         c_name AS secondary_name,
+         c_mktsegment AS tissue,
+         c_nationkey AS nationkey
+  FROM customer
+),
+experiments AS (
+  SELECT '/' || 'SPACE_' || (o_custkey % 5)::VARCHAR || '/' || {project_code_sql('o_custkey')}
+           || '/' || {project_code_sql('o_custkey')} || 'E' || o_orderkey::VARCHAR AS experiment_id,
+         'SPACE_' || (o_custkey % 5)::VARCHAR AS space,
+         {project_code_sql('o_custkey')} AS project,
+         CASE WHEN o_orderstatus = 'O' THEN 'Q_NGS_MEASUREMENT' ELSE 'Q_MS_MEASUREMENT' END AS type,
+         o_orderkey AS orderkey,
+         o_custkey AS custkey,
+         o_orderdate AS orderdate,
+         o_orderstatus AS status
+  FROM orders
+),
+files AS (
+  SELECT 'DS-' || l_orderkey::VARCHAR AS dataset_code,
+         'store/' || l_orderkey::VARCHAR || '/'
+           || (CASE WHEN l_linenumber % 3 = 0 THEN 'original' ELSE 'data' END)
+           || '/' || 'f_' || l_linenumber::VARCHAR || '.fastq.gz' AS relative_path,
+         'f_' || l_linenumber::VARCHAR || '.fastq.gz' AS file_name,
+         round(l_extendedprice)::BIGINT AS size_in_bytes,
+         l_orderkey AS orderkey,
+         l_linenumber AS linenumber
+  FROM lineitem
+),
+sample_parents AS (
+  SELECT 'C' || c_custkey::VARCHAR AS child_code, 'N' || c_nationkey::VARCHAR AS parent_code
+  FROM customer
+  UNION ALL
+  SELECT 'N' || n_nationkey::VARCHAR, 'R' || n_regionkey::VARCHAR
+  FROM nation
+),
+vocabularies AS (
+  SELECT 'Q_NCBI_TAXONOMY' AS vocabulary, 'N' || n_nationkey::VARCHAR AS code, n_name AS label
+  FROM nation
+)
+""".strip()
+
+
+def with_entities(select_sql: str) -> str:
+    """Wrap a SELECT using entity views in the shared CTE block."""
+    return f"WITH {ENTITY_CTES}\n{select_sql}"
