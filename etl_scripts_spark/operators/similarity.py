@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — broadcast the (small) query set against
+the full corpus; the dot product is a sequential double-precision fold inside
+whole-stage codegen (`aggregate(zip_with(...))`), no Python.  Scale path:
+sign-random-projection LSH — each vector is bucketed by the sign pattern of
+its dot products with deterministic integer hyperplanes, so candidate
+generation becomes an equi-join on the bucket key (one uniform shuffle)
+instead of an O(n·q) cross product.
+
+At 100 TB the corpus side stays partitioned; only queries/centroids move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, rank); rank 1 = most similar, self
+    excluded.  The query side is broadcast — corpus never shuffles.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("_qvec"), F.col("_cvec"))
+            / (l2_norm(F.col("_qvec")) * l2_norm(F.col("_cvec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic integer-valued pseudo-random hyperplanes in [-3, 3].
+
+    Integer weights keep the dot product exactly reproducible in any engine
+    (no libm / RNG dependence).
+    """
+    return [
+        [float((i * 31 + j * 17 + (i * j) % 11) % 7 - 3) for j in range(dim)]
+        for i in range(n_planes)
+    ]
+
+
+def srp_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-random-projection bucket key: one char per plane ('1' if dot>0)."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec.cast("array<double>"),
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def srp_buckets_df(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) assignment for the LSH-bucketed ANN scale path."""
+    planes = hyperplanes(n_planes, dim)
+    return corpus.select(
+        F.col(id_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
+    )

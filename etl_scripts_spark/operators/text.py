@@ -1,0 +1,129 @@
+"""Text-analysis operators for the training-data pipeline extensions.
+
+All pure Catalyst expressions (no Python in the hot path): tokenization,
+token counting (whitespace + BPE-ish regex), document quality scoring,
+n-gram language-ID heuristic, and content fingerprinting.  Hashes use md5 so
+the DuckDB oracle reproduces them bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+#: tiny marker-word lists for the n-gram language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def normalize_text(text: Column) -> Column:
+    """lower → strip non-alnum → collapse whitespace (dedup-canonical form)."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", " ")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def words(text: Column) -> Column:
+    return F.split(normalize_text(text), " ")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_REGEX), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alnum/space, 4 decimals."""
+    stripped = F.regexp_replace(text, "[A-Za-z0-9 ]", "")
+    return F.round(F.length(stripped) / F.greatest(F.length(text), F.lit(1)), 4)
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = words(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = words(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.round(total / F.greatest(F.size(toks), F.lit(1)), 4)
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punctuation,
+    non-degenerate stopword rate.  Deterministic; 4 decimals."""
+    length_term = F.least(F.length(text) / F.lit(400.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    stop = stopword_ratio(text)
+    stop_term = F.when((stop > 0.01) & (stop < 0.5), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((length_term * 0.4 + punct_term * 0.3 + stop_term * 0.3), 4)
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language (distinct tokens)."""
+    toks = F.array_distinct(words(text))
+
+    def marker_pred(markers: list[str]):
+        # single-arg lambda on purpose: a 2-param lambda becomes (element, index)
+        return lambda t: t.isin(markers)
+
+    return {
+        lang: F.size(F.filter(toks, marker_pred(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; ties broken by fixed lang order; 'und'
+    when nothing matches."""
+    scores = lang_scores(text)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang in ("en", "de", "fr", "es"):
+        s = scores[lang]
+        is_better = s > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, s).otherwise(best_score)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of the normalized text."""
+    return F.md5(normalize_text(text))
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over distinct normalized tokens.
+
+    Bit j (1-based nibble of each token's md5): lowest bit of hex digit j.
+    simhash bit j is set iff the signed vote sum over tokens is positive.
+    Cross-engine reproducible: md5 hex is identical in Spark and DuckDB.
+    """
+    toks = F.array_distinct(words(text))
+    out = F.lit(0)
+    odd = ["1", "3", "5", "7", "9", "b", "d", "f"]
+
+    def vote_merge(nibble_pos: int):
+        # exactly-2-arg lambda: F.aggregate's merge signature is (acc, x)
+        return lambda acc, t: acc + F.when(
+            F.substring(F.md5(t), nibble_pos, 1).isin(odd), F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    for j in range(16):
+        vote = F.aggregate(toks, F.lit(0), vote_merge(j + 1))
+        out = out + F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out

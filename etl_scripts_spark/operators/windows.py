@@ -1,0 +1,82 @@
+"""Event-time windowing, sessionization, and running aggregates.
+
+The reference has no streaming engine (SURVEY §2.8); these are the batch
+equivalents of the Structured Streaming operators in
+:mod:`etl_scripts_spark.streaming`, shared so batch and streaming paths
+produce identical results (same expressions, same window alignment).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hourly_rollup(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour counts/sums per event_type (window start as timestamp).
+
+    Money-style sums go through DECIMAL(18,2) so results are exact and
+    associative — identical under any aggregation order / engine.
+    """
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user: lag(ts) + cumulative new-session flag.
+
+    Returns one row per session: (user_id, session_id, n_events,
+    session_start, session_end).  Deterministic order: (ts, event_id).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lit(gap_minutes * 60)
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap, 1
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "new_session", F.when(F.lag("ts").over(w).isNull(), 1).otherwise(F.col("new_session"))
+    )
+    with_session = with_flag.withColumn(
+        "session_id", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def running_total(orders: DataFrame) -> DataFrame:
+    """Per-customer cumulative order value, ordered by (orderdate, orderkey).
+
+    DECIMAL accumulation ⇒ exact prefix sums, engine-independent.
+    """
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, part_col: str, order_col: str, k: int, tiebreak_col: str
+) -> DataFrame:
+    """Classic windowed top-k: row_number ≤ k per partition, deterministic
+    tiebreak."""
+    w = Window.partitionBy(part_col).orderBy(F.desc(order_col), F.asc(tiebreak_col))
+    return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)

@@ -92,3 +92,37 @@ vocabularies AS (
 def with_entities(select_sql: str) -> str:
     """Wrap a SELECT using entity views in the shared CTE block."""
     return f"WITH {ENTITY_CTES}\n{select_sql}"
+
+
+def with_entities_recursive(extra_ctes: str, select_sql: str) -> str:
+    """Entity CTEs + additional (possibly recursive) CTEs."""
+    return f"WITH RECURSIVE {ENTITY_CTES},\n{extra_ctes}\n{select_sql}"
+
+
+# --- text-operator fragments (twins of operators.text / operators.dedup) ---
+
+def norm_text_sql(col: str = "text") -> str:
+    """DuckDB twin of operators.text.normalize_text (note 'g' flags — DuckDB
+    regexp_replace is first-match-only by default, Spark's is global)."""
+    return (
+        f"trim(regexp_replace(regexp_replace(lower({col}), '[^a-z0-9 ]', ' ', 'g'),"
+        f" ' +', ' ', 'g'))"
+    )
+
+
+def words_sql(col: str = "text") -> str:
+    return f"string_split({norm_text_sql(col)}, ' ')"
+
+
+def shingles_sql(col: str = "text", k: int = 3) -> str:
+    """DuckDB twin of operators.dedup.word_shingles (k-word shingles, ≥1)."""
+    w = words_sql(col)
+    return (
+        f"list_transform(generate_series(1, greatest(len({w}) - {k - 1}, 1)),"
+        f" i -> array_to_string(({w})[i:i+{k - 1}], ' '))"
+    )
+
+
+def minhash_sql(col: str = "text", seed: int = 0, k: int = 3) -> str:
+    """DuckDB twin of one MinHash signature value."""
+    return f"list_min(list_transform({shingles_sql(col, k)}, s -> md5('{seed}|' || s)))"

@@ -1,0 +1,59 @@
+"""Workflow-result registration — one parameterized pipeline for 16 dropboxes.
+
+The register-wf-* dropboxes are byte-level clones of one template differing
+only in dataset type codes (SURVEY §2.9; register-wf-mapping/
+register-mapping-dropbox.py:40-83): parse 'SPACE-PROJECT-EXPERIMENT-SAMPLE'
+from the result name (dash-in-space safe, counted from the right —
+register-wf-hlatyping/register-hlatyping.py:45-52), update the experiment's
+workflow status/finish time, and attach a RESULTS + a LOGS dataset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..expressions import split_wf_name
+
+#: the 16 cloned families: family key → (results type, logs type)
+WF_FAMILIES = {
+    fam: (f"Q_WF_{fam}_RESULTS", f"Q_WF_{fam}_LOGS")
+    for fam in (
+        "NGS_MAPPING", "MS_QC", "MS_MAXQUANT", "MS_PEPTIDEID",
+        "NGS_RNA_EXPRESSION_ANALYSIS", "NGS_16S_TAXONOMIC_PROFILING",
+        "NGS_SHRNA_COUNTING", "MS_INDIVIDUALIZED_PROTEOME",
+        "NGS_VARIANT_CALLING", "NGS_VARIANT_ANNOTATION", "NGS_QUALITYCONTROL",
+        "MA_QUALITYCONTROL", "NGS_EPITOPE_PREDICTION", "NGS_EDDA",
+        "MS_LIGANDOMICS_ID", "MS_LIGANDOMICS_QC",
+    )
+}
+
+
+def register_wf_results(incoming: DataFrame, family: str, finished_at: str) -> dict[str, DataFrame]:
+    """incoming: (arrival_id, result_name) → experiment updates + dataset rows."""
+    results_type, logs_type = WF_FAMILIES[family]
+    parts = split_wf_name(F.col("result_name"))
+    parsed = incoming.select(
+        "arrival_id",
+        parts["space"].alias("space"),
+        parts["project"].alias("project"),
+        parts["experiment"].alias("experiment_code"),
+        parts["sample"].alias("sample_code"),
+    ).withColumn(
+        "experiment_id",
+        F.concat(
+            F.lit("/"), F.col("space"), F.lit("/"), F.col("project"), F.lit("/"),
+            F.col("experiment_code"),
+        ),
+    )
+    experiment_updates = parsed.select(
+        "experiment_id",
+        F.lit("FINISHED").alias("q_wf_status"),
+        F.lit(finished_at).alias("q_wf_finished_at"),
+    ).distinct()
+    datasets = parsed.select(
+        "arrival_id", "experiment_id", "sample_code",
+        F.lit(results_type).alias("results_type"),
+        F.lit(logs_type).alias("logs_type"),
+    )
+    return {"parsed": parsed, "experiment_updates": experiment_updates, "datasets": datasets}

@@ -1,0 +1,49 @@
+"""Simulate the driver's verify run: a VANILLA SparkSession (none of our
+session-factory configs), entry() smoke at sf0.001, then every oracle query
+at the driver's sf0.01 against DuckDB — exactly the external contract."""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entrymod
+from tests.parity import compare, duckdb_con
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+spark.sparkContext.setLogLevel("ERROR")
+
+rows = entrymod.entry(spark).collect()
+print(f"entry(): {len(rows)} rows; first={rows[0] if rows else None}", flush=True)
+
+con = duckdb_con(SF)
+queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+results = {}
+for name in sorted(queries):
+    t0 = time.time()
+    try:
+        pdf = queries[name](spark, SF).toPandas()
+        if name in oracles:
+            problems = compare(pdf, con.execute(oracles[name]).fetchdf())
+            results[name] = {"status": "MATCH" if not problems else "MISMATCH", "detail": problems[:2], "rows": len(pdf)}
+        else:
+            results[name] = {"status": "ROWS_ONLY", "rows": len(pdf)}
+    except Exception as e:  # noqa: BLE001
+        results[name] = {"status": "ERROR", "detail": [str(e).split("\n")[0][:300]]}
+    results[name]["sec"] = round(time.time() - t0, 2)
+    print(f"{results[name]['status']:9s} {name} ({results[name]['sec']}s)", flush=True)
+
+bad = {k: v for k, v in results.items() if v["status"] not in ("MATCH", "ROWS_ONLY")}
+print(json.dumps({"total": len(results), "bad": len(bad)}))
+if bad:
+    print(json.dumps(bad, indent=2))
+    sys.exit(1)
+print("ALL OK")
