@@ -49,6 +49,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load(spark, sf_dir, name)
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parallelized load for CPU-heavy per-row operators (see catalog.load_parallel)."""
+    return catalog.load_parallel(spark, sf_dir, name)
+
+
 # ---------------------------------------------------------------------------
 # Flagship / bench queries
 # ---------------------------------------------------------------------------
@@ -181,7 +186,7 @@ def q_experiment_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4-style explode + count (per-gene variant count analogue)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(text.words(F.col("text"))).alias("word"))
         .filter(F.col("word") != "")
@@ -1076,7 +1081,7 @@ _W = oracle.words_sql("text")
 )
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality components over documents."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1108,7 +1113,7 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite document-quality heuristic."""
-    return _t(spark, sf_dir, "documents").select(
+    return _tp(spark, sf_dir, "documents").select(
         "doc_id", text.quality_score(F.col("text")).alias("quality")
     )
 
@@ -1138,10 +1143,13 @@ _S_ES = _lang_score_sql(text.LANG_MARKERS["es"])
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-heuristic language ID (marker-word argmax, 'und' fallback)."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        text.lang_id(F.col("text")).alias("predicted_lang"),
+    staged = _tp(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        text.distinct_tokens(F.col("text")).alias("_toks"),
+    )
+    return staged.select(
+        "doc_id", "labeled_lang",
+        text.lang_id_from_tokens(F.col("_toks")).alias("predicted_lang"),
     )
 
 
@@ -1155,7 +1163,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-text md5 + min-shingle-hash."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         text.fingerprint(F.col("text")).alias("fingerprint"),
@@ -1175,9 +1183,12 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     + ")::BIGINT AS simhash FROM documents",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash near-dup signature."""
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id", text.simhash16(F.col("text")).cast("bigint").alias("simhash")
+    """16-bit SimHash near-dup signature (tokens materialized once)."""
+    staged = _tp(spark, sf_dir, "documents").select(
+        "doc_id", text.distinct_tokens(F.col("text")).alias("_toks")
+    )
+    return staged.select(
+        "doc_id", text.simhash16_from_tokens(F.col("_toks")).cast("bigint").alias("simhash")
     )
 
 
@@ -1191,7 +1202,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content digest, canonical keeper id."""
-    return dedup.exact_dedup_groups(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return dedup.exact_dedup_groups(_tp(spark, sf_dir, "documents"), "text", "doc_id")
 
 
 _MH = {i: oracle.minhash_sql("text", seed=i) for i in range(4)}
@@ -1206,7 +1217,7 @@ _MH = {i: oracle.minhash_sql("text", seed=i) for i in range(4)}
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 hashes) — a pure projection, no shuffle."""
-    return dedup.minhash_df(_t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=4)
+    return dedup.minhash_df(_tp(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=4)
 
 
 @_register(
@@ -1228,7 +1239,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (band equi-join, no O(n²))."""
-    sigs = dedup.minhash_df(_t(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=4)
+    sigs = dedup.minhash_df(_tp(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=4)
     bands = dedup.lsh_bands(sigs, "doc_id", num_hashes=4, band_size=1)
     return dedup.lsh_candidate_pairs(bands, "doc_id").select(
         F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
@@ -1251,12 +1262,20 @@ _SH_B = oracle.shingles_sql("b.text")
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram Jaccard similarity on consecutive-doc pairs."""
-    docs = _t(spark, sf_dir, "documents")
-    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
-    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    """n-gram Jaccard on consecutive-doc pairs — shingle sets materialized
+    per doc BEFORE the join, so each text tokenizes once, not once per
+    pair-expression."""
+    docs = _tp(spark, sf_dir, "documents")
+    sets = docs.select(
+        "doc_id", F.array_distinct(dedup.word_shingles(F.col("text"))).alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = a.join(b, F.col("id_b") == F.col("id_a") + 1)
-    return pairs.select("id_a", "id_b", dedup.ngram_jaccard(pairs, "text_a", "text_b").alias("jaccard"))
+    return pairs.select(
+        "id_a", "id_b",
+        dedup.jaccard_from_sets(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+    )
 
 
 @_register(
@@ -1300,7 +1319,7 @@ def _srp_bit_sql(plane: list[float]) -> str:
 )
 def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH scale path for ANN: sign-random-projection bucket per vector."""
-    return similarity.srp_buckets_df(_t(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
+    return similarity.srp_buckets_df(_tp(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
 
 
 @_register("q_multimodal_image_meta")  # no oracle: mapInPandas plumbing, rows-only check

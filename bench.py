@@ -1,0 +1,77 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod
+from etl_scripts_spark.session import get_spark
+
+#: headline set: one per operator family — scans/agg, join chain, lineage
+#: fixpoint, windowed allocation, end-to-end pipeline, sessionization,
+#: dedup (exact + LSH), text stats, similarity search, streaming.
+HEADLINE = [
+    "q_pricing_summary",
+    "q_revenue_by_nation",
+    "q_projects_with_data",
+    "q_lineage_roots",
+    "q_register_fastq",
+    "q_experiment_numbering",
+    "q_topk_orders_per_customer",
+    "q_sessionize",
+    "q_hourly_rollup",
+    "q_query_files",
+    "q_word_count",
+    "q_dedup_exact",
+    "q_minhash_lsh_pairs",
+    "q_simhash",
+    "q_token_stats",
+    "q_embedding_topk",
+    "q_srp_buckets",
+    "q_stream_hourly_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("etl-scripts-spark-bench")
+    queries = entrymod.queries()
+
+    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr, flush=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

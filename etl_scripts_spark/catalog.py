@@ -54,6 +54,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load + widen partitioning for CPU-heavy downstream projections.
+
+    The driver's test parquet files are single-row-group, so the scan yields
+    ONE input split and per-row-expensive operators (minhash, simhash,
+    checksum generation) would run single-threaded.  A production table has
+    many row groups / files and never needs this; locally one small shuffle
+    buys full-core parallelism.  No-op when the scan is already split.
+    """
+    df = load(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def normalize_events(events: DataFrame) -> DataFrame:
     """ts BIGINT (ns since epoch) → TIMESTAMP at microsecond precision."""
     if dict(events.dtypes).get("ts") == "bigint":

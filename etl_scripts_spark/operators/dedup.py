@@ -33,13 +33,19 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of k-word shingles of the normalized text (≥1 shingle always)."""
+    """Array of k-word shingles of the normalized text (≥1 shingle always).
+
+    element_at is O(1) per word (vs slice+join which copies subarrays);
+    concat_ws skips the nulls element_at returns past the end, which yields
+    the same short-document fallback (one shingle of all available words).
+    """
     w = words(text)
     n = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(w, i, k), " "),
-    )
+
+    def shingle_at(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+
+    return F.transform(F.sequence(F.lit(1), n), shingle_at)
 
 
 def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> list[Column]:
@@ -63,7 +69,38 @@ def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> list[Col
 
 
 def minhash_df(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, k: int = 3) -> DataFrame:
-    return df.select(F.col(id_col), *minhash_signature(F.col(text_col), num_hashes, k))
+    """MinHash signatures via explode → window shingling → partial-agg min.
+
+    The scale path: tokenization happens ONCE (posexplode), shingles come
+    from `lead()` over (doc, position) — all whole-stage-codegen'd
+    expressions, no interpreted array lambdas — and the per-seed minima are
+    map-side partial aggregations.  The window and the groupBy hash-partition
+    on the same key, so the plan has a single shuffle; at 100 TB the shuffle
+    key (doc id) is unique per row group and skew-free.
+
+    Output is identical to the array-column formulation
+    (:func:`minhash_signature`): min over md5('seed|' + shingle), with the
+    short-document fallback (one shingle of all words).
+    """
+    from pyspark.sql import Window
+
+    w = words(F.col(text_col))
+    exploded = df.select(
+        F.col(id_col), F.size(w).alias("_n"), F.posexplode(w).alias("_pos", "_w")
+    )
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    shingle = F.concat_ws(
+        " ", F.col("_w"), *[F.lead("_w", j).over(win) for j in range(1, k)]
+    )
+    sh = exploded.withColumn("_sh", shingle).filter(
+        (F.col("_pos") <= F.col("_n") - k) | (F.col("_pos") == 0)
+    )
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("_sh")))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def lsh_bands(sig_df: DataFrame, id_col: str, num_hashes: int = 8, band_size: int = 2) -> DataFrame:
@@ -91,8 +128,12 @@ def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
     """Distinct (id_a, id_b) pairs sharing ≥1 band bucket, id_a < id_b.
 
     The equi-join on (band_id, band_hash) is the scale path: bucket keys are
-    md5-uniform so the shuffle has no skew, and each bucket is tiny.
+    md5-uniform so the shuffle has no skew, and each bucket is tiny.  The
+    band assignment is persisted before the self-join — Spark plans the two
+    sides independently and would otherwise recompute the whole signature
+    pipeline twice.
     """
+    band_df = band_df.persist()
     a = band_df.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )
@@ -112,9 +153,17 @@ def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard(df: DataFrame, text_a: str, text_b: str, k: int = 3) -> Column:
-    """Jaccard similarity of the two texts' distinct k-word shingle sets."""
+    """Jaccard similarity of the two texts' distinct k-word shingle sets.
+
+    Prefer :func:`jaccard_from_sets` on pre-materialized shingle columns when
+    texts come from a join — it tokenizes each side once, not per-expression.
+    """
     sa = F.array_distinct(word_shingles(F.col(text_a), k))
     sb = F.array_distinct(word_shingles(F.col(text_b), k))
+    return jaccard_from_sets(sa, sb)
+
+
+def jaccard_from_sets(sa: Column, sb: Column) -> Column:
     inter = F.size(F.array_intersect(sa, sb))
-    union = F.size(F.array_union(sa, sb))
+    union = F.size(sa) + F.size(sb) - inter
     return F.round(inter / F.greatest(union, F.lit(1)), 4)

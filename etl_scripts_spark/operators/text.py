@@ -73,9 +73,8 @@ def quality_score(text: Column) -> Column:
     return F.round((length_term * 0.4 + punct_term * 0.3 + stop_term * 0.3), 4)
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Marker-word hit counts per language (distinct tokens)."""
-    toks = F.array_distinct(words(text))
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Marker-word hit counts per language over a distinct-token array."""
 
     def marker_pred(markers: list[str]):
         # single-arg lambda on purpose: a 2-param lambda becomes (element, index)
@@ -87,10 +86,15 @@ def lang_scores(text: Column) -> dict[str, Column]:
     }
 
 
-def lang_id(text: Column) -> Column:
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(words(text))
+
+
+def lang_id_from_tokens(toks: Column) -> Column:
     """argmax language by marker hits; ties broken by fixed lang order; 'und'
-    when nothing matches."""
-    scores = lang_scores(text)
+    when nothing matches.  Pass a pre-materialized token column — HOF lambdas
+    defeat CSE, so deriving tokens here 4× would re-tokenize 4×."""
+    scores = lang_scores(toks)
     best_lang = F.lit("und")
     best_score = F.lit(0)
     for lang in ("en", "de", "fr", "es"):
@@ -101,19 +105,28 @@ def lang_id(text: Column) -> Column:
     return best_lang
 
 
+def lang_id(text: Column) -> Column:
+    return lang_id_from_tokens(distinct_tokens(text))
+
+
 def fingerprint(text: Column) -> Column:
     """Whole-document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(text))
 
 
 def simhash16(text: Column) -> Column:
+    return simhash16_from_tokens(distinct_tokens(text))
+
+
+def simhash16_from_tokens(toks: Column) -> Column:
     """16-bit SimHash over distinct normalized tokens.
 
     Bit j (1-based nibble of each token's md5): lowest bit of hex digit j.
     simhash bit j is set iff the signed vote sum over tokens is positive.
     Cross-engine reproducible: md5 hex is identical in Spark and DuckDB.
+    Pass a materialized token column — 16 votes over a recomputed-token
+    expression would tokenize 16×.
     """
-    toks = F.array_distinct(words(text))
     out = F.lit(0)
     odd = ["1", "3", "5", "7", "9", "b", "d", "f"]
 
