@@ -932,6 +932,27 @@ numbered AS (
 """
 
 
+def _fastq_incoming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic incoming-file manifest for the fastq pipeline.
+
+    Persisted deliberately: a real ingest manifest is a materialized table
+    read from storage, so downstream predicates evaluate against STORED name
+    strings.  Without the persist, predicate pushdown substitutes the
+    name-synthesis expression (including its checksum subexpression) into
+    every downstream filter/join key — a ~50× expression blow-up that also
+    sinks below the repartition into a single task.  The cache is tiny
+    (2 narrow columns) and shared by the runs/rejects/outbox queries in one
+    session via Spark's plan-matching cache manager.
+    """
+    orders = _tp(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("arrival_id"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("UNKNOWN_R1.fastq.gz"))
+        .otherwise(F.concat(catalog.sample_barcode(F.col("o_custkey")), F.lit("_R1.fastq.gz")))
+        .alias("incoming_name"),
+    ).persist()
+
+
 @_register(
     "q_register_fastq",
     oracle.with_entities(
@@ -949,13 +970,7 @@ numbered AS (
 def q_register_fastq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical dropbox pipeline end-to-end (register-fastq-dropbox):
     barcode extract → validate → sample join → run/experiment numbering."""
-    orders = _t(spark, sf_dir, "orders")
-    incoming = orders.select(
-        F.col("o_orderkey").alias("arrival_id"),
-        F.when(F.col("o_orderkey") % 10 == 0, F.lit("UNKNOWN_R1.fastq.gz"))
-        .otherwise(F.concat(catalog.sample_barcode(F.col("o_custkey")), F.lit("_R1.fastq.gz")))
-        .alias("incoming_name"),
-    )
+    incoming = _fastq_incoming(spark, sf_dir)
     samples = catalog.samples_view(_t(spark, sf_dir, "customer"))
     return register_fastq_batch(incoming, samples)["runs"]
 
@@ -973,13 +988,7 @@ def q_register_fastq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fastq_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine path: invalid barcodes land in a rejects table, the batch
     itself still commits (SURVEY §2.8 rollback semantics)."""
-    orders = _t(spark, sf_dir, "orders")
-    incoming = orders.select(
-        F.col("o_orderkey").alias("arrival_id"),
-        F.when(F.col("o_orderkey") % 10 == 0, F.lit("UNKNOWN_R1.fastq.gz"))
-        .otherwise(F.concat(catalog.sample_barcode(F.col("o_custkey")), F.lit("_R1.fastq.gz")))
-        .alias("incoming_name"),
-    )
+    incoming = _fastq_incoming(spark, sf_dir)
     samples = catalog.samples_view(_t(spark, sf_dir, "customer"))
     return register_fastq_batch(incoming, samples)["rejects"]
 
@@ -1162,12 +1171,21 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: whole-text md5 + min-shingle-hash."""
+    """Document fingerprinting: whole-text md5 + min-shingle-hash (words
+    staged once so the tokenizer isn't inlined into the shingle lambda)."""
     docs = _tp(spark, sf_dir, "documents")
-    return docs.select(
+    staged = docs.select(
         "doc_id",
         text.fingerprint(F.col("text")).alias("fingerprint"),
-        dedup.minhash_signature(F.col("text"), num_hashes=1)[0].alias("shingle_fingerprint"),
+        text.words(F.col("text")).alias("_w"),
+    )
+    sh = dedup.shingles_from_words(F.col("_w"))
+    return staged.select(
+        "doc_id",
+        "fingerprint",
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit("0|"), s)))).alias(
+            "shingle_fingerprint"
+        ),
     )
 
 
@@ -1266,8 +1284,10 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc BEFORE the join, so each text tokenizes once, not once per
     pair-expression."""
     docs = _tp(spark, sf_dir, "documents")
-    sets = docs.select(
-        "doc_id", F.array_distinct(dedup.word_shingles(F.col("text"))).alias("sh")
+    staged = docs.select("doc_id", text.words(F.col("text")).alias("_w"))
+    sets = staged.select(
+        "doc_id",
+        F.array_distinct(dedup.shingles_from_words(F.col("_w"))).alias("sh"),
     )
     a = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -1296,7 +1316,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline (broadcast queries, JVM fold)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _tp(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 20)
     out = similarity.cosine_topk(emb, queries, k=5)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))

@@ -32,20 +32,35 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Array of k-word shingles of the normalized text (≥1 shingle always).
+def shingles_from_words(wcol: Column, k: int = 3) -> Column:
+    """Array of k-word shingles from a MATERIALIZED words-array column.
+
+    `wcol` must be a bound column reference (stage `words(text)` in its own
+    select first), never the tokenizer expression itself: a lambda body
+    referencing an outer expression inlines it, so the regexp tokenizer
+    would re-run for every `element_at` of every shingle (k× per element —
+    measured 5-12× slower end-to-end).
 
     element_at is O(1) per word (vs slice+join which copies subarrays);
     concat_ws skips the nulls element_at returns past the end, which yields
-    the same short-document fallback (one shingle of all available words).
+    the short-document fallback (one shingle of all available words).
     """
-    w = words(text)
-    n = F.greatest(F.size(w) - F.lit(k - 1), F.lit(1))
+    n = F.greatest(F.size(wcol) - F.lit(k - 1), F.lit(1))
 
     def shingle_at(i: Column) -> Column:
-        return F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(k)])
+        return F.concat_ws(" ", *[F.element_at(wcol, i + j) for j in range(k)])
 
     return F.transform(F.sequence(F.lit(1), n), shingle_at)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Array of k-word shingles of the normalized text (≥1 shingle always).
+
+    Convenience for one-shot use; in a plan that consumes the shingles more
+    than once (or explodes them), stage `words(text)` first and call
+    :func:`shingles_from_words` — see that docstring for why.
+    """
+    return shingles_from_words(words(text), k)
 
 
 def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> list[Column]:
@@ -69,31 +84,29 @@ def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> list[Col
 
 
 def minhash_df(df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, k: int = 3) -> DataFrame:
-    """MinHash signatures via explode → window shingling → partial-agg min.
+    """MinHash signatures via staged tokenize → explode shingles → agg min.
 
-    The scale path: tokenization happens ONCE (posexplode), shingles come
-    from `lead()` over (doc, position) — all whole-stage-codegen'd
-    expressions, no interpreted array lambdas — and the per-seed minima are
-    map-side partial aggregations.  The window and the groupBy hash-partition
-    on the same key, so the plan has a single shuffle; at 100 TB the shuffle
-    key (doc id) is unique per row group and skew-free.
+    The scale path, in three plan stages:
 
-    Output is identical to the array-column formulation
-    (:func:`minhash_signature`): min over md5('seed|' + shingle), with the
-    short-document fallback (one shingle of all words).
+      1. a Project materializes the words array (the regexp tokenizer runs
+         exactly once per document — see :func:`shingles_from_words`);
+      2. a Generate explodes the shingle array (no window, no sort of the
+         token stream);
+      3. groupBy(doc) with `min` per seed — map-side partial aggregation
+         means the shuffle carries only `num_hashes` partial minima per doc
+         per input partition, not the exploded shingles.
+
+    Measured ~5× faster than a window(lead)-based shingler at sf0.1 because
+    the window had to shuffle+sort every token; here the only shuffle input
+    is the already-reduced partial aggregate.  Skew-free: the shuffle key is
+    the unique doc id.
+
+    Output is identical to :func:`minhash_signature`: min over
+    md5('seed|' + shingle), short-document fallback included.
     """
-    from pyspark.sql import Window
-
-    w = words(F.col(text_col))
-    exploded = df.select(
-        F.col(id_col), F.size(w).alias("_n"), F.posexplode(w).alias("_pos", "_w")
-    )
-    win = Window.partitionBy(id_col).orderBy("_pos")
-    shingle = F.concat_ws(
-        " ", F.col("_w"), *[F.lead("_w", j).over(win) for j in range(1, k)]
-    )
-    sh = exploded.withColumn("_sh", shingle).filter(
-        (F.col("_pos") <= F.col("_n") - k) | (F.col("_pos") == 0)
+    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    sh = staged.select(
+        F.col(id_col), F.explode(shingles_from_words(F.col("_w"), k)).alias("_sh")
     )
     return sh.groupBy(id_col).agg(
         *[

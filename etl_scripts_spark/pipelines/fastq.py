@@ -43,13 +43,18 @@ def register_fastq_batch(incoming: DataFrame, samples: DataFrame) -> dict[str, D
         .join(samples.select("code", "project", "space"), F.col("barcode") == F.col("code"), "inner")
     )
 
-    # N2: run numbering per parent sample; first run carries no number.
-    w_sample = Window.partitionBy("barcode").orderBy("arrival_id")
     # N1: experiment numbering per project over the batch.
     w_project = Window.partitionBy("project").orderBy("arrival_id")
+    # N2: run numbering per parent sample; first run carries no number.
+    # Partitioned by (project, barcode) — barcode embeds its project
+    # (substring 1..5), so the groups are identical to partitionBy(barcode),
+    # but hash-partitioning on project alone satisfies the clustering
+    # requirement: the plan reuses the w_project exchange and only re-sorts,
+    # ONE shuffle for both allocators instead of two.
+    w_sample = Window.partitionBy("project", "barcode").orderBy("arrival_id")
     runs = (
-        matched.withColumn("run_n", F.row_number().over(w_sample))
-        .withColumn("exp_n", F.row_number().over(w_project))
+        matched.withColumn("exp_n", F.row_number().over(w_project))
+        .withColumn("run_n", F.row_number().over(w_sample))
         .select(
             "arrival_id",
             run_sample_code("NGS", F.col("run_n"), F.col("barcode")).alias("run_code"),
