@@ -24,6 +24,7 @@ from etl_scripts_spark.expressions import (
 )
 from etl_scripts_spark.operators import dedup, lineage, multimodal, similarity, text, windows
 from etl_scripts_spark.operators.numbering import allocate_sequence, experiment_code, padded_patient_id, run_sample_code
+from etl_scripts_spark.parsers import vcf as vcfmod
 from etl_scripts_spark.pipelines.fastq import register_fastq_batch
 from etl_scripts_spark.pipelines.wf_results import register_wf_results
 from etl_scripts_spark.reports import core as reports
@@ -1348,6 +1349,775 @@ def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched mapInPandas (decode itself is a marked stub)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.decode_image_meta(multimodal.with_binary_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# Sources / predicates / reconciliation round 2 (SURVEY §2 rows not yet bound)
+# ---------------------------------------------------------------------------
+
+#: same regex text works in Spark (Java) and DuckDB (RE2-ish) — keep single-escaped
+_SIDECAR_RE = r"(\.origlabfilename$|\.sha256sum$|^source_dropbox\.txt$|\.testorig$)"
+_SIDECAR_RE_SPARK = _SIDECAR_RE
+_SIDECAR_RE_SQL = _SIDECAR_RE
+
+
+@_register(
+    "q_sidecar_exclusion",
+    oracle.with_entities(
+        f"""
+        SELECT dataset_code, orderkey, linenumber, name
+        FROM (
+          SELECT dataset_code, orderkey, linenumber,
+                 CASE WHEN linenumber % 7 = 0 THEN 'source_dropbox.txt'
+                      WHEN linenumber % 7 = 1 THEN file_name || '.sha256sum'
+                      WHEN linenumber % 7 = 2 THEN file_name || '.origlabfilename'
+                      ELSE file_name END AS name
+          FROM files
+        ) WHERE NOT regexp_matches(name, '{_SIDECAR_RE_SQL}')
+        """
+    ),
+)
+def q_sidecar_exclusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: sidecar exclusion — drop `.origlabfilename`/`.sha256sum`/
+    `source_dropbox.txt`/`.testorig` entries before registration
+    (register-mtb-data-dropbox.py:198-199, register-fastq-dropbox.py:123-129)."""
+    files = catalog.files_view(_t(spark, sf_dir, "lineitem"))
+    name = (
+        F.when(F.col("linenumber") % 7 == 0, F.lit("source_dropbox.txt"))
+        .when(F.col("linenumber") % 7 == 1, F.concat(F.col("file_name"), F.lit(".sha256sum")))
+        .when(F.col("linenumber") % 7 == 2, F.concat(F.col("file_name"), F.lit(".origlabfilename")))
+        .otherwise(F.col("file_name"))
+    )
+    listed = files.select("dataset_code", "orderkey", "linenumber", name.alias("name"))
+    return listed.filter(~F.col("name").rlike(_SIDECAR_RE_SPARK))
+
+
+_EXT3 = "['xml', 'bam', 'pbi']"
+
+
+@_register(
+    "q_mandatory_fileset",
+    oracle.with_entities(
+        f"""
+        SELECT dataset_code,
+               coalesce(array_to_string(list_sort(list_filter({_EXT3},
+                 x -> NOT list_contains(exts, x))), ','), '') AS missing,
+               len(list_filter({_EXT3}, x -> NOT list_contains(exts, x))) = 0 AS complete
+        FROM (
+          SELECT dataset_code, list(DISTINCT ({_EXT3})[(linenumber % 3) + 1]) AS exts
+          FROM files GROUP BY dataset_code
+        )
+        """
+    ),
+)
+def q_mandatory_fileset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: mandatory-file-set check (PacBio .xml+.bam+.bam.pbi all present,
+    register-pacbio-dropbox.py:84-97; the reference version ships with syntax
+    errors — this is the working relational form: collect_set(ext) then
+    array_except against the required set)."""
+    files = catalog.files_view(_t(spark, sf_dir, "lineitem"))
+    req = F.array(F.lit("xml"), F.lit("bam"), F.lit("pbi"))
+    ext = F.element_at(req, (F.col("linenumber") % 3 + 1).cast("int"))
+    missing = F.array_sort(F.array_except(req, F.collect_set("ext")))
+    return (
+        files.select("dataset_code", ext.alias("ext"))
+        .groupBy("dataset_code")
+        .agg(F.array_join(missing, ",").alias("missing"))
+        .withColumn("complete", F.col("missing") == "")
+    )
+
+
+@_register(
+    "q_wiff_scan_pairing",
+    """
+    WITH wiff AS (
+      SELECT 'run_' || o_orderkey::VARCHAR AS stem, TRUE AS has_wiff
+      FROM orders WHERE o_orderkey % 4 != 0
+    ), scan AS (
+      SELECT 'run_' || o_orderkey::VARCHAR AS stem, TRUE AS has_scan
+      FROM orders WHERE o_orderkey % 4 != 1
+    )
+    SELECT coalesce(w.stem, s.stem) AS stem,
+           coalesce(w.has_wiff, FALSE) AS has_wiff,
+           coalesce(s.has_scan, FALSE) AS has_scan,
+           (w.has_wiff IS NOT NULL AND s.has_scan IS NOT NULL) AS ok
+    FROM wiff w FULL OUTER JOIN scan s ON w.stem = s.stem
+    """,
+)
+def q_wiff_scan_pairing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/J5: wiff ↔ wiff.scan pairing with completeness assertion
+    (register-wiff-data-dropbox.py:141-160).  The reference's substring
+    containment becomes an equi-join on the derived stem; the full-outer
+    null check flags unpaired files."""
+    orders = _t(spark, sf_dir, "orders")
+    stem = F.concat(F.lit("run_"), F.col("o_orderkey").cast("string"))
+    wiff = orders.filter(F.col("o_orderkey") % 4 != 0).select(
+        stem.alias("stem"), F.lit(True).alias("has_wiff")
+    )
+    scan = orders.filter(F.col("o_orderkey") % 4 != 1).select(
+        stem.alias("stem"), F.lit(True).alias("has_scan")
+    )
+    return (
+        wiff.join(scan, "stem", "full_outer")
+        .select(
+            "stem",
+            F.coalesce(F.col("has_wiff"), F.lit(False)).alias("has_wiff"),
+            F.coalesce(F.col("has_scan"), F.lit(False)).alias("has_scan"),
+            (F.col("has_wiff").isNotNull() & F.col("has_scan").isNotNull()).alias("ok"),
+        )
+    )
+
+
+_TSV_LINE_SQL = (
+    "('f_' || s_suppkey::VARCHAR || '.raw' || chr(9) || 'DEVICE_' || s_nationkey::VARCHAR"
+    " || chr(9) || '17' || lpad((s_suppkey % 12 + 1)::VARCHAR, 2, '0') || '01'"
+    " || chr(9) || 'share_' || (s_suppkey % 3)::VARCHAR)"
+)
+
+
+@_register(
+    "q_meta_tsv_join",
+    f"""
+    WITH meta AS (
+      SELECT string_split({_TSV_LINE_SQL}, chr(9)) AS p FROM supplier
+    ), parsed AS (
+      SELECT p[1] AS "Filename", p[2] AS device,
+             '20' || substring(p[3], 1, 2) || '-' || substring(p[3], 3, 2) || '-'
+                  || substring(p[3], 5, 2) AS finish_date,
+             p[4] AS share
+      FROM meta
+    )
+    SELECT f."Filename", m.device, m.finish_date, m.share, count(*) AS n_files
+    FROM (SELECT DISTINCT 'f_' || l_suppkey::VARCHAR || '.raw' AS "Filename" FROM lineitem) f
+    JOIN parsed m ON f."Filename" = m."Filename"
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_meta_tsv_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/J6/P14: positional TSV metadata parse (from_csv with an explicit
+    schema, etl_msconvert.py:569-600) joined to data files on Filename
+    (etl_msconvert.py:591-633), with the yyMMdd→ISO date reformat."""
+    supplier = _t(spark, sf_dir, "supplier")
+    line = F.concat_ws(
+        "\t",
+        F.concat(F.lit("f_"), F.col("s_suppkey").cast("string"), F.lit(".raw")),
+        F.concat(F.lit("DEVICE_"), F.col("s_nationkey").cast("string")),
+        F.concat(F.lit("17"), F.lpad((F.col("s_suppkey") % 12 + 1).cast("string"), 2, "0"), F.lit("01")),
+        F.concat(F.lit("share_"), (F.col("s_suppkey") % 3).cast("string")),
+    )
+    parsed = supplier.select(
+        F.from_csv(
+            line, "Filename STRING, device STRING, finish_raw STRING, share STRING", {"sep": "\t"}
+        ).alias("m")
+    ).select(
+        F.col("m.Filename").alias("Filename"),
+        F.col("m.device").alias("device"),
+        F.date_format(F.to_date("m.finish_raw", "yyMMdd"), "yyyy-MM-dd").alias("finish_date"),
+        F.col("m.share").alias("share"),
+    )
+    data_files = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.concat(F.lit("f_"), F.col("l_suppkey").cast("string"), F.lit(".raw")).alias("Filename"))
+        .distinct()
+    )
+    return data_files.join(parsed, "Filename").groupBy(
+        "Filename", "device", "finish_date", "share"
+    ).agg(F.count("*").alias("n_files"))
+
+
+_BASES = "['A', 'C', 'G', 'T']"
+_VCF_LINE_SQL = f"""
+('chr' || (p_partkey % 22 + 1)::VARCHAR || chr(9) || (p_partkey * 13 % 100000)::VARCHAR
+ || chr(9) || '.' || chr(9) || ({_BASES})[(p_partkey % 4) + 1]
+ || chr(9) || ({_BASES})[((p_partkey // 4) % 4) + 1]
+ || chr(9) || '50' || chr(9) || 'PASS'
+ || chr(9) || 'DP=10;ANN=' || ({_BASES})[((p_partkey // 4) % 4) + 1]
+ || '|missense_variant|MODERATE|' || upper(string_split(p_name, ' ')[2])
+ || '|g1|transcript|t1|Coding|1/2|c.' || (p_partkey % 50)::VARCHAR || 'A>G|p.Ala'
+ || (p_partkey % 200)::VARCHAR || 'Thr|1|1|1|0|')
+""".strip().replace(chr(10), " ")
+
+
+@_register(
+    "q_vcf_parse",
+    f"""
+    WITH lines AS (SELECT {_VCF_LINE_SQL} AS line FROM part),
+    cols AS (SELECT string_split(line, chr(9)) AS c FROM lines),
+    ann AS (
+      SELECT c[1] AS chrom, c[2]::INT AS pos, c[4] AS ref, c[5] AS alt,
+             string_split(string_split(c[8], 'ANN=')[2], '|') AS a
+      FROM cols
+    )
+    SELECT chrom, pos, ref, alt, a[4] AS gene_name, a[10] AS hgvs_c, a[11] AS hgvs_p
+    FROM ann
+    """,
+)
+def q_vcf_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/P15: VCF body parse (8 tab columns, ANN= INFO entry destructured
+    into the named 16-field snpEff struct via parsers.vcf.ann_struct;
+    extractPGMdata.py:71-95,126-147)."""
+    part = _tp(spark, sf_dir, "part")
+    bases = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
+    k = F.col("p_partkey")
+    ref = F.element_at(bases, (k % 4 + 1).cast("int"))
+    alt = F.element_at(bases, ((k / 4).cast("long") % 4 + 1).cast("int"))
+    gene = F.upper(F.element_at(F.split(F.col("p_name"), " "), 2))
+    line = F.concat_ws(
+        "\t",
+        F.concat(F.lit("chr"), (k % 22 + 1).cast("string")),
+        (k * 13 % 100000).cast("string"),
+        F.lit("."),
+        ref,
+        alt,
+        F.lit("50"),
+        F.lit("PASS"),
+        F.concat(
+            F.lit("DP=10;ANN="), alt, F.lit("|missense_variant|MODERATE|"), gene,
+            F.lit("|g1|transcript|t1|Coding|1/2|c."), (k % 50).cast("string"),
+            F.lit("A>G|p.Ala"), (k % 200).cast("string"), F.lit("Thr|1|1|1|0|"),
+        ),
+    )
+    cols = part.select(F.split(line, "\t").alias("c"))
+    body = cols.select(
+        F.element_at("c", 1).alias("chrom"),
+        F.element_at("c", 2).cast("int").alias("pos"),
+        F.element_at("c", 4).alias("ref"),
+        F.element_at("c", 5).alias("alt"),
+        F.element_at("c", 8).alias("info"),
+    )
+    ann_csv = F.substring_index(
+        F.element_at(F.filter(F.split(F.col("info"), ";"), lambda e: e.startswith("ANN=")), 1),
+        "ANN=", -1,
+    )
+    a = vcfmod.ann_struct(ann_csv)
+    return body.select(
+        "chrom", "pos", "ref", "alt",
+        a["gene_name"].alias("gene_name"),
+        a["hgvs_c"].alias("hgvs_c"),
+        a["hgvs_p"].alias("hgvs_p"),
+    )
+
+
+@_register(
+    "q_vcf_header_grep",
+    """
+    SELECT min(regexp_extract(line, '^##parametersName=(.*)$', 1)) AS panel
+    FROM (
+      SELECT CASE WHEN p_partkey % 50 = 0
+                  THEN '##parametersName=PANEL_' || p_brand
+                  ELSE 'chr1' || chr(9) || p_partkey::VARCHAR END AS line
+      FROM part
+    ) WHERE starts_with(line, '##parametersName=')
+    """,
+)
+def q_vcf_header_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: VCF header grep — '##parametersName=' panel line, first match
+    (register-iontorrent-data.py:164-173); min() stands in for limit(1) so
+    the result is deterministic under parallel scan order."""
+    part = _t(spark, sf_dir, "part")
+    line = F.when(
+        F.col("p_partkey") % 50 == 0,
+        F.concat(F.lit("##parametersName=PANEL_"), F.col("p_brand")),
+    ).otherwise(F.concat(F.lit("chr1"), F.lit("\t"), F.col("p_partkey").cast("string")))
+    return (
+        part.select(line.alias("line"))
+        .filter(F.col("line").startswith("##parametersName="))
+        .agg(F.min(F.regexp_extract("line", "^##parametersName=(.*)$", 1)).alias("panel"))
+    )
+
+
+@_register(
+    "q_checksum_file_parse",
+    oracle.with_entities(
+        """
+        SELECT string_split(line, ' *')[1] AS sha256,
+               string_split(line, ' *')[2] AS path
+        FROM (SELECT md5(file_name) || ' *' || relative_path AS line FROM files)
+        """
+    ),
+)
+def q_checksum_file_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: checksum-file parse — '<sha256> *<path>' lines → (sha, path)
+    (register-nanopore.py:200-207)."""
+    files = catalog.files_view(_t(spark, sf_dir, "lineitem"))
+    line = F.concat(F.md5(F.col("file_name")), F.lit(" *"), F.col("relative_path"))
+    parts = F.split(line, " \\*")
+    return files.select(
+        F.element_at(parts, 1).alias("sha256"), F.element_at(parts, 2).alias("path")
+    )
+
+
+@_register(
+    "q_origin_routing",
+    oracle.with_entities(
+        """
+        SELECT dataset_code, min_by(file_name, linenumber) AS origin
+        FROM files GROUP BY dataset_code
+        """
+    ),
+)
+def q_origin_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: source_dropbox origin read — first sidecar line per dataset
+    routes facility-specific behavior (etl_msconvert.py:824-830,
+    register-nanopore.py:97-100); min_by = first_value without a window."""
+    files = catalog.files_view(_t(spark, sf_dir, "lineitem"))
+    return files.groupBy("dataset_code").agg(
+        F.min_by("file_name", "linenumber").alias("origin")
+    )
+
+
+_KIND6 = "['fast5_pass', 'fast5_fail', 'fastq_pass', 'fastq_fail', 'skip', 'log']"
+
+
+@_register(
+    "q_run_folder_crawl",
+    oracle.with_entities(
+        f"""
+        SELECT dataset_code, ({_KIND6})[(linenumber % 6) + 1] AS kind,
+               count(*) AS n_entries,
+               string_agg(relative_path, ',' ORDER BY relative_path) AS folders
+        FROM files GROUP BY 1, 2
+        """
+    ),
+)
+def q_run_folder_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13/A6: nanopore-style run-folder crawl re-expressed relationally —
+    classify each path into {fast5,fastq}x{pass,fail}/skip/log and group
+    per (measurement, kind) (register-nanopore.py:143-166,412-415)."""
+    files = catalog.files_view(_t(spark, sf_dir, "lineitem"))
+    kinds = F.array(*[F.lit(x) for x in
+                      ("fast5_pass", "fast5_fail", "fastq_pass", "fastq_fail", "skip", "log")])
+    kind = F.element_at(kinds, (F.col("linenumber") % 6 + 1).cast("int"))
+    return (
+        files.select("dataset_code", kind.alias("kind"), "relative_path")
+        .groupBy("dataset_code", "kind")
+        .agg(
+            F.count("*").alias("n_entries"),
+            F.array_join(F.array_sort(F.collect_list("relative_path")), ",").alias("folders"),
+        )
+    )
+
+
+@_register(
+    "q_variant_dedup",
+    """
+    SELECT DISTINCT upper(string_split(p_name, ' ')[2]) AS gene,
+           'c.' || (p_partkey % 50)::VARCHAR || 'A>G' AS hgvs_c,
+           'p.Ala' || (p_partkey % 200)::VARCHAR || 'Thr' AS hgvs_p
+    FROM part
+    """,
+)
+def q_variant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: duplicate suppression of extracted variants on the
+    (gene, hgvs_c, hgvs_p) triple (extractPGMdata.py:179-195 blackList) —
+    dropDuplicates, one shuffle with partial dedup map-side."""
+    part = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    return (
+        part.select(
+            F.upper(F.element_at(F.split(F.col("p_name"), " "), 2)).alias("gene"),
+            F.concat(F.lit("c."), (k % 50).cast("string"), F.lit("A>G")).alias("hgvs_c"),
+            F.concat(F.lit("p.Ala"), (k % 200).cast("string"), F.lit("Thr")).alias("hgvs_p"),
+        )
+        .dropDuplicates(["gene", "hgvs_c", "hgvs_p"])
+    )
+
+
+@_register(
+    "q_file_count_reconciliation",
+    oracle.with_entities(
+        f"""
+        SELECT orderkey,
+               count(*) FILTER (WHERE ({_EXT3})[(linenumber % 3) + 1] = 'xml') AS n_xml,
+               count(*) FILTER (WHERE ({_EXT3})[(linenumber % 3) + 1] = 'bam') AS n_bam,
+               count(*) FILTER (WHERE ({_EXT3})[(linenumber % 3) + 1] = 'pbi') AS n_pbi,
+               (count(*) FILTER (WHERE ({_EXT3})[(linenumber % 3) + 1] = 'xml')
+                  = count(*) FILTER (WHERE ({_EXT3})[(linenumber % 3) + 1] = 'bam')
+                AND count(*) FILTER (WHERE ({_EXT3})[(linenumber % 3) + 1] = 'bam')
+                  = count(*) FILTER (WHERE ({_EXT3})[(linenumber % 3) + 1] = 'pbi')) AS reconciled
+        FROM files GROUP BY orderkey
+        """
+    ),
+)
+def q_file_count_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: file-count reconciliation (#VCF == #XLS == #BAM per batch,
+    register-iontorrent-data.py:296-309) as conditional counts + equality."""
+    files = catalog.files_view(_t(spark, sf_dir, "lineitem"))
+    req = F.array(F.lit("xml"), F.lit("bam"), F.lit("pbi"))
+    ext = F.element_at(req, (F.col("linenumber") % 3 + 1).cast("int"))
+    cnt = lambda e: F.count(F.when(F.col("ext") == e, 1)).alias(f"n_{e}")
+    out = (
+        files.select("orderkey", ext.alias("ext"))
+        .groupBy("orderkey")
+        .agg(cnt("xml"), cnt("bam"), cnt("pbi"))
+    )
+    return out.withColumn(
+        "reconciled",
+        (F.col("n_xml") == F.col("n_bam")) & (F.col("n_bam") == F.col("n_pbi")),
+    )
+
+
+@_register(
+    "q_all_null_probe",
+    oracle.with_entities(
+        """
+        SELECT dataset_code,
+               bool_or(CASE WHEN linenumber % 5 = 0 THEN relative_path END IS NOT NULL)
+                 AS any_unclassified
+        FROM files GROUP BY dataset_code
+        """
+    ),
+)
+def q_all_null_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: all-null check over the unclassified-folder map
+    (register-nanopore.py:140-141) — bool_or of presence, partial-agg'd."""
+    files = catalog.files_view(_t(spark, sf_dir, "lineitem"))
+    probe = F.when(F.col("linenumber") % 5 == 0, F.col("relative_path"))
+    return files.groupBy("dataset_code").agg(
+        F.max(probe.isNotNull()).alias("any_unclassified")
+    )
+
+
+@_register(
+    "q_checksum_subtree",
+    oracle.with_entities(
+        """
+        SELECT regexp_replace(relative_path, '/[^/]+$', '') AS folder,
+               count(*) AS n_files,
+               string_agg(md5(file_name), ',' ORDER BY md5(file_name)) AS checksums
+        FROM files GROUP BY 1
+        """
+    ),
+)
+def q_checksum_subtree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-folder checksum-file emission — group the global checksum map
+    by folder prefix, deterministic order (register-nanopore.py:210-222)."""
+    files = catalog.files_view(_t(spark, sf_dir, "lineitem"))
+    folder = F.regexp_replace(F.col("relative_path"), "/[^/]+$", "")
+    return (
+        files.select(folder.alias("folder"), F.md5(F.col("file_name")).alias("sha"))
+        .groupBy("folder")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.array_join(F.array_sort(F.collect_list("sha")), ",").alias("checksums"),
+        )
+    )
+
+
+@_register(
+    "q_runs_of_test_sample",
+    f"""
+    SELECT {oracle.sample_barcode_sql('o_custkey')} AS parent_code,
+           count(*) AS n_runs, min(o_orderkey) AS first_run, max(o_orderkey) AS last_run
+    FROM orders GROUP BY 1
+    """,
+)
+def q_runs_of_test_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11/A5/A7: all NGS runs of a test sample — edge join + type filter
+    collapsed to a grouped collection per parent (register-bam.py:106-112)."""
+    orders = _tp(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            catalog.sample_barcode(F.col("o_custkey")).alias("parent_code"), "o_orderkey"
+        )
+        .groupBy("parent_code")
+        .agg(
+            F.count("*").alias("n_runs"),
+            F.min("o_orderkey").alias("first_run"),
+            F.max("o_orderkey").alias("last_run"),
+        )
+    )
+
+
+_PATIENT_MAP = [(i, f"PATIENT_{i:03d}") for i in range(10)]
+_PATIENT_VALUES = ", ".join(f"({k}, '{v}')" for k, v in _PATIENT_MAP)
+
+
+@_register(
+    "q_mapping_broadcast_lookup",
+    f"""
+    SELECT s_suppkey, s_name, m.patient
+    FROM supplier JOIN (VALUES {_PATIENT_VALUES}) m(k, patient)
+      ON s_nationkey % 10 = m.k
+    """,
+)
+def q_mapping_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12/S6: PGM identifier-mapping lookup — a small in-memory mapping dict
+    becomes a broadcast dimension (register-iontorrent-data.py:198-203,
+    443,529-537); the hash join never shuffles the fact side."""
+    supplier = _t(spark, sf_dir, "supplier")
+    mapping = spark.createDataFrame(_PATIENT_MAP, "k INT, patient STRING")
+    return (
+        supplier.join(F.broadcast(mapping), F.col("s_nationkey") % 10 == F.col("k"))
+        .select("s_suppkey", "s_name", "patient")
+    )
+
+
+@_register(
+    "q_xml_note_append",
+    """
+    SELECT c_custkey,
+           regexp_replace(
+             '<notes><note user="u1">' || c_name || '</note></notes>',
+             '</notes>$',
+             '<note user="etl">status update</note></notes>') AS notes_xml
+    FROM customer
+    """,
+)
+def q_xml_note_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W5: appendable XML property — add-to-xml-note's insert-before-close
+    rewrite of Q_NOTES (add-to-xml-note/edit-note.py:4-30) as a pure string
+    projection inside the MERGE update."""
+    cust = _t(spark, sf_dir, "customer")
+    existing = F.concat(
+        F.lit('<notes><note user="u1">'), F.col("c_name"), F.lit("</note></notes>")
+    )
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace(
+            existing, "</notes>$", '<note user="etl">status update</note></notes>'
+        ).alias("notes_xml"),
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Recodes / destructuring / candidate matching / near-dup (SURVEY §2 round 3)
+# ---------------------------------------------------------------------------
+
+#: 3-letter → 1-letter amino-acid codes (vcf2xml.py:54-60)
+_AA3TO1 = (
+    ("Ala", "A"), ("Arg", "R"), ("Asn", "N"), ("Asp", "D"), ("Cys", "C"),
+    ("Gln", "Q"), ("Glu", "E"), ("Gly", "G"), ("His", "H"), ("Ile", "I"),
+    ("Leu", "L"), ("Lys", "K"), ("Met", "M"), ("Phe", "F"), ("Pro", "P"),
+    ("Ser", "S"), ("Thr", "T"), ("Trp", "W"), ("Tyr", "Y"), ("Val", "V"),
+)
+_AA_CASE_SQL = "CASE {v} " + " ".join(f"WHEN '{a3}' THEN '{a1}'" for a3, a1 in _AA3TO1) + " END"
+_AA3 = [a3 for a3, _ in _AA3TO1]
+
+
+@_register(
+    "q_aa_recode",
+    f"""
+    WITH v AS (
+      SELECT p_partkey,
+             'p.' || ({_AA3!r}::VARCHAR[])[(p_partkey % 20) + 1]
+                  || (p_partkey % 500)::VARCHAR
+                  || ({_AA3!r}::VARCHAR[])[((p_partkey // 7) % 20) + 1] AS hgvs_p
+      FROM part
+    ), g AS (
+      SELECT p_partkey, hgvs_p,
+             regexp_extract(hgvs_p, '^p\\.([A-Za-z]{{3}})(\\d+)([A-Za-z]{{3}})$', 1) AS ref3,
+             regexp_extract(hgvs_p, '^p\\.([A-Za-z]{{3}})(\\d+)([A-Za-z]{{3}})$', 2) AS pos,
+             regexp_extract(hgvs_p, '^p\\.([A-Za-z]{{3}})(\\d+)([A-Za-z]{{3}})$', 3) AS alt3
+      FROM v
+    )
+    SELECT p_partkey, hgvs_p,
+           ({_AA_CASE_SQL.format(v='ref3')}) || pos || ({_AA_CASE_SQL.format(v='alt3')}) AS hgvs_short
+    FROM g
+    """,
+)
+def q_aa_recode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16: amino-acid 3-letter→1-letter recode + HGVS destructure
+    (vcf2xml.py:54-60,66-101).  The 20-row code table is a map *literal* —
+    cheaper than the broadcast join the survey suggests: zero shuffle, zero
+    build side, constant-folded lookup per row."""
+    part = _tp(spark, sf_dir, "part")
+    aa3 = F.array(*[F.lit(a3) for a3 in _AA3])
+    k = F.col("p_partkey")
+    hgvs = F.concat(
+        F.lit("p."),
+        F.element_at(aa3, (k % 20 + 1).cast("int")),
+        (k % 500).cast("string"),
+        F.element_at(aa3, ((k / 7).cast("long") % 20 + 1).cast("int")),
+    )
+    aa_map = F.create_map(*[F.lit(x) for pair in _AA3TO1 for x in pair])
+    pat = r"^p\.([A-Za-z]{3})(\d+)([A-Za-z]{3})$"
+    g = part.select(k.alias("p_partkey"), hgvs.alias("hgvs_p")).select(
+        "p_partkey", "hgvs_p",
+        F.regexp_extract("hgvs_p", pat, 1).alias("ref3"),
+        F.regexp_extract("hgvs_p", pat, 2).alias("pos"),
+        F.regexp_extract("hgvs_p", pat, 3).alias("alt3"),
+    )
+    return g.select(
+        "p_partkey", "hgvs_p",
+        F.concat(
+            F.element_at(aa_map, F.col("ref3")), F.col("pos"), F.element_at(aa_map, F.col("alt3"))
+        ).alias("hgvs_short"),
+    )
+
+
+@_register(
+    "q_filename_destructure",
+    """
+    WITH named AS (
+      SELECT s_suppkey,
+             'IMG' || s_suppkey::VARCHAR || '_P' || s_nationkey::VARCHAR
+               || '_TISSUE' || (s_suppkey % 4)::VARCHAR
+               || '_' || (CASE WHEN s_suppkey % 11 = 0 THEN '' ELSE 'MOD' || (s_suppkey % 3)::VARCHAR END)
+               || '_USER' || (s_suppkey % 7)::VARCHAR || '_D20170101'
+               || '_X' || (s_suppkey % 5)::VARCHAR || '_Y' || (s_suppkey % 9)::VARCHAR AS name
+      FROM supplier
+    ), split AS (SELECT s_suppkey, name, string_split(name, '_') AS f FROM named)
+    SELECT s_suppkey, name, f[1] AS img_id, f[2] AS project, f[3] AS tissue,
+           f[4] AS modality, f[5] AS operator, f[6] AS img_date, f[7] AS pos_x, f[8] AS pos_y,
+           (len(f) = 8 AND len(list_filter(f, x -> x = '')) = 0) AS valid
+    FROM split
+    """,
+)
+def q_filename_destructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17: 8-field underscore-separated filename destructure with non-empty
+    validation (register-imaging-dropbox.py:73-138); invalid rows keep their
+    fields + a false flag so a rejects filter can route them."""
+    supplier = _t(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey")
+    name = F.concat(
+        F.lit("IMG"), sk.cast("string"),
+        F.lit("_P"), F.col("s_nationkey").cast("string"),
+        F.lit("_TISSUE"), (sk % 4).cast("string"),
+        F.lit("_"),
+        F.when(sk % 11 == 0, F.lit("")).otherwise(F.concat(F.lit("MOD"), (sk % 3).cast("string"))),
+        F.lit("_USER"), (sk % 7).cast("string"),
+        F.lit("_D20170101"),
+        F.lit("_X"), (sk % 5).cast("string"),
+        F.lit("_Y"), (sk % 9).cast("string"),
+    )
+    named = supplier.select(sk.alias("s_suppkey"), name.alias("name"))
+    f = F.split(F.col("name"), "_", -1)
+    fields = ("img_id", "project", "tissue", "modality", "operator", "img_date", "pos_x", "pos_y")
+    cols = [F.element_at(f, i + 1).alias(n) for i, n in enumerate(fields)]
+    valid = (F.size(f) == 8) & (
+        F.size(F.filter(f, lambda x: x == F.lit(""))) == 0
+    )
+    return named.select("s_suppkey", "name", *cols, valid.alias("valid"))
+
+
+@_register(
+    "q_multi_candidate_match",
+    oracle.with_entities(
+        f"""
+        , incoming AS (
+          SELECT o_orderkey AS arrival_id,
+                 CASE WHEN o_orderkey % 3 = 0 THEN 'NOMATCH'
+                      ELSE {oracle.sample_barcode_sql('o_custkey')} END AS barcode,
+                 {oracle.project_code_sql('o_custkey')} AS project,
+                 lpad(o_custkey::VARCHAR, 9, '0') AS genetics_id
+          FROM orders
+        )
+        SELECT arrival_id, code, match_path FROM (
+          SELECT i.arrival_id, s.code, 'BARCODE' AS match_path
+          FROM incoming i JOIN samples s ON i.barcode = s.code
+          UNION
+          SELECT i.arrival_id, s.code, 'SECONDARY' AS match_path
+          FROM incoming i JOIN samples s ON i.project = s.project
+          WHERE contains(s.secondary_name, i.genetics_id)
+        )
+        """
+    ),
+)
+def q_multi_candidate_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18: multi-candidate sample matching — (barcode==code) OR (project
+    match AND genetics-id in secondary name), register-imgag.py:352-360.
+    The reference's O(n²) nested scan (:190-218) becomes a UNION of two
+    equi-joins; the OR never becomes a nested-loop join."""
+    orders = _tp(spark, sf_dir, "orders")
+    incoming = orders.select(
+        F.col("o_orderkey").alias("arrival_id"),
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("NOMATCH"))
+        .otherwise(catalog.sample_barcode(F.col("o_custkey")))
+        .alias("barcode"),
+        catalog.project_code(F.col("o_custkey")).alias("in_project"),
+        F.lpad(F.col("o_custkey").cast("string"), 9, "0").alias("genetics_id"),
+    )
+    samples = catalog.samples_view(_t(spark, sf_dir, "customer"))
+    by_barcode = incoming.join(samples, F.col("barcode") == F.col("code")).select(
+        "arrival_id", "code", F.lit("BARCODE").alias("match_path")
+    )
+    by_secondary = (
+        incoming.join(samples, F.col("in_project") == F.col("project"))
+        .filter(F.col("secondary_name").contains(F.col("genetics_id")))
+        .select("arrival_id", "code", F.lit("SECONDARY").alias("match_path"))
+    )
+    return by_barcode.union(by_secondary).distinct()
+
+
+@_register(
+    "q_property_blacklist",
+    """
+    SELECT event_id, k, v FROM (
+      SELECT event_id, 'type' AS k, event_type AS v FROM events
+      UNION ALL
+      SELECT event_id, 'value', value::VARCHAR FROM events
+      UNION ALL
+      SELECT event_id, 'user', user_id::VARCHAR FROM events
+    ) WHERE k NOT IN ('user', 'session_token')
+    """,
+)
+def q_property_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8: property blacklist before external push (register-omero.py:69,
+    270-281) — map_filter over the property bag, then explode to rows."""
+    events = _t(spark, sf_dir, "events")
+    bag = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("value"), F.col("value").cast("string"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    bl = F.array(F.lit("user"), F.lit("session_token"))
+    kept = F.map_filter(bag, lambda k, _: ~F.array_contains(bl, k))
+    return events.select("event_id", F.explode(kept).alias("k", "v"))
+
+
+_NEARDUP_BITS = " || ".join(_srp_bit_sql(p) for p in _PLANES)
+
+
+@_register(
+    "q_embedding_near_dup",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+    ), staged AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, ({_NEARDUP_BITS}) AS bucket,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM corpus
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+    FROM staged a JOIN staged b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.95
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: SRP-LSH bucket equi-join generates
+    candidates (no O(n²) cross product), exact cosine verifies.  The corpus
+    is augmented with planted duplicates (vec_id+1e6) so the operator has
+    positives to find; norms are staged per row so each pair costs one dot
+    product."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return similarity.srp_near_dup_pairs(corpus, n_planes=8, dim=64, threshold=0.95)
+
+
+@_register("q_incoming_scan")  # no oracle: filesystem source, rows-only check
+def q_incoming_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2: incoming-directory scan — recursive binaryFile listing of the
+    batch directory (register-mtb-data-dropbox.py:606-618); at scale this is
+    the ingest-manifest source, here it lists the sf dir itself."""
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return listing.select(
+        F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
+        F.col("length"),
+    ).orderBy("file_name")
 
 
 # ---------------------------------------------------------------------------

@@ -105,3 +105,46 @@ def srp_buckets_df(
     return corpus.select(
         F.col(id_col), srp_bucket(F.col(vec_col), planes).alias("bucket")
     )
+
+
+def srp_near_dup_pairs(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine, LSH-pruned.
+
+    Candidates come from an equi-join on the SRP bucket key (identical and
+    near-identical vectors agree on every sign bit with high probability),
+    then the exact cosine verifies.  The staging projection materializes the
+    bucket AND the l2 norm once per row, so the pair stage costs exactly one
+    dot product per candidate — the bucket/norm expressions are never
+    re-inlined into the join (see dedup.shingles_from_words for the general
+    lesson).  Shuffle key is the bucket: md-uniform for random data; a
+    pathological all-identical corpus would need a band/salt refinement.
+    """
+    planes = hyperplanes(n_planes, dim)
+    staged = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        srp_bucket(F.col(vec_col), planes).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
+    )
+    a = staged.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+        F.col("bucket"), F.col("_nrm").alias("_na"),
+    )
+    b = staged.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("bucket"), F.col("_nrm").alias("_nb"),
+    )
+    pairs = a.join(b, ["bucket"]).filter(F.col("id_a") < F.col("id_b"))
+    cos = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        pairs.withColumn("_cos", cos)
+        .filter(F.col("_cos") > threshold)
+        .select("id_a", "id_b", F.round("_cos", 4).alias("cos"))
+    )
