@@ -30,6 +30,8 @@ from etl_scripts_spark.pipelines.wf_results import register_wf_results
 from etl_scripts_spark.reports import core as reports
 from etl_scripts_spark.sinks.merge import merge_upsert
 from etl_scripts_spark.sinks.outbox import build_outbox
+from etl_scripts_spark.operators import external
+from etl_scripts_spark.streaming.stateful import stateful_user_totals_available_now
 from etl_scripts_spark.streaming.windowed import hourly_counts_available_now
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2118,6 +2120,86 @@ def q_incoming_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
         F.col("length"),
     ).orderBy("file_name")
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming / multimodal / external-tool stages (SURVEY §2.7-§2.8)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "q_stream_user_totals",
+    """
+    SELECT user_id, count(*) AS n_events,
+           sum(floor(value * 100 + 0.5)::BIGINT) AS sum_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals in the keyed state store, drained via Trigger.AvailableNow.
+    The single-drain final state equals the batch groupBy, which is exactly
+    what the oracle verifies — batch/streaming agreement."""
+    return stateful_user_totals_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+@_register("q_multimodal_features")  # no oracle: mapInPandas stub embedding
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction: payload → fixed-dim vector (stub byte
+    histogram) whose shape composes with the ANN operators (srp/cosine)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.with_binary_payload(docs))
+
+
+@_register("q_multimodal_frame_sample")  # no oracle: mapInPandas fan-out stub
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: one payload row fans out to n frame
+    rows (stub slices the byte stream; a codec would seek keyframes)."""
+    docs = _tp(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(multimodal.with_binary_payload(docs), n_frames=4)
+    return frames.select("doc_id", "frame_idx", "frame_offset", F.length("frame_bytes").alias("n_bytes"))
+
+
+@_register(
+    "q_tool_dryrun",
+    """
+    SELECT s_suppkey AS item_id, 'dryrun' AS status,
+           'msconvert f_' || s_suppkey::VARCHAR || '.raw --mzML' AS output
+    FROM supplier
+    """,
+)
+def q_tool_dryrun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10/W11: external-tool stage (remote msconvert analogue) in dryrun
+    mode — the partition-level subprocess wrapper emits the argv it WOULD
+    run (etl_msconvert.py:208-209 dryrun), deterministic and oracle-checked;
+    the live path adds timeout/tempdir/missing-binary handling."""
+    supplier = _t(spark, sf_dir, "supplier")
+    items = supplier.select(
+        F.col("s_suppkey").alias("item_id"),
+        F.concat(F.lit("f_"), F.col("s_suppkey").cast("string"), F.lit(".raw")).alias("input"),
+    )
+    return external.run_tool_stage(items, ["msconvert", "{}", "--mzML"], dryrun=True)
+
+
+@_register(
+    "q_email_outbox",
+    oracle.with_entities(
+        ", " + _FASTQ_INCOMING_CTE.strip()
+        + """
+        SELECT 'uploader_' || (arrival_id % 7)::VARCHAR AS entity_code,
+               'EMAIL' AS service, 'PENDING' AS status, 0 AS attempts
+        FROM validated WHERE NOT valid
+        """
+    ),
+)
+def q_email_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: error-mail to uploader as outbox rows (register-attachment-
+    dropbox.py:151-163) — side effects never inline, exactly-once via the
+    outbox drain."""
+    rejects = q_fastq_rejects(spark, sf_dir)
+    addressed = rejects.select(
+        F.concat(F.lit("uploader_"), (F.col("arrival_id") % 7).cast("string")).alias("recipient")
+    )
+    return build_outbox(addressed, "recipient", "EMAIL")
 
 
 # ---------------------------------------------------------------------------

@@ -66,3 +66,95 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Test harness: materialize an opaque binary column from text so the
     multimodal plumbing runs against the driver's synthetic tables."""
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("feature", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", dim: int = 16) -> DataFrame:
+    """binary payload → fixed-dim feature vector via Arrow-batched mapInPandas.
+
+    The STUB embedding is a normalized byte histogram (deterministic, so the
+    ANN operators downstream are testable); swap the histogram for a real
+    encoder (CLIP et al.) without touching the Spark plumbing.  Output shape
+    matches the `embeddings` table, so srp_buckets_df / cosine_topk compose
+    directly: decode → embed → bucket → join is one plan, no driver hop.
+    """
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            feats = []
+            for b in pdf[bin_col]:
+                arr = np.frombuffer(bytes(b) if b is not None else b"", dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                feats.append((hist / hist.sum()).tolist())
+            yield pd.DataFrame({"doc_id": pdf[id_col].astype("int64"), "feature": feats})
+
+    return df.select(id_col, bin_col).mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset", T.LongType()),
+        T.StructField("frame_bytes", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", n_frames: int = 4) -> DataFrame:
+    """Video frame sampling plumbing: payload → n evenly-spaced 'frames'.
+
+    One input row fans out to n output rows (the real op would seek the
+    container's keyframe index; the STUB slices the byte stream evenly).
+    Partitioning carries over from the scan — no shuffle; at 100 TB the fan
+    -out multiplies bytes, so cap n_frames or follow with a projection that
+    drops frame_bytes once features are extracted.
+    """
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "frame_idx": [], "frame_offset": [], "frame_bytes": []}
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(b) if b is not None else b""
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    off = min(i * step, max(len(raw) - 1, 0))
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_bytes"].append(raw[off : off + step])
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_image(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize stage — decode libraries absent, so this raises at
+    evaluation time; the signature/schema is the stable contract."""
+
+    def batches(it):
+        raise NotImplementedError(
+            "image resize needs Pillow/libvips, not shipped in this image; "
+            "plug the codec into this mapInPandas stage"
+        )
+        yield  # pragma: no cover
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()), T.StructField("resized", T.BinaryType())]
+    )
+    return df.select(id_col, bin_col).mapInPandas(batches, schema)

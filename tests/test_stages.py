@@ -1,0 +1,93 @@
+"""Unit tests for mapInPandas stages: external tools, archives, multimodal.
+
+These stages are rows-only at the driver gate (no SQL oracle), so their
+determinism and failure handling are pinned here instead.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+
+from pyspark.sql import functions as F
+
+from etl_scripts_spark.operators import external, multimodal
+
+
+def _items(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_tool_dryrun_is_deterministic(spark):
+    df = _items(spark, [(1, "a.raw"), (2, "b.raw")], "item_id LONG, input STRING")
+    out = external.run_tool_stage(df, ["conv", "{}", "--out"], dryrun=True)
+    rows = {r.item_id: r for r in out.collect()}
+    assert rows[1].status == "dryrun" and rows[1].output == "conv a.raw --out"
+    assert rows[2].output == "conv b.raw --out"
+
+
+def test_tool_live_echo_and_missing_binary(spark):
+    df = _items(spark, [(1, "hello")], "item_id LONG, input STRING")
+    ok = external.run_tool_stage(df, ["echo", "{}"]).collect()[0]
+    assert ok.status == "ok" and ok.output == "hello"
+    missing = external.run_tool_stage(
+        df, ["no-such-binary-xyz", "{}"]
+    ).collect()[0]
+    assert missing.status == "error" and "not found" in missing.output
+
+
+def test_unpack_archives_zip_and_tar(spark):
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w") as z:
+        z.writestr("a/x.txt", "xxxx")
+        z.writestr("b.bin", "12")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as t:
+        data = b"yyy"
+        info = tarfile.TarInfo("inner.dat")
+        info.size = len(data)
+        t.addfile(info, io.BytesIO(data))
+    df = _items(
+        spark,
+        [(1, bytearray(zbuf.getvalue())), (2, bytearray(tbuf.getvalue()))],
+        "item_id LONG, payload BINARY",
+    )
+    rows = sorted(
+        external.unpack_archives(df).collect(), key=lambda r: (r.item_id, r.member)
+    )
+    assert [(r.item_id, r.member, r.n_bytes) for r in rows] == [
+        (1, "a/x.txt", 4),
+        (1, "b.bin", 2),
+        (2, "inner.dat", 3),
+    ]
+
+
+def test_feature_extraction_shape_and_determinism(spark):
+    df = _items(spark, [(1, "abc"), (2, "")], "doc_id LONG, text STRING")
+    payload = multimodal.with_binary_payload(df)
+    out = {r.doc_id: r.feature for r in multimodal.extract_features(payload).collect()}
+    assert len(out[1]) == 16 and abs(sum(out[1]) - 1.0) < 1e-9
+    assert out[2] == [0.0] * 16
+    again = {r.doc_id: r.feature for r in multimodal.extract_features(payload).collect()}
+    assert out == again
+
+
+def test_frame_sample_fanout(spark):
+    df = _items(spark, [(7, "0123456789abcdef")], "doc_id LONG, text STRING")
+    frames = multimodal.sample_frames(
+        multimodal.with_binary_payload(df), n_frames=4
+    ).collect()
+    assert len(frames) == 4
+    assert [f.frame_offset for f in sorted(frames, key=lambda f: f.frame_idx)] == [0, 4, 8, 12]
+    assert all(len(f.frame_bytes) == 4 for f in frames)
+
+
+def test_resize_contract_raises(spark):
+    df = _items(spark, [(1, "x")], "doc_id LONG, text STRING")
+    out = multimodal.resize_image(multimodal.with_binary_payload(df))
+    try:
+        out.collect()
+        raise AssertionError("expected NotImplementedError surface")
+    except Exception as exc:  # Py4J wraps the executor-side error
+        assert "NotImplementedError" in str(exc) or "resize" in str(exc)
