@@ -2202,6 +2202,57 @@ def q_email_outbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_outbox(addressed, "recipient", "EMAIL")
 
 
+@_register(
+    "q_ivf_topk",
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cn
+      FROM embeddings WHERE vec_id < 16
+    ), corpus AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), qs AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS qn
+      FROM embeddings WHERE vec_id < 20
+    ), assigned AS (
+      SELECT neighbor_id, cid, v, nrm FROM (
+        SELECT c.neighbor_id, t.cid, c.v, c.nrm,
+               row_number() OVER (PARTITION BY c.neighbor_id
+                 ORDER BY list_dot_product(c.v, t.cv) / (c.nrm * t.cn) DESC, t.cid) AS r
+        FROM corpus c CROSS JOIN cent t
+      ) WHERE r = 1
+    ), probes AS (
+      SELECT query_id, cid, qv, qn FROM (
+        SELECT q.query_id, t.cid, q.qv, q.qn,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, t.cv) / (q.qn * t.cn) DESC, t.cid) AS r
+        FROM qs q CROSS JOIN cent t
+      ) WHERE r <= 4
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT p.query_id, a.neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_dot_product(p.qv, a.v) / (p.qn * a.nrm) DESC, a.neighbor_id) AS rank
+      FROM assigned a JOIN probes p ON a.cid = p.cid
+      WHERE a.neighbor_id != p.query_id
+    ) WHERE rank <= 5
+    """,
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (the scale path next to brute-force cosine_topk and
+    SRP buckets): broadcast centroids, map-side cell assignment without
+    shuffling the corpus, candidate join bounded by nprobe/n_centroids.
+    The oracle replays the identical algorithm, checking algorithm parity
+    (deterministic centroids + tie-breaks), not ANN recall."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = similarity.ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=5)
+    return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -37,7 +37,10 @@ HEADLINE = [
     "q_token_stats",
     "q_embedding_topk",
     "q_srp_buckets",
+    "q_embedding_near_dup",
+    "q_ivf_topk",
     "q_stream_hourly_rollup",
+    "q_stream_user_totals",
 ]
 
 

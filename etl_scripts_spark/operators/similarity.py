@@ -148,3 +148,71 @@ def srp_near_dup_pairs(
         .filter(F.col("_cos") > threshold)
         .select("id_a", "id_b", F.round("_cos", 4).alias("cos"))
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
+    centroid cells, probe only the closest `nprobe` cells per query.
+
+    Deterministic training-free quantizer: the first `n_centroids` vectors
+    by id are the centroids (so an external oracle can replay the exact
+    algorithm — this checks ALGORITHM parity, not ANN recall).  Scale shape:
+
+      - centroids broadcast to every executor; cell assignment is a
+        map-side argmax over the corpus scan, NO shuffle of corpus vectors;
+      - the candidate join shuffles on the cell id — bounded fan-out
+        (corpus_size * nprobe / n_centroids candidates per query);
+      - exact cosine + row_number window verify within the probed cells.
+
+    Ties (equal cosine) break on the lower centroid/neighbor id in both the
+    assignment and the ranking, so results are exactly reproducible.
+    """
+    cent = F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv")
+        )
+    )
+
+    def best_cells(df: DataFrame, out_id: str, rank_cap: int) -> DataFrame:
+        scored = df.join(cent).withColumn(
+            "_ccos",
+            dot(F.col("_v"), F.col("_cv")) / (F.col("_nrm") * l2_norm(F.col("_cv"))),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.desc("_ccos"), F.asc("cid"))
+        return (
+            scored.withColumn("_crank", F.row_number().over(w))
+            .filter(F.col("_crank") <= rank_cap)
+            .select(out_id, "cid", "_v", "_nrm")
+        )
+
+    staged_c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
+    )
+    staged_q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
+    )
+    assigned = best_cells(staged_c, "neighbor_id", 1)
+    probes = best_cells(staged_q, "query_id", nprobe).select(
+        "query_id", "cid", F.col("_v").alias("_qv"), F.col("_nrm").alias("_qn")
+    )
+    cand = assigned.join(probes, "cid").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = dot(F.col("_qv"), F.col("_v")) / (F.col("_qn") * F.col("_nrm"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
