@@ -24,6 +24,7 @@ from etl_scripts_spark.expressions import (
 )
 from etl_scripts_spark.operators import dedup, lineage, multimodal, similarity, text, windows
 from etl_scripts_spark.operators.numbering import allocate_sequence, experiment_code, padded_patient_id, run_sample_code
+from etl_scripts_spark.parsers import sidecars
 from etl_scripts_spark.parsers import vcf as vcfmod
 from etl_scripts_spark.pipelines.fastq import register_fastq_batch
 from etl_scripts_spark.pipelines.wf_results import register_wf_results
@@ -2251,6 +2252,149 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 20)
     out = similarity.ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=5)
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
+
+
+@_register("q_pdf_metadata")  # no oracle: pdftotext stub, rows-only check
+def q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: PDF metadata scrape (order number + per-barcode RIN map) via the
+    mapInPandas stage; text extraction is a marked stub, the regex
+    state-machine and plumbing are real."""
+    docs = _tp(spark, sf_dir, "documents")
+    out = sidecars.pdf_metadata(multimodal.with_binary_payload(docs))
+    return out.select("doc_id", "order_number", F.map_keys("rin_map").alias("rin_barcodes"))
+
+
+@_register(
+    "q_metadata_equivalence_groups",
+    """
+    SELECT modality, tissue, manufacturer, operator, img_date, count(*) AS n_rows
+    FROM (
+      SELECT 'MOD' || (o_orderkey % 3)::VARCHAR AS modality,
+             'TISSUE' || (o_orderkey % 4)::VARCHAR AS tissue,
+             'MFR' || (o_custkey % 2)::VARCHAR AS manufacturer,
+             'USER' || (o_orderkey % 5)::VARCHAR AS operator,
+             o_orderdate::VARCHAR AS img_date
+      FROM orders
+    ) GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def q_metadata_equivalence_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: same-experiment grouping over the 5 metadata fields
+    (isSameExperimentMetadata, register-omero.py:151-163) — the reference's
+    order-dependent pairwise compare becomes one groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.concat(F.lit("MOD"), (F.col("o_orderkey") % 3).cast("string")).alias("modality"),
+            F.concat(F.lit("TISSUE"), (F.col("o_orderkey") % 4).cast("string")).alias("tissue"),
+            F.concat(F.lit("MFR"), (F.col("o_custkey") % 2).cast("string")).alias("manufacturer"),
+            F.concat(F.lit("USER"), (F.col("o_orderkey") % 5).cast("string")).alias("operator"),
+            F.col("o_orderdate").cast("string").alias("img_date"),
+        )
+        .groupBy("modality", "tissue", "manufacturer", "operator", "img_date")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@_register(
+    "q_next_run_number",
+    oracle.with_entities(
+        """
+        SELECT project,
+               coalesce(max(regexp_extract(experiment_id, 'E(\\d+)$', 1)::INT), 0) + 1
+                 AS next_n
+        FROM experiments GROUP BY project
+        """
+    ),
+)
+def q_next_run_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: next free run number — max existing 'E<n>'/'MS..._<n>' suffix + 1
+    (etl_msconvert.py:786-792); replaces the reference's probe loop with one
+    aggregate, allocation itself is collision-free by construction."""
+    experiments = catalog.experiments_view(_t(spark, sf_dir, "orders"))
+    n = F.regexp_extract(F.col("experiment_id"), r"E(\d+)$", 1).cast("int")
+    return experiments.groupBy("project").agg(
+        (F.coalesce(F.max(n), F.lit(0)) + 1).alias("next_n")
+    )
+
+
+@_register(
+    "q_sorted_spreadsheet",
+    oracle.with_entities(
+        """
+        SELECT project,
+               string_agg(experiment_id, ';' ORDER BY orderkey) AS ordered_experiments
+        FROM experiments GROUP BY project
+        """
+    ),
+)
+def q_sorted_spreadsheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O4: stable sorted output for positional/spreadsheet consumers
+    (sorted parameter ids, get-experimental-design-tsv/script.py:57; sorted
+    unpacked lists, register-iontorrent-data.py:371-372) — the ordering is
+    INSIDE the aggregated value, so it survives any row order."""
+    experiments = catalog.experiments_view(_t(spark, sf_dir, "orders"))
+    return experiments.groupBy("project").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("orderkey"), F.col("experiment_id")))
+                ),
+                lambda s: s["experiment_id"],
+            ),
+            ";",
+        ).alias("ordered_experiments")
+    )
+
+
+@_register(
+    "q_timestamped_ids",
+    oracle.with_entities(
+        """
+        , batch AS (SELECT max(orderdate) AS batch_mark FROM experiments)
+        SELECT e.experiment_id,
+               'NGS' || e.project || '-' || strftime(b.batch_mark, '%Y%m%d') AS run_id
+        FROM experiments e CROSS JOIN batch b
+        """
+    ),
+)
+def q_timestamped_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N5: 'timestamped' unique sample ids (NGS{code}-{unixtime},
+    register-mtb-data-dropbox.py:476-477) made deterministic: the batch mark
+    is the batch's max order date, not wall-clock — same id on re-run."""
+    experiments = catalog.experiments_view(_t(spark, sf_dir, "orders"))
+    batch_mark = experiments.agg(
+        F.date_format(F.max("orderdate"), "yyyyMMdd").alias("batch_mark")
+    )
+    return experiments.join(F.broadcast(batch_mark)).select(
+        "experiment_id",
+        F.concat(F.lit("NGS"), F.col("project"), F.lit("-"), F.col("batch_mark")).alias("run_id"),
+    )
+
+
+@_register(
+    "q_user_attribution",
+    oracle.with_entities(
+        ", " + _FASTQ_INCOMING_CTE.strip()
+        + """
+        SELECT arrival_id, barcode,
+               'uploader_' || (arrival_id % 7)::VARCHAR AS registered_by
+        FROM validated WHERE valid
+        """
+    ),
+)
+def q_user_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: user attribution — tr.setUserId becomes an audit column stamped
+    on every written row (register-attachment-dropbox.py:90-91)."""
+    incoming = _fastq_incoming(spark, sf_dir)
+    validated = incoming.withColumn("barcode", extract_barcode(F.col("incoming_name"))).withColumn(
+        "valid", is_valid_barcode(F.col("barcode"))
+    )
+    return validated.filter(F.col("valid")).select(
+        "arrival_id",
+        "barcode",
+        F.concat(F.lit("uploader_"), (F.col("arrival_id") % 7).cast("string")).alias("registered_by"),
+    )
 
 
 # ---------------------------------------------------------------------------

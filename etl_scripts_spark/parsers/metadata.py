@@ -45,8 +45,13 @@ def read_imaging_tsv(spark: SparkSession, path: str) -> DataFrame:
 
 
 def parse_kv_metadata(raw: F.Column) -> F.Column:
-    """'k=v' newline-separated block → MAP<STRING,STRING> (S7)."""
-    return F.str_to_map(raw, "\n", "=")
+    """'k=v' newline-separated block → MAP<STRING,STRING> (S7).
+
+    NB: str_to_map's delimiters must be Column literals — bare strings are
+    resolved as column NAMES (found the hard way; the bare-"\\n" form
+    analyzes only if a column of that name exists, then silently misparses).
+    """
+    return F.str_to_map(raw, F.lit("\n"), F.lit("="))
 
 
 def read_kv_metadata(spark: SparkSession, path: str) -> DataFrame:

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def read_checksum_file(spark: SparkSession, path: str) -> DataFrame:
@@ -87,3 +88,49 @@ def raw_data_per_sample(classified: DataFrame) -> DataFrame:
             F.sum(F.when(F.col("passfail") == "skip", 1).otherwise(0)).alias("n_skip"),
         )
     )
+
+
+PDF_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("order_number", T.StringType()),
+        T.StructField("rin_map", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def pdf_metadata(df, id_col: str = "doc_id", bin_col: str = "payload"):
+    """S11: PDF metadata scrape (microarray order number + per-barcode RIN,
+    register-cel-dropbox.py:49-81) as an Arrow-batched mapInPandas stage.
+
+    pdftotext is not in this image, so the text-extraction step is a marked
+    STUB (deterministic from the payload bytes); the state-machine regex
+    scan over the extracted text and the Spark plumbing are real.  Swap
+    `_fake_pdf_text` for a pdftotext/poppler call to go live.
+    """
+    import re
+
+    def _fake_pdf_text(raw: bytes) -> str:
+        # STUB — stands in for `pdftotext file.pdf -`; derives a plausible
+        # order sheet deterministically so tests are stable.
+        seed = (raw[0] if raw else 0) + len(raw)
+        barcode = f"Q{'ABCD'[seed % 4]}{'WXYZ'[seed % 4]}0X{seed % 999:03d}A0"
+        return f"Auftrag: A-{seed % 10000:04d}\n{barcode} RIN: {seed % 10}.{seed % 7}\n"
+
+    order_re = re.compile(r"Auftrag:\s*(\S+)")
+    rin_re = re.compile(r"(Q[A-Z0-9]{4}[0-9]{3}[A-Z][A-Z0-9])\s+RIN:\s*([0-9.]+)")
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, orders, rins = [], [], []
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                text = _fake_pdf_text(bytes(b) if b is not None else b"")
+                m = order_re.search(text)
+                ids.append(int(did))
+                orders.append(m.group(1) if m else None)
+                rins.append({bc: rin for bc, rin in rin_re.findall(text)})
+            yield pd.DataFrame({"doc_id": ids, "order_number": orders, "rin_map": rins})
+
+    return df.select(id_col, bin_col).mapInPandas(batches, PDF_META_SCHEMA)

@@ -1,0 +1,141 @@
+"""File-based parser tests on real fixture files (SURVEY §5 adopted strategy).
+
+These exercise the readers the oracle gate can't reach (they consume files,
+not the star-schema tables): TSV positional/header-driven, key=value, imgag
+JSON, VCF body + ANN + header grep, mzML headers, checksum files, run-folder
+classification, and PDF metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_scripts_spark.parsers import metadata, sidecars, vcf
+
+
+def test_immuno_ms_tsv_positional(spark, tmp_path):
+    p = tmp_path / "immuno.tsv"
+    p.write_text(
+        "Filename\tQ_MS_DEVICE\tQ_MEASUREMENT_FINISH_DATE\tQ_EXTRACT_SHARE\t"
+        "Q_ADDITIONAL_INFO\tQ_MS_LCMS_METHODS\ttechnical_replicate\tworkflow_type\n"
+        "f1.raw\tQEXACTIVE\t171010\t10\tnote\tM1\tR1\twf\n"
+    )
+    row = metadata.read_immuno_ms_tsv(spark, str(p)).collect()[0]
+    assert row.Filename == "f1.raw" and row.Q_MS_DEVICE == "QEXACTIVE"
+    assert row.workflow_type == "wf"
+
+
+def test_imaging_tsv_header_driven_star_null_and_validation(spark, tmp_path):
+    p = tmp_path / "imaging.tsv"
+    cols = list(metadata.IMAGING_REQUIRED_COLUMNS)
+    p.write_text("\t".join(cols) + "\n" + "\t".join(["img/1.dcm", "CT", "*", "GE", "u1", "24.03.2019"]) + "\n")
+    row = metadata.read_imaging_tsv(spark, str(p)).collect()[0]
+    assert row.IMAGED_TISSUE is None  # '*' placeholder → null
+    assert row.IMAGING_MODALITY == "CT"
+    bad = tmp_path / "bad.tsv"
+    bad.write_text("ONLY_ONE_COL\nv\n")
+    try:
+        metadata.read_imaging_tsv(spark, str(bad))
+        raise AssertionError("expected ValueError for missing required columns")
+    except ValueError as exc:
+        assert "missing required" in str(exc)
+
+
+def test_kv_metadata_file(spark, tmp_path):
+    p = tmp_path / "metadata.txt"
+    p.write_text("user=alice\ninfo=some text\nbarcode=QABCD001AE\ntype=Analysis Results\n")
+    row = metadata.read_kv_metadata(spark, str(p)).collect()[0]
+    assert row.user == "alice" and row.barcode == "QABCD001AE"
+    assert row.attachment_kind == "RESULT"
+
+
+def test_imgag_json_schema(spark, tmp_path):
+    p = tmp_path / "meta.json"
+    p.write_text(
+        '{"files": ["a.vcf"], "type": "somatic",'
+        ' "sample1": {"genome": "GRCh38", "id_qbic": "QABCD001AE",'
+        '   "qc": [{"qcml_id": "QC:1", "name": "reads", "value": "100"}]}}'
+    )
+    row = metadata.read_imgag_metadata(spark, str(p)).collect()[0]
+    assert row.type == "somatic"
+    assert row.sample1.id_qbic == "QABCD001AE"
+    assert row.sample1.qc[0].name == "reads"
+
+
+VCF_TEXT = """##fileformat=VCFv4.2
+##parametersName=OncoPanel_v3
+##fileUTCtime=2017-10-10T12:00:00
+#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO
+chr1\t100\t.\tA\tG,T\t50\tPASS\tDP=10;ANN=G|missense_variant|MODERATE|KRAS|g1|t|t1|Coding|1/2|c.1A>G|p.Ala1Thr|1|1|1|0|
+chr2\t200\t.\tC\tT\t60\tPASS\tDP=5
+"""
+
+
+def test_vcf_body_ann_and_header(spark, tmp_path):
+    p = tmp_path / "sample.vcf"
+    p.write_text(VCF_TEXT)
+    body = vcf.read_vcf(spark, str(p))
+    assert body.count() == 2  # '#' lines skipped
+    with_ann = vcf.with_annotations(body)
+    exploded = vcf.explode_annotations(with_ann).collect()
+    assert len(exploded) == 1
+    assert exploded[0].gene_name == "KRAS" and exploded[0].hgvs_p == "p.Ala1Thr"
+    assert vcf.variants_per_gene(with_ann).collect()[0].n_variants == 1
+    panel = vcf.grep_header(spark, str(p), "parametersName").collect()[0]
+    assert panel.parametersName == "OncoPanel_v3"
+
+
+def test_mzml_headers(spark, tmp_path):
+    p = tmp_path / "run.mzML"
+    p.write_text(
+        '<referenceableParamGroup id="CommonInstrumentParams">\n'
+        '  <cvParam accession="MS:1000529" name="instrument serial number" value="x"/>\n'
+        '  <cvParam accession="MS:1002634" name="Q Exactive Plus"/>\n'
+        "</referenceableParamGroup>\n"
+        '<run id="r1" startTimeStamp="2017-10-10T09:30:00Z">\n'
+    )
+    row = sidecars.parse_mzml_headers(spark, str(p)).collect()[0]
+    assert row.start_timestamp == "2017-10-10T09:30:00Z"
+    assert row.instrument_accession == "MS:1002634"  # generic CVs skipped
+
+
+def test_checksum_file(spark, tmp_path):
+    p = tmp_path / "sums.sha256"
+    sha = "a" * 64
+    p.write_text(f"{sha} *data/f1.fastq.gz\nnot a checksum line\n")
+    rows = sidecars.read_checksum_file(spark, str(p)).collect()
+    assert len(rows) == 1
+    assert rows[0].sha256 == sha and rows[0].relative_path == "data/f1.fastq.gz"
+
+
+def test_run_folder_classification(spark):
+    listing = spark.createDataFrame(
+        [
+            ("runs/fast5_pass/barcode01/x.fast5",),
+            ("runs/fastq_fail/barcode01/y.fastq",),
+            ("runs/other/z.log",),
+        ],
+        "path STRING",
+    )
+    rows = {r.path: r for r in sidecars.classify_run_folder(listing).collect()}
+    assert rows["runs/fast5_pass/barcode01/x.fast5"].kind == "fast5"
+    assert rows["runs/fastq_fail/barcode01/y.fastq"].passfail == "fail"
+    assert rows["runs/other/z.log"].kind is None  # P6 blacklist path
+    per = sidecars.raw_data_per_sample(sidecars.classify_run_folder(listing)).collect()
+    assert {(r.barcode, r.kind, r.n_pass, r.n_fail) for r in per} == {
+        ("barcode01", "fast5", 1, 0),
+        ("barcode01", "fastq", 0, 1),
+    }
+
+
+def test_pdf_metadata_stub_determinism(spark):
+    from etl_scripts_spark.operators.multimodal import with_binary_payload
+
+    df = with_binary_payload(
+        spark.createDataFrame([(1, "order sheet"), (2, "")], "doc_id LONG, text STRING")
+    )
+    rows = {r.doc_id: r for r in sidecars.pdf_metadata(df).collect()}
+    assert rows[1].order_number and rows[1].order_number.startswith("A-")
+    assert all(len(k) == 10 for k in rows[1].rin_map)
+    again = {r.doc_id: r for r in sidecars.pdf_metadata(df).collect()}
+    assert rows[1].order_number == again[1].order_number

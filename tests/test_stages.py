@@ -91,3 +91,23 @@ def test_resize_contract_raises(spark):
         raise AssertionError("expected NotImplementedError surface")
     except Exception as exc:  # Py4J wraps the executor-side error
         assert "NotImplementedError" in str(exc) or "resize" in str(exc)
+
+
+def test_staged_write_publishes_atomically(spark, tmp_path):
+    from etl_scripts_spark.sinks.files import export_tsv, staged_write
+
+    df = spark.range(10).withColumnRenamed("id", "n")
+    dest = str(tmp_path / "out.parquet")
+    assert staged_write(df, dest) == dest
+    assert spark.read.parquet(dest).count() == 10
+    import os
+    assert not [d for d in os.listdir(tmp_path) if "staging" in d]
+    try:
+        staged_write(df, dest)
+        raise AssertionError("expected FileExistsError on republish")
+    except FileExistsError:
+        pass
+    tsv = str(tmp_path / "export.tsv")
+    export_tsv(df, tsv)
+    back = spark.read.options(sep="\t", header=True).csv(tsv)
+    assert back.count() == 10
