@@ -22,7 +22,7 @@ from etl_scripts_spark.expressions import (
     is_valid_barcode,
     split_wf_name,
 )
-from etl_scripts_spark.operators import dedup, lineage, multimodal, similarity, text, windows
+from etl_scripts_spark.operators import dedup, lineage, multimodal, similarity, skew, text, windows
 from etl_scripts_spark.operators.numbering import allocate_sequence, experiment_code, padded_patient_id, run_sample_code
 from etl_scripts_spark.parsers import sidecars
 from etl_scripts_spark.parsers import vcf as vcfmod
@@ -2394,6 +2394,33 @@ def q_user_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "arrival_id",
         "barcode",
         F.concat(F.lit("uploader_"), (F.col("arrival_id") % 7).cast("string")).alias("registered_by"),
+    )
+
+
+@_register(
+    "q_skew_salted_counts",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(floor(value * 100 + 0.5)::BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware two-phase aggregation on a low-cardinality key (few event
+    types → each hot key would funnel through one reducer).  Phase 1 groups
+    by (key, salt) spreading hot keys over 16 reducers; phase 2 combines the
+    16 partials.  Result is identical to a plain groupBy — which is what the
+    oracle asserts."""
+    events = _tp(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    return skew.salted_agg(
+        events.select("event_type", cents.alias("_cents")),
+        ["event_type"],
+        {
+            "n": (F.count("*"), F.sum("n")),
+            "sum_cents": (F.sum("_cents"), F.sum("sum_cents")),
+        },
+        n_salts=16,
     )
 
 

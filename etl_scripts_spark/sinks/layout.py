@@ -1,0 +1,42 @@
+"""100 TB table layout: partitioned + bucketed writes (SURVEY §7.2 step 8).
+
+The partitioning rules the survey derives for the entity model:
+
+  - `files` partitioned by dataset date (ingest day): every maintenance
+    query (checksum backfill, path-info feeding) touches a bounded date
+    range → partition pruning makes them O(day), not O(history);
+  - `samples` bucketed by project: the ubiquitous barcode→sample lookups
+    and the registration pipeline's sample join cluster by project, so
+    bucket-pruned scans + shuffle-free joins between co-bucketed tables;
+  - `events` partitioned by hour for the streaming rollups.
+
+Bucketing requires saveAsTable (bucket metadata lives in the catalog);
+partitionBy works on plain paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_files_by_day(files: DataFrame, dest: str, date_col: str = "ingest_date") -> None:
+    """Partition the path-info table by ingest day (partition pruning for
+    maintenance scans)."""
+    files.write.partitionBy(date_col).mode("error").parquet(dest)
+
+
+def write_samples_bucketed(samples: DataFrame, table: str, n_buckets: int = 64) -> None:
+    """Bucket the samples dimension by project: lookups prune to one bucket,
+    and joins against equally-bucketed tables skip the shuffle entirely."""
+    (
+        samples.write.bucketBy(n_buckets, "project")
+        .sortBy("code")
+        .mode("error")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def with_ingest_date(df: DataFrame, ts_col: str) -> DataFrame:
+    return df.withColumn("ingest_date", F.to_date(F.col(ts_col)))

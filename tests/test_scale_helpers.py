@@ -1,0 +1,71 @@
+"""Tests for the 100 TB-scale helpers: salted aggregation, partitioned /
+bucketed layout, and the cross-table commit manifest."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_scripts_spark.operators.skew import salted_agg
+from etl_scripts_spark.sinks.commit import commit_batch, committed_batches
+from etl_scripts_spark.sinks.layout import with_ingest_date, write_files_by_day
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("k"), (F.col("id") % 100).cast("double").alias("v")
+    )
+    salted = salted_agg(
+        df,
+        ["k"],
+        {
+            "n": (F.count("*"), F.sum("n")),
+            "tot": (F.sum("v"), F.sum("tot")),
+            "mx": (F.max("v"), F.max("mx")),
+        },
+        n_salts=8,
+    )
+    plain = df.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("v").alias("tot"), F.max("v").alias("mx")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (2, "2024-01-02 11:00:00")],
+        "file_id LONG, ts STRING",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    dest = str(tmp_path / "files")
+    write_files_by_day(with_ingest_date(df, "ts"), dest)
+    assert sorted(d for d in os.listdir(dest) if d.startswith("ingest_date=")) == [
+        "ingest_date=2024-01-01",
+        "ingest_date=2024-01-02",
+    ]
+    pruned = spark.read.parquet(dest).filter(F.col("ingest_date") == "2024-01-02")
+    assert pruned.count() == 1
+    # the filter must reach the scan as a partition filter, not a row filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-02" in plan
+
+
+def test_commit_batch_all_or_nothing(spark, tmp_path):
+    root = str(tmp_path / "warehouse")
+    runs = spark.range(5).withColumnRenamed("id", "run_id")
+    ds = spark.range(3).withColumnRenamed("id", "dataset_id")
+    manifest = commit_batch({"runs": runs, "datasets": ds}, root, batch_id="b1")
+    assert os.path.exists(manifest)
+    assert committed_batches(root) == ["b1"]
+    assert spark.read.parquet(os.path.join(root, "runs", "batch=b1")).count() == 5
+
+    # a failing batch publishes nothing: second table name collides on disk
+    class Boom:
+        def __getattr__(self, _):
+            raise RuntimeError("table write failed")
+
+    with pytest.raises(Exception):
+        commit_batch({"runs": runs, "bad": Boom()}, root, batch_id="b2")
+    assert committed_batches(root) == ["b1"]
+    assert not os.path.exists(os.path.join(root, "runs", "batch=b2"))
