@@ -60,12 +60,18 @@ def _user_totals_fn(
 
 
 def stateful_user_totals_available_now(
-    spark: SparkSession, events_parquet: str
+    spark: SparkSession, events_parquet: str, approx_keys: int = 1500
 ) -> DataFrame:
     """Per-user running totals as a custom stateful operator, drained to a
     batch result.  With a single AvailableNow micro-batch the final state
-    equals the batch groupBy — which is what the oracle checks."""
+    equals the batch groupBy — which is what the oracle checks.
+
+    State-store shard count is sized to the user-id cardinality (see
+    :mod:`.tuning`) — the catalog's events table has ~1.5 k distinct users
+    per sf; at production key counts pass the table-statistics estimate.
+    """
     from ..catalog import normalize_events
+    from .tuning import state_shuffle_partitions
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_parquet).schema
@@ -83,14 +89,15 @@ def stateful_user_totals_available_now(
         )
     )
     name = f"etl_stateful_out_{next(_name_counter)}"
-    query = (
-        totals.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with state_shuffle_partitions(spark, approx_keys):
+        query = (
+            totals.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     # update mode may emit a row per micro-batch per key; keep the last.
     out = spark.table(name)
     return out.groupBy("user_id").agg(

@@ -1,0 +1,46 @@
+"""Streaming state-partition sizing.
+
+A stateful streaming operator shards its state store — and spins up one
+Python worker + Arrow channel per shard — according to
+``spark.sql.shuffle.partitions`` *at query start*.  Unlike batch shuffles,
+AQE cannot coalesce these at runtime (AQE is disabled for stateful
+workloads), so the number must be chosen, not defaulted: size it to the
+GROUP-KEY CARDINALITY and per-key state size, not to the input volume.
+
+  - too many shards: fixed per-shard cost (state-store instance, Python
+    worker round-trip, commit) dominates — measured 8.0 s → 2.8 s at sf0.1
+    by going 32 → 8 shards for a 1500-key state;
+  - too few shards: a shard's keys + state must fit one executor's memory,
+    and parallelism caps at the shard count — at 10⁹ keys you want
+    thousands.
+
+Rule of thumb applied here: ``keys / shards`` ≳ 200 so Arrow batching and
+state-store commits amortize, bounded below by 4 for local parallelism.
+The wrappers take ``approx_keys`` from the caller (the catalog knows its
+key spaces; at 100 TB you would take it from table statistics).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import SparkSession
+
+
+def shards_for_keys(approx_keys: int, floor: int = 4, keys_per_shard: int = 200) -> int:
+    return max(floor, min(approx_keys // keys_per_shard, 10_000) or floor)
+
+
+@contextmanager
+def state_shuffle_partitions(spark: SparkSession, approx_keys: int) -> Iterator[int]:
+    """Temporarily pin shuffle partitions to a key-cardinality-sized shard
+    count while a streaming query is *started* (the setting is captured at
+    start; restoring it afterwards does not affect the running query)."""
+    n = shards_for_keys(approx_keys)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -17,14 +17,20 @@ from pyspark.sql import functions as F
 _name_counter = itertools.count()
 
 
-def hourly_counts_available_now(spark: SparkSession, events_parquet: str) -> DataFrame:
+def hourly_counts_available_now(
+    spark: SparkSession, events_parquet: str, approx_keys: int = 4000
+) -> DataFrame:
     """Streaming tumbling-hour rollup over a parquet path, drained to a batch
     result via Trigger.AvailableNow + memory sink.
 
     Uses `window(ts, '1 hour')` — the streaming-native tumbling window whose
     start equals `date_trunc('hour', ts)`, so the batch oracle matches.
+    Aggregation state is keyed by (hour-window × event_type) — a few
+    thousand keys — so the state shard count is sized to that cardinality,
+    not to the event volume (see :mod:`.tuning`).
     """
     from ..catalog import normalize_events
+    from .tuning import state_shuffle_partitions
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_parquet).schema
@@ -40,14 +46,15 @@ def hourly_counts_available_now(spark: SparkSession, events_parquet: str) -> Dat
         )
     )
     name = f"etl_stream_out_{next(_name_counter)}"
-    query = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with state_shuffle_partitions(spark, approx_keys):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH").alias("hour_start"),
         "event_type",

@@ -69,3 +69,15 @@ def test_commit_batch_all_or_nothing(spark, tmp_path):
         commit_batch({"runs": runs, "bad": Boom()}, root, batch_id="b2")
     assert committed_batches(root) == ["b1"]
     assert not os.path.exists(os.path.join(root, "runs", "batch=b2"))
+
+
+def test_state_shard_sizing(spark):
+    from etl_scripts_spark.streaming.tuning import shards_for_keys, state_shuffle_partitions
+
+    assert shards_for_keys(1500) == 7
+    assert shards_for_keys(10) == 4          # floor: local parallelism
+    assert shards_for_keys(10**9) == 10_000  # cap
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with state_shuffle_partitions(spark, 1500) as n:
+        assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
