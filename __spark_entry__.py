@@ -1268,6 +1268,58 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_near_dup_clusters",
+    f"""
+    WITH RECURSIVE sigs AS (
+      SELECT doc_id, {_MH[0]} AS mh0, {_MH[1]} AS mh1, {_MH[2]} AS mh2, {_MH[3]} AS mh3
+      FROM documents
+    ), bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(mh1) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(mh2) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(mh3) FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), sets AS (
+      SELECT doc_id, list_distinct({oracle.shingles_sql('text')}) AS sh FROM documents
+    ), verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN sets a ON a.doc_id = c.id_a JOIN sets b ON b.doc_id = c.id_b
+      WHERE round(len(list_intersect(a.sh, b.sh))
+                  / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 4) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM verified
+      UNION ALL SELECT id_b, id_a FROM verified
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), lp(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, lp.lbl FROM lp, edges e WHERE lp.id = e.src
+    )
+    SELECT id AS doc_id, min(lbl) AS component_id, (min(lbl) = id) AS is_canonical
+    FROM lp GROUP BY id
+    """,
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup dedup decision: MinHash-LSH candidates → exact
+    Jaccard verification (≥0.5, candidates only) → connected components
+    (min-label propagation to fixpoint) → canonical keeper per cluster.
+    The oracle reproduces the clustering with a recursive CTE — label
+    reachability closure + min — so the distributed fixpoint is verified
+    against a declarative definition, not a reimplementation."""
+    docs = _tp(spark, sf_dir, "documents")
+    sigs = dedup.minhash_df(docs, "text", "doc_id", num_hashes=4)
+    bands = dedup.lsh_bands(sigs, "doc_id", num_hashes=4, band_size=1)
+    pairs = dedup.lsh_candidate_pairs(bands, "doc_id").select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
+    )
+    return dedup.near_dup_clusters(pairs, docs, "text", "doc_id", threshold=0.5)
+
+
 _SH_A = oracle.shingles_sql("a.text")
 _SH_B = oracle.shingles_sql("b.text")
 

@@ -33,6 +33,7 @@ HEADLINE = [
     "q_word_count",
     "q_dedup_exact",
     "q_minhash_lsh_pairs",
+    "q_near_dup_clusters",
     "q_simhash",
     "q_token_stats",
     "q_embedding_topk",

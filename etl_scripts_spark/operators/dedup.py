@@ -165,6 +165,95 @@ def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
     )
 
 
+def verified_pairs(
+    pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str,
+    threshold: float, k: int = 3,
+) -> DataFrame:
+    """Filter LSH candidate pairs by true shingle-set Jaccard ≥ threshold.
+
+    The canonical near-dup pipeline stage between banding and clustering:
+    LSH bounds the candidate set (no O(n²)), and the exact verification
+    runs only on candidates.  Shingle sets are materialized once per doc
+    before the two joins, so each text tokenizes once — the joins then
+    carry the (small) distinct-shingle arrays, not re-derived expressions.
+    """
+    staged = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    sets = staged.select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_words(F.col("_w"), k)).alias("_sh"),
+    )
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    return (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .filter(jaccard_from_sets(F.col("_sh_a"), F.col("_sh_b")) >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id, component) — min-id label propagation over an undirected pair
+    graph, iterated to fixpoint.
+
+    Each round every node takes the min label among itself and its
+    neighbors: a join of the label table with the (symmetrized) edge
+    table, then a min-aggregate.  Rounds needed = graph diameter — for
+    near-dup clusters (dense, LSH-bucket-shaped) that is 2-3, so at
+    100 TB this is a handful of skew-free shuffles on uniform id keys.
+    For adversarially long path graphs the alternating large-star /
+    small-star algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") bounds rounds at O(log²n); not needed for the
+    near-dup workload.  Labels are `localCheckpoint`ed per round so the
+    plan stays linear (same device as :mod:`.lineage`); convergence is
+    detected with an any-change anti-probe, not a full diff collect.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = labels.join(edges, labels["id"] == edges["src"]).select(
+            F.col("dst").alias("id"), F.col("lbl")
+        )
+        new_labels = (
+            labels.select("id", "lbl").union(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        improved = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") < F.col("o.lbl"))
+        )
+        labels = new_labels
+        if improved.isEmpty():
+            break
+    return labels.select("id", F.col("lbl").alias("component"))
+
+
+def near_dup_clusters(
+    pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str,
+    threshold: float = 0.5, k: int = 3,
+) -> DataFrame:
+    """End-to-end near-dup clustering: verify candidates → connected
+    components → canonical keeper per cluster.
+
+    Returns (doc_id, component_id, is_canonical) for every doc in a
+    verified pair; the training-data dedup decision is "drop rows where
+    NOT is_canonical".  Docs in no verified pair are implicitly canonical
+    singletons (left out, as they need no decision).
+    """
+    verified = verified_pairs(pairs, docs, text_col, id_col, threshold, k)
+    cc = connected_components(verified)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
+
+
 def ngram_jaccard(df: DataFrame, text_a: str, text_b: str, k: int = 3) -> Column:
     """Jaccard similarity of the two texts' distinct k-word shingle sets.
 

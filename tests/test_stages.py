@@ -111,3 +111,19 @@ def test_staged_write_publishes_atomically(spark, tmp_path):
     export_tsv(df, tsv)
     back = spark.read.options(sep="\t", header=True).csv(tsv)
     assert back.count() == 10
+
+
+def test_connected_components_path_graph(spark):
+    """A 6-node path graph (diameter 5) forces several propagation rounds;
+    plus a disjoint triangle and an isolated pair."""
+    from etl_scripts_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # path: all -> 1
+         (10, 11), (11, 12), (10, 12),             # triangle -> 10
+         (20, 21)],                                # pair -> 20
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
