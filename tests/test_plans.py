@@ -1,0 +1,98 @@
+"""Physical-plan audits — the scale contract, enforced.
+
+Correctness tests say an operator computes the right rows; these say it
+computes them with the plan we would accept on a 1000-executor cluster
+reading 100 TB: filters reach the parquet scan, projections prune the
+read schema, aggregates combine map-side, small dimensions broadcast,
+and no row-at-a-time Python ever appears in a hot path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+#: queries whose plans intentionally contain an Arrow-batched Python stage
+#: (multimodal codec stubs, external-tool wrappers) — Pandas UDFs, never
+#: row-at-a-time BatchEvalPython.
+ARROW_STAGES = {
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_multimodal_image_meta",
+    "q_pdf_metadata",
+    "q_tool_dryrun",
+}
+
+#: brute-force ANN baseline + 1-row-build-side batch marks: the only
+#: accepted nested-loop joins (cross joins by design).
+CROSS_JOINS_BY_DESIGN = {"q_embedding_topk", "q_ivf_topk", "q_timestamped_ids"}
+
+STREAMING = {"q_stream_hourly_rollup", "q_stream_user_totals"}
+
+
+def _plan(spark, name: str, mode: str = "extended") -> str:
+    df = entrymod.queries()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(set(entrymod.queries()) - STREAMING))
+def test_no_row_at_a_time_python(spark, name):
+    """BatchEvalPython (per-row pickling) must never appear; Python stages
+    are Arrow-batched (ArrowEvalPython / MapInPandas) and only in the
+    declared codec/tool wrappers."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+    if name not in ARROW_STAGES:
+        for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan, f"{name} has an undeclared Python stage ({marker})"
+    if name not in CROSS_JOINS_BY_DESIGN:
+        for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert marker not in plan, f"{name} has an undeclared cross join ({marker})"
+
+
+def test_pricing_summary_scan_is_minimal(spark):
+    """TPC-H Q1 shape: predicate pushed to the parquet scan, read schema
+    pruned to the 7 referenced columns, aggregation partial before the
+    single exchange."""
+    plan = _plan(spark, "q_pricing_summary", "formatted")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read_schema = next(l for l in plan.splitlines() if l.startswith("ReadSchema"))
+    assert "l_comment" not in read_schema and len(read_schema.split(",")) == 7
+    assert "partial_sum" in plan, "map-side combine missing"
+    assert plan.count("Exchange") >= 1 and "hashpartitioning(l_returnflag" in plan
+
+
+def test_revenue_join_broadcasts_dimensions(spark):
+    """The customer->nation->region dim chain must broadcast — a shuffle
+    join on a 25-row dimension would shuffle the fact table for nothing."""
+    plan = _plan(spark, "q_revenue_by_nation", "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_pipeline_stays_jvm_side(spark):
+    """The whole dedup pipeline (tokenize, shingle, hash, band, self-join)
+    compiles to JVM expressions — no Python stage anywhere — with the
+    signature aggregation partial (map-side) before its one exchange and
+    the band self-join broadcast (AQE's formatted output hides
+    WholeStageCodegen spans pre-execution, so assert on operators)."""
+    plan = _plan(spark, "q_minhash_lsh_pairs", "formatted")
+    assert "Python" not in plan
+    assert "partial_min" in _plan(spark, "q_minhash_signatures")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_register_fastq_tokenizer_not_inlined(spark):
+    """The fastq pipeline's regex barcode extraction must appear a bounded
+    number of times — expression-inlining regressions multiply it."""
+    plan = _plan(spark, "q_register_fastq")
+    assert plan.count("regexp_extract") < 60
