@@ -23,6 +23,7 @@ from etl_scripts_spark.expressions import (
     split_wf_name,
 )
 from etl_scripts_spark.operators import dedup, lineage, multimodal, similarity, skew, text, windows
+from etl_scripts_spark.operators.asof import asof_join
 from etl_scripts_spark.operators.numbering import allocate_sequence, experiment_code, padded_patient_id, run_sample_code
 from etl_scripts_spark.parsers import sidecars
 from etl_scripts_spark.parsers import vcf as vcfmod
@@ -716,6 +717,29 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same rollup via Structured Streaming (AvailableNow → memory sink)."""
     return hourly_counts_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+@_register(
+    "q_asof_join",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS ts_matched, r.value AS value_matched
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each click → latest preceding purchase per user) via the
+    tagged-union + window carry-forward plan: one shuffle on the key, one
+    sort, linear in rows — no inequality-join explosion.  The oracle is
+    DuckDB's native ASOF LEFT JOIN, so the custom operator is verified
+    against an independent reference implementation."""
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof_join(clicks, purchases, on="ts", by="user_id")
 
 
 # ---------------------------------------------------------------------------

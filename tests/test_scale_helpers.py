@@ -81,3 +81,41 @@ def test_state_shard_sizing(spark):
     with state_shuffle_partitions(spark, 1500) as n:
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(n)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_bucketed_samples_join_skips_shuffle(spark, tmp_path):
+    """samples bucketed by project: a join between two co-bucketed tables
+    must plan with NO Exchange on either side (the 100 TB point of
+    bucketing), and the bucket spec must round-trip through the catalog."""
+    import contextlib
+    import io
+
+    from etl_scripts_spark.catalog import samples_view
+    from etl_scripts_spark.sinks.layout import write_samples_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketed_test LOCATION '{tmp_path}'")
+    try:
+        samples = samples_view(spark.read.parquet("/root/testdata/sf0.001/customer.parquet"))
+        write_samples_bucketed(samples, "bucketed_test.samples_a", n_buckets=8)
+        write_samples_bucketed(samples, "bucketed_test.samples_b", n_buckets=8)
+        desc = spark.sql("DESCRIBE EXTENDED bucketed_test.samples_a").toPandas()
+        meta = dict(zip(desc.col_name, desc.data_type))
+        assert meta.get("Num Buckets") == "8" and "project" in meta.get("Bucket Columns", "")
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = spark.table("bucketed_test.samples_a").groupBy("project").count()
+            b = spark.table("bucketed_test.samples_b").groupBy("project").count()
+            joined = a.join(b, "project")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                joined.explain("formatted")
+            plan = buf.getvalue()
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, "co-bucketed join should not shuffle"
+            assert joined.count() == a.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS bucketed_test CASCADE")

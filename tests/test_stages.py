@@ -127,3 +127,27 @@ def test_connected_components_path_graph(spark):
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive at equal ts; nulls when no preceding right row; a matched
+    row's legitimately-null field must NOT be replaced by an older row's
+    value (struct carry, not per-column carry)."""
+    from etl_scripts_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 5, 102), (2, 50, 103)],
+        "k long, ts long, lid long",
+    ).select("lid", "k", "ts")
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, None), (3, 1, 9.9)],
+        "k long, ts long, v double",
+    )
+    out = {
+        r["lid"]: (r["ts_matched"], r["v_matched"])
+        for r in asof_join(left, right, on="ts", by="k").collect()
+    }
+    assert out[100] == (10, 1.0)      # equal ts matches (inclusive)
+    assert out[101] == (15, None)     # latest row wins; its null v stays null
+    assert out[102] == (None, None)   # nothing precedes ts=5
+    assert out[103] == (None, None)   # key 2 has no right rows at all
