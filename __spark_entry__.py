@@ -1218,6 +1218,67 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_repetition_ratio",
+    f"""
+    SELECT doc_id,
+           round((len({oracle.words_sql('text')}) - len(list_distinct({oracle.words_sql('text')})))
+                 / greatest(len({oracle.words_sql('text')}), 1), 4) AS repetition
+    FROM documents
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signal: fraction of tokens repeating
+    an earlier token (words staged once)."""
+    docs = _tp(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", text.words(F.col("text")).alias("_w"))
+    return staged.select(
+        "doc_id", text.word_repetition_ratio(F.col("_w")).alias("repetition")
+    )
+
+
+#: deterministic PII-bearing derivation — the synthetic corpus contains no
+#: emails/numbers, so the scrub operator is exercised on text extended with
+#: reconstructible PII (same expression in the oracle).
+_PII_TEXT_SQL = (
+    "(text || ' contact user' || doc_id::VARCHAR || '@mail.example or call '"
+    " || lpad((doc_id * 7919)::VARCHAR, 9, '0'))"
+)
+
+
+@_register(
+    "q_pii_scrub",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all({_PII_TEXT_SQL}, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))::BIGINT AS n_emails,
+           len(regexp_extract_all({_PII_TEXT_SQL}, '[0-9]{{7,}}'))::BIGINT AS n_long_numbers,
+           md5(regexp_replace(regexp_replace({_PII_TEXT_SQL},
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+                 '[0-9]{{7,}}', '<NUM>', 'g')) AS masked_hash
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: mask emails + long digit runs, count what was masked.
+    Map-only projection (regexp_replace) — no shuffle at any scale; the
+    masked text is hashed so the oracle compares full content cheaply."""
+    docs = _tp(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example or call "),
+        F.lpad((F.col("doc_id") * 7919).cast("string"), 9, "0"),
+    )
+    staged = docs.select("doc_id", pii_text.alias("_t"))
+    n_emails, n_nums = text.pii_counts(F.col("_t"))
+    return staged.select(
+        "doc_id",
+        n_emails.cast("bigint").alias("n_emails"),
+        n_nums.cast("bigint").alias("n_long_numbers"),
+        F.md5(text.mask_pii(F.col("_t"))).alias("masked_hash"),
+    )
+
+
+@_register(
     "q_simhash",
     "SELECT doc_id, ("
     + " + ".join(

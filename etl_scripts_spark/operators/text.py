@@ -109,6 +109,45 @@ def lang_id(text: Column) -> Column:
     return lang_id_from_tokens(distinct_tokens(text))
 
 
+#: PII patterns (shared dialect subset of Java regex and RE2 so the DuckDB
+#: oracle matches byte-for-byte): emails, and digit runs long enough to be
+#: phone/account numbers.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONG_NUMBER_REGEX = r"[0-9]{7,}"
+
+
+def word_repetition_ratio(toks: Column) -> Column:
+    """Fraction of tokens that repeat an earlier token (Gopher-style
+    repetition quality signal): 1 - distinct/total, 4 decimals.  Pass a
+    materialized token array (see :func:`lang_id_from_tokens` for why)."""
+    n = F.size(toks)
+    return F.round(
+        (n - F.size(F.array_distinct(toks))) / F.greatest(n, F.lit(1)), 4
+    )
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    """(n_emails, n_long_numbers) found in the raw text."""
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_REGEX), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(LONG_NUMBER_REGEX), 0)),
+    )
+
+
+def mask_pii(text: Column) -> Column:
+    """Replace emails with <EMAIL> and long digit runs with <NUM>.
+
+    Email masking runs first so an address's digits are not half-eaten by
+    the number rule.  Pure regexp_replace — at 100 TB this is a map-only
+    projection with no shuffle.
+    """
+    return F.regexp_replace(
+        F.regexp_replace(text, EMAIL_REGEX, "<EMAIL>"),
+        LONG_NUMBER_REGEX,
+        "<NUM>",
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Whole-document fingerprint: md5 of the normalized text."""
     return F.md5(normalize_text(text))
