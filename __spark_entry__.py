@@ -33,7 +33,10 @@ from etl_scripts_spark.reports import core as reports
 from etl_scripts_spark.sinks.merge import merge_upsert
 from etl_scripts_spark.sinks.outbox import build_outbox
 from etl_scripts_spark.operators import external
-from etl_scripts_spark.streaming.stateful import stateful_user_totals_available_now
+from etl_scripts_spark.streaming.stateful import (
+    stateful_first_seen_available_now,
+    stateful_user_totals_available_now,
+)
 from etl_scripts_spark.streaming.windowed import hourly_counts_available_now
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2278,6 +2281,25 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     The single-drain final state equals the batch groupBy, which is exactly
     what the oracle verifies — batch/streaming agreement."""
     return stateful_user_totals_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+@_register(
+    "q_stream_dedup",
+    """
+    SELECT user_id, event_type,
+           (list(event_id ORDER BY ts, event_id))[1] AS first_event_id,
+           min(ts) AS first_ts,
+           count(*) - 1 AS n_duplicates
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-on-ingest as keyed streaming state: first arrival per
+    (user_id, event_type) is registered, later arrivals counted as dropped
+    duplicates — the reference's 'already registered → log & drop'
+    (register-mtb-data-dropbox.py:238-239) with the state store as the
+    registered-set.  The oracle is the batch first-per-group definition."""
+    return stateful_first_seen_available_now(spark, f"{sf_dir}/events.parquet")
 
 
 @_register("q_multimodal_features")  # no oracle: mapInPandas stub embedding

@@ -42,6 +42,7 @@ HEADLINE = [
     "q_ivf_topk",
     "q_stream_hourly_rollup",
     "q_stream_user_totals",
+    "q_stream_dedup",
 ]
 
 

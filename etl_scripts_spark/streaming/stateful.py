@@ -59,6 +59,95 @@ def _user_totals_fn(
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]})
 
 
+FIRST_SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("first_event_id", T.LongType()),
+        T.StructField("first_ts", T.TimestampType()),
+        T.StructField("n_duplicates", T.LongType()),
+    ]
+)
+
+_FIRST_SEEN_STATE = T.StructType(
+    [
+        T.StructField("first_ts_us", T.LongType()),
+        T.StructField("first_event_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def _first_seen_fn(key, pdfs, state: GroupState):
+    """Keep the first arrival per key ((ts, event_id) lexicographic — stable
+    under any micro-batch arrival order), count the rest as duplicates."""
+    import pandas as pd
+
+    first_us, first_id, n = state.get if state.exists else (None, None, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+        ids = pdf["event_id"].to_numpy()
+        i = min(range(len(pdf)), key=lambda j: (us[j], ids[j]))
+        if first_us is None or (int(us[i]), int(ids[i])) < (first_us, first_id):
+            first_us, first_id = int(us[i]), int(ids[i])
+    state.update((first_us, first_id, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "event_type": [key[1]],
+            "first_event_id": [first_id],
+            "first_ts": [pd.Timestamp(first_us, unit="us")],
+            "n_duplicates": [n - 1],
+        }
+    )
+
+
+def stateful_first_seen_available_now(
+    spark: SparkSession, events_parquet: str, approx_keys: int = 7500
+) -> DataFrame:
+    """Dedup-on-ingest as a custom stateful operator: the reference's
+    "already registered → log & drop" semantics (SURVEY §2.8) keyed by
+    (user_id, event_type), keeping the first arrival and counting dropped
+    duplicates.  The state store IS the registered-set; a restart resumes
+    from the checkpoint instead of re-registering."""
+    from ..catalog import normalize_events
+    from .tuning import state_shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_parquet).schema
+    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
+    stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
+    firsts = (
+        stream.select("user_id", "event_type", "event_id", "ts")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _first_seen_fn,
+            outputStructType=FIRST_SEEN_SCHEMA,
+            stateStructType=_FIRST_SEEN_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"etl_stateful_out_{next(_name_counter)}"
+    with state_shuffle_partitions(spark, approx_keys):
+        query = (
+            firsts.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    out = spark.table(name)
+    # update mode may emit per micro-batch; the final state row has max n.
+    return out.groupBy("user_id", "event_type").agg(
+        F.max_by("first_event_id", "n_duplicates").alias("first_event_id"),
+        F.max_by("first_ts", "n_duplicates").alias("first_ts"),
+        F.max("n_duplicates").alias("n_duplicates"),
+    )
+
+
 def stateful_user_totals_available_now(
     spark: SparkSession, events_parquet: str, approx_keys: int = 1500
 ) -> DataFrame:
