@@ -1,0 +1,97 @@
+"""Randomized cross-checks against independent reference implementations.
+
+The oracle suite checks operators on the driver's tables; these checks run
+the custom operators on adversarial random inputs (seeded — reproducible)
+against a second implementation with nothing in common: pandas merge_asof
+for the as-of join, union-find for connected components.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    rng = np.random.default_rng(42)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n_l),
+            "ts": rng.integers(0, 1000, n_l),
+            "lid": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 12, n_r),
+            "ts": rng.integers(0, 1000, n_r),
+            "v": rng.normal(size=n_r).round(3),
+        }
+    )
+    # merge_asof direction='backward' is inclusive, like our operator; it
+    # needs sorted inputs and breaks right-side ts ties by taking the LAST
+    # row — make (k, ts) unique on the right so tie policy can't differ.
+    right = right.drop_duplicates(["k", "ts"], keep="last")
+
+    from etl_scripts_spark.operators.asof import asof_join
+
+    got = (
+        asof_join(
+            spark.createDataFrame(left.astype({"k": "int64", "ts": "int64"})),
+            spark.createDataFrame(right.astype({"k": "int64", "ts": "int64"})),
+            on="ts",
+            by="k",
+        )
+        .select("lid", "ts_matched", "v_matched")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("ts"),
+            right.sort_values("ts"),
+            on="ts",
+            by="k",
+            direction="backward",
+            suffixes=("", "_r"),
+        )
+        .rename(columns={"v": "v_matched"})
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert got["v_matched"].equals(want["v_matched"]), (
+        got[got["v_matched"] != want["v_matched"]].head()
+    )
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 150, (250, 2)) if a != b]
+
+    parent = list(range(150))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    want = {x: find(x) for x in touched}
+    # union-find roots are not guaranteed minimal per component; canonicalize
+    comp_min: dict[int, int] = {}
+    for x, r in want.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want = {x: comp_min[r] for x, r in want.items()}
+
+    from etl_scripts_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == want
