@@ -37,7 +37,10 @@ from etl_scripts_spark.streaming.stateful import (
     stateful_first_seen_available_now,
     stateful_user_totals_available_now,
 )
-from etl_scripts_spark.streaming.windowed import hourly_counts_available_now
+from etl_scripts_spark.streaming.windowed import (
+    hourly_counts_available_now,
+    session_windows_available_now,
+)
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
@@ -720,6 +723,35 @@ def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same rollup via Structured Streaming (AvailableNow → memory sink)."""
     return hourly_counts_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+@_register(
+    "q_stream_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT *, sum(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via the native session_window operator
+    (merging keyed session state + watermark eviction).  NB the gap rule
+    differs from the batch lag-based oracle of q_sessionize: session_window
+    starts a new session at diff >= gap with full µs precision, so the
+    oracle here encodes exactly that — the two formulations are verified
+    to agree on the definition they share."""
+    return session_windows_available_now(spark, f"{sf_dir}/events.parquet")
 
 
 @_register(

@@ -43,6 +43,7 @@ HEADLINE = [
     "q_stream_hourly_rollup",
     "q_stream_user_totals",
     "q_stream_dedup",
+    "q_stream_sessionize",
 ]
 
 

@@ -36,9 +36,17 @@ def shards_for_keys(approx_keys: int, floor: int = 4, keys_per_shard: int = 200)
 def state_shuffle_partitions(spark: SparkSession, approx_keys: int) -> Iterator[int]:
     """Temporarily pin shuffle partitions to a key-cardinality-sized shard
     count while a streaming query is *started* (the setting is captured at
-    start; restoring it afterwards does not affect the running query)."""
-    n = shards_for_keys(approx_keys)
+    start; restoring it afterwards does not affect the running query).
+
+    The count only ever shrinks relative to the session's configured
+    shuffle partitions: the configured value is the deployment's statement
+    of available task slots (local[32] here, thousands on a real cluster),
+    and more shards than slots just adds per-shard fixed cost without
+    parallelism.  Sizing *down* is the win this helper exists for.
+    """
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    configured = int(old) if str(old).isdigit() else 200
+    n = max(4, min(shards_for_keys(approx_keys), configured))
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
         yield n

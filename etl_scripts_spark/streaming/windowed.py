@@ -17,6 +17,61 @@ from pyspark.sql import functions as F
 _name_counter = itertools.count()
 
 
+def session_windows_available_now(
+    spark: SparkSession,
+    events_parquet: str,
+    gap_minutes: int = 30,
+    approx_keys: int = 100_000,
+) -> DataFrame:
+    """Streaming gap-based sessionization via the native session_window
+    operator (merging keyed session state, watermark-driven eviction),
+    drained with Trigger.AvailableNow.
+
+    Returns (user_id, session_start, n_events, span_us).  span is computed
+    in microseconds from the window bounds (end = last event + gap, so
+    span = end - start - gap) — full precision, no truncate-then-diff
+    mismatch with the oracle.  Complete output mode (session windows
+    support append/complete only): one AvailableNow drain emits every
+    session's final state, which the batch gap-sessionization oracle
+    verifies.  A production continuous run would use append mode, where
+    the watermark finalizes (and evicts) closed sessions incrementally.
+    """
+    from ..catalog import normalize_events
+    from .tuning import state_shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_parquet).schema
+    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
+    stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
+    gap = f"{gap_minutes} minutes"
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"etl_stream_out_{next(_name_counter)}"
+    with state_shuffle_partitions(spark, approx_keys):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    gap_us = gap_minutes * 60 * 1_000_000
+    return spark.table(name).select(
+        "user_id",
+        F.col("session_window.start").alias("session_start"),
+        "n_events",
+        (
+            F.unix_micros(F.col("session_window.end"))
+            - F.unix_micros(F.col("session_window.start"))
+            - F.lit(gap_us)
+        ).alias("span_us"),
+    )
+
+
 def hourly_counts_available_now(
     spark: SparkSession, events_parquet: str, approx_keys: int = 4000
 ) -> DataFrame:

@@ -33,7 +33,12 @@ ARROW_STAGES = {
 #: accepted nested-loop joins (cross joins by design).
 CROSS_JOINS_BY_DESIGN = {"q_embedding_topk", "q_ivf_topk", "q_timestamped_ids"}
 
-STREAMING = {"q_stream_hourly_rollup", "q_stream_user_totals", "q_stream_dedup"}
+STREAMING = {
+    "q_stream_hourly_rollup",
+    "q_stream_user_totals",
+    "q_stream_dedup",
+    "q_stream_sessionize",
+}
 
 
 def _plan(spark, name: str, mode: str = "extended") -> str:
