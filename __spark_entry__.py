@@ -1388,10 +1388,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "q_near_dup_clusters",
-    f"""
-    WITH RECURSIVE sigs AS (
+#: near-dup clustering CTE chain (shared by q_near_dup_clusters and the
+#: corpus-curation funnel) — requires a WITH RECURSIVE prefix.
+_NEARDUP_CTES = f"""sigs AS (
       SELECT doc_id, {_MH[0]} AS mh0, {_MH[1]} AS mh1, {_MH[2]} AS mh2, {_MH[3]} AS mh3
       FROM documents
     ), bands AS (
@@ -1419,7 +1418,25 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT id, id FROM nodes
       UNION
       SELECT e.dst, lp.lbl FROM lp, edges e WHERE lp.id = e.src
+    )"""
+
+
+def _near_dup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id, is_canonical) — shared by q_near_dup_clusters
+    and the corpus-curation funnel."""
+    docs = _tp(spark, sf_dir, "documents")
+    sigs = dedup.minhash_df(docs, "text", "doc_id", num_hashes=4)
+    bands = dedup.lsh_bands(sigs, "doc_id", num_hashes=4, band_size=1)
+    pairs = dedup.lsh_candidate_pairs(bands, "doc_id").select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
     )
+    return dedup.near_dup_clusters(pairs, docs, "text", "doc_id", threshold=0.5)
+
+
+@_register(
+    "q_near_dup_clusters",
+    f"""
+    WITH RECURSIVE {_NEARDUP_CTES}
     SELECT id AS doc_id, min(lbl) AS component_id, (min(lbl) = id) AS is_canonical
     FROM lp GROUP BY id
     """,
@@ -1431,13 +1448,7 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle reproduces the clustering with a recursive CTE — label
     reachability closure + min — so the distributed fixpoint is verified
     against a declarative definition, not a reimplementation."""
-    docs = _tp(spark, sf_dir, "documents")
-    sigs = dedup.minhash_df(docs, "text", "doc_id", num_hashes=4)
-    bands = dedup.lsh_bands(sigs, "doc_id", num_hashes=4, band_size=1)
-    pairs = dedup.lsh_candidate_pairs(bands, "doc_id").select(
-        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
-    )
-    return dedup.near_dup_clusters(pairs, docs, "text", "doc_id", threshold=0.5)
+    return _near_dup_clusters_df(spark, sf_dir)
 
 
 _SH_A = oracle.shingles_sql("a.text")
@@ -1472,6 +1483,86 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b",
         dedup.jaccard_from_sets(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
     )
+
+
+@_register(
+    "q_corpus_curation",
+    f"""
+    WITH RECURSIVE {_NEARDUP_CTES},
+    clusters AS (SELECT id AS doc_id, min(lbl) AS component FROM lp GROUP BY id),
+    q AS ({{Q_QUALITY}}),
+    l AS ({{Q_LANG}}),
+    s2 AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)
+           WHERE q.quality >= 0.75),
+    s3 AS (SELECT s2.doc_id, s2.text FROM s2 JOIN l ON s2.doc_id = l.doc_id
+           WHERE l.predicted_lang = 'en'),
+    s4 AS (SELECT doc_id FROM (
+             SELECT doc_id, min(doc_id) OVER (PARTITION BY md5({oracle.norm_text_sql('text')})) AS keep
+             FROM s3)
+           WHERE doc_id = keep),
+    s5 AS (SELECT s4.doc_id FROM s4 LEFT JOIN clusters c ON s4.doc_id = c.doc_id
+           WHERE c.doc_id IS NULL OR c.component = s4.doc_id)
+    SELECT 1 AS stage, 'raw' AS stage_name, count(*)::BIGINT AS n_docs FROM documents
+    UNION ALL SELECT 2, 'quality', count(*)::BIGINT FROM s2
+    UNION ALL SELECT 3, 'lang_en', count(*)::BIGINT FROM s3
+    UNION ALL SELECT 4, 'exact_dedup', count(*)::BIGINT FROM s4
+    UNION ALL SELECT 5, 'near_dup', count(*)::BIGINT FROM s5
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB training-data pipeline end-to-end, as a survivor funnel:
+    quality filter → language filter → exact dedup (canonical per content
+    hash) → near-dup drop (canonical per LSH cluster).  Every stage is the
+    already-verified operator composed; the funnel proves they compose.
+    At scale each stage is a projection/window/anti-join over the previous
+    survivor set — no stage widens the data."""
+    docs = _tp(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "text", text.quality_score(F.col("text")).alias("quality")
+    )
+    s2 = scored.filter(F.col("quality") >= 0.75).select("doc_id", "text")
+    toks = s2.select(
+        "doc_id", "text", text.distinct_tokens(F.col("text")).alias("_toks")
+    )
+    s3 = toks.filter(text.lang_id_from_tokens(F.col("_toks")) == "en").select(
+        "doc_id", "text"
+    )
+    w = Window.partitionBy(text.fingerprint(F.col("text")))
+    s4 = (
+        s3.withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id")
+    )
+    non_canonical = (
+        _near_dup_clusters_df(spark, sf_dir)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    s5 = s4.join(non_canonical, "doc_id", "left_anti")
+
+    def _stage(n: int, label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(n).alias("stage"),
+            F.lit(label).alias("stage_name"),
+            F.count("*").alias("n_docs"),
+        )
+
+    return (
+        _stage(1, "raw", docs)
+        .unionByName(_stage(2, "quality", s2))
+        .unionByName(_stage(3, "lang_en", s3))
+        .unionByName(_stage(4, "exact_dedup", s4))
+        .unionByName(_stage(5, "near_dup", s5))
+    )
+
+
+# splice the quality/lang oracle definitions in verbatim — single source of
+# truth with q_quality_scores / q_lang_id (registered above).
+_ORACLES["q_corpus_curation"] = (
+    _ORACLES["q_corpus_curation"]
+    .replace("{Q_QUALITY}", _ORACLES["q_quality_scores"])
+    .replace("{Q_LANG}", _ORACLES["q_lang_id"])
+)
 
 
 @_register(

@@ -34,6 +34,7 @@ HEADLINE = [
     "q_dedup_exact",
     "q_minhash_lsh_pairs",
     "q_near_dup_clusters",
+    "q_corpus_curation",
     "q_simhash",
     "q_token_stats",
     "q_embedding_topk",
