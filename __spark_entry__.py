@@ -1514,45 +1514,48 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filter → language filter → exact dedup (canonical per content
     hash) → near-dup drop (canonical per LSH cluster).  Every stage is the
     already-verified operator composed; the funnel proves they compose.
-    At scale each stage is a projection/window/anti-join over the previous
-    survivor set — no stage widens the data."""
+    Single-pass: every stage becomes a boolean flag column over ONE scan
+    (quality, language, window-min exact-dedup keeper conditioned on the
+    upstream flags, near-dup canonical via one broadcast anti-flag join),
+    then one aggregate + stack unpivots the five counts.  A naive
+    count-per-stage would re-run each stage's upstream — 5 jobs with
+    cumulative recompute (measured 13.3 s → ~7 s at sf0.1)."""
     docs = _tp(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id", "text", text.quality_score(F.col("text")).alias("quality")
+    staged = docs.select(
+        "doc_id",
+        (text.quality_score(F.col("text")) >= 0.75).alias("p2"),
+        text.distinct_tokens(F.col("text")).alias("_toks"),
+        text.fingerprint(F.col("text")).alias("_fp"),
     )
-    s2 = scored.filter(F.col("quality") >= 0.75).select("doc_id", "text")
-    toks = s2.select(
-        "doc_id", "text", text.distinct_tokens(F.col("text")).alias("_toks")
+    flagged = staged.select(
+        "doc_id",
+        "p2",
+        "_fp",
+        (F.col("p2") & (text.lang_id_from_tokens(F.col("_toks")) == "en")).alias("p3"),
     )
-    s3 = toks.filter(text.lang_id_from_tokens(F.col("_toks")) == "en").select(
-        "doc_id", "text"
-    )
-    w = Window.partitionBy(text.fingerprint(F.col("text")))
-    s4 = (
-        s3.withColumn("_keep", F.min("doc_id").over(w))
-        .filter(F.col("doc_id") == F.col("_keep"))
-        .select("doc_id")
+    w = Window.partitionBy("_fp")
+    flagged = flagged.withColumn(
+        "p4",
+        F.col("p3")
+        & (F.min(F.when(F.col("p3"), F.col("doc_id"))).over(w) == F.col("doc_id")),
     )
     non_canonical = (
         _near_dup_clusters_df(spark, sf_dir)
         .filter(~F.col("is_canonical"))
-        .select("doc_id")
+        .select("doc_id", F.lit(True).alias("_nc"))
     )
-    s5 = s4.join(non_canonical, "doc_id", "left_anti")
-
-    def _stage(n: int, label: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(n).alias("stage"),
-            F.lit(label).alias("stage_name"),
-            F.count("*").alias("n_docs"),
+    flagged = flagged.join(F.broadcast(non_canonical), "doc_id", "left").withColumn(
+        "p5", F.col("p4") & F.col("_nc").isNull()
+    )
+    counts = flagged.agg(
+        F.count("*").alias("c1"),
+        *[F.sum(F.col(f"p{i}").cast("long")).alias(f"c{i}") for i in (2, 3, 4, 5)],
+    )
+    return counts.select(
+        F.expr(
+            "stack(5, 1, 'raw', c1, 2, 'quality', c2, 3, 'lang_en', c3,"
+            " 4, 'exact_dedup', c4, 5, 'near_dup', c5) AS (stage, stage_name, n_docs)"
         )
-
-    return (
-        _stage(1, "raw", docs)
-        .unionByName(_stage(2, "quality", s2))
-        .unionByName(_stage(3, "lang_en", s3))
-        .unionByName(_stage(4, "exact_dedup", s4))
-        .unionByName(_stage(5, "near_dup", s5))
     )
 
 
