@@ -74,7 +74,7 @@ def test_commit_batch_all_or_nothing(spark, tmp_path):
 def test_state_shard_sizing(spark):
     from etl_scripts_spark.streaming.tuning import shards_for_keys, state_shuffle_partitions
 
-    assert shards_for_keys(1500) == 7
+    assert shards_for_keys(7500) == 18
     assert shards_for_keys(10) == 4          # floor: local parallelism
     assert shards_for_keys(10**9) == 10_000  # cap
     before = spark.conf.get("spark.sql.shuffle.partitions")
