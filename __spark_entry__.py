@@ -22,7 +22,7 @@ from etl_scripts_spark.expressions import (
     is_valid_barcode,
     split_wf_name,
 )
-from etl_scripts_spark.operators import dedup, lineage, multimodal, similarity, skew, text, windows
+from etl_scripts_spark.operators import dedup, lineage, multimodal, sampling, similarity, skew, text, windows
 from etl_scripts_spark.operators.asof import asof_join
 from etl_scripts_spark.operators.numbering import allocate_sequence, experiment_code, padded_patient_id, run_sample_code
 from etl_scripts_spark.parsers import sidecars
@@ -1556,6 +1556,67 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(5, 1, 'raw', c1, 2, 'quality', c2, 3, 'lang_en', c3,"
             " 4, 'exact_dedup', c4, 5, 'near_dup', c5) AS (stage, stage_name, n_docs)"
         )
+    )
+
+
+@_register(
+    "q_train_val_split",
+    """
+    SELECT CASE WHEN ('0x' || substring(md5('split-v1|' || doc_id::VARCHAR), 1, 6))::BIGINT % 100 < 90
+                THEN 'train' ELSE 'val' END AS split,
+           count(*) AS n_docs,
+           sum(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
+    FROM documents GROUP BY 1
+    """,
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash train/val split (90/10): a pure projection
+    — no shuffle, stable under re-runs and backfills, independent splits
+    per salt.  Aggregated to per-split doc/token counts for verification."""
+    docs = _tp(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            sampling.split_assign(F.col("doc_id")).alias("split"),
+            text.whitespace_token_count(F.col("text")).alias("_toks"),
+        )
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("_toks").alias("n_tokens"))
+    )
+
+
+@_register(
+    "q_sequence_packing",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 16 AS shard,
+             len(string_split(trim(text), ' ')) AS toks
+      FROM documents
+    ), c AS (
+      SELECT *, sum(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT shard, ((cum - toks) // 2048)::BIGINT AS chunk_id,
+           count(*) AS n_docs, sum(toks)::BIGINT AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY shard, chunk_id
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk, 2048-token budget) within hash
+    shards: a global greedy pack would serialize everything behind one
+    cumulative sum, so packing runs per shard — parallel, deterministic,
+    one shuffle.  Output is per-chunk occupancy for verification."""
+    docs = _tp(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", text.whitespace_token_count(F.col("text")).alias("_toks")
+    )
+    packed = sampling.pack_chunks(staged, "doc_id", "_toks", budget=2048, n_shards=16)
+    return packed.groupBy("shard", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_toks").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )
 
 
