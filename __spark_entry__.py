@@ -275,6 +275,29 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_price_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(quantile_cont(l_discount, 0.5), 4) AS median_discount
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`).  At 100 TB the approximate path is
+    percentile_approx (t-digest, mergeable partials) — the exact form is
+    kept where the oracle needs bit-equality."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.expr("percentile(l_discount, 0.5)"), 4).alias("median_discount"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins (SURVEY §2.4)
 # ---------------------------------------------------------------------------
