@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..expressions import extract_barcode, is_valid_barcode, project_of
+from ..expressions import extract_barcode, is_valid_barcode
 from ..operators.numbering import experiment_code, run_sample_code
 
 
