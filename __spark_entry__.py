@@ -2623,6 +2623,53 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
 
 
+@_register(
+    "q_ivf_recall",
+    """
+    WITH ivf AS ({Q_IVF}), brute AS ({Q_BRUTE}),
+    matched AS (
+      SELECT i.query_id, count(*) AS m
+      FROM ivf i JOIN brute b
+        ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+      GROUP BY i.query_id
+    )
+    SELECT q.query_id, round(coalesce(m, 0) / 5.0, 4) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN matched ON q.query_id = matched.query_id
+    """,
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@5 of the IVF scale path against the
+    brute-force ground truth, per query.  This is the number an operator
+    owner tunes nprobe/n_centroids against; both sides are the verified
+    operators, so the oracle splices their SQL definitions verbatim."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    ivf = similarity.ivf_topk(emb, queries, n_centroids=16, nprobe=4, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    brute = similarity.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    matched = ivf.join(brute, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("m")
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("m"), F.lit(0)) / 5.0, 4).alias("recall_at_5"),
+        )
+    )
+
+
+_ORACLES["q_ivf_recall"] = (
+    _ORACLES["q_ivf_recall"]
+    .replace("{Q_IVF}", _ORACLES["q_ivf_topk"])
+    .replace("{Q_BRUTE}", _ORACLES["q_embedding_topk"])
+)
+
+
 @_register("q_pdf_metadata")  # no oracle: pdftotext stub, rows-only check
 def q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: PDF metadata scrape (order number + per-barcode RIN map) via the
