@@ -45,6 +45,9 @@ HEADLINE = [
     "q_stream_user_totals",
     "q_stream_dedup",
     "q_stream_sessionize",
+    "q_asof_join",
+    "q_sequence_packing",
+    "q_ivf_recall",
 ]
 
 

@@ -31,7 +31,12 @@ ARROW_STAGES = {
 
 #: brute-force ANN baseline + 1-row-build-side batch marks: the only
 #: accepted nested-loop joins (cross joins by design).
-CROSS_JOINS_BY_DESIGN = {"q_embedding_topk", "q_ivf_topk", "q_timestamped_ids"}
+CROSS_JOINS_BY_DESIGN = {
+    "q_embedding_topk",
+    "q_ivf_topk",
+    "q_ivf_recall",  # composes the brute-force ground truth above
+    "q_timestamped_ids",
+}
 
 STREAMING = {
     "q_stream_hourly_rollup",
