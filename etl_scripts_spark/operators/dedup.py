@@ -191,7 +191,7 @@ def verified_pairs(
     )
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """(id, component) — min-id label propagation over an undirected pair
     graph, iterated to fixpoint.
 
@@ -214,6 +214,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         nbr = labels.join(edges, labels["id"] == edges["src"]).select(
             F.col("dst").alias("id"), F.col("lbl")
@@ -229,8 +230,75 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         )
         labels = new_labels
         if improved.isEmpty():
+            converged = True
             break
+    if not converged:
+        # Stopping early would RETURN WRONG LABELS (a component would stay
+        # split) — refuse instead and point at the round-bounded algorithm.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds the cap); use connected_components_star, "
+            "which converges in O(log^2 n) rounds regardless of shape"
+        )
     return labels.select("id", F.col("lbl").alias("component"))
+
+
+def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
+    """(id, component) via the alternating large-star / small-star algorithm
+    (Kiveris et al., "Connected Components in MapReduce and Beyond").
+
+    Label propagation (:func:`connected_components`) needs diameter rounds —
+    fine for dense near-dup clusters, pathological for chain-shaped graphs.
+    The star algorithm converges in O(log² n) rounds regardless of shape:
+
+      - edges are kept canonical (u > v);
+      - large-star hangs every neighbor LARGER than u onto u's overall min
+        (computed over the symmetrized neighborhood — a groupBy + join, no
+        per-node adjacency list is ever materialized, so high-degree nodes
+        shuffle but never collect);
+      - small-star re-hangs the smaller neighbors (and u itself) onto the
+        min of the smaller neighborhood.
+
+    At fixpoint every node's unique out-edge points at its component
+    minimum.  Equivalence with label propagation and union-find is covered
+    by tests/test_reference_impls.py.
+    """
+    E = pairs.select(
+        F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+
+    def small_star(e: DataFrame) -> DataFrame:
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e.join(mins, "u")
+        rehung = joined.filter(F.col("v") != F.col("m")).select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        self_edge = mins.select("u", F.col("m").alias("v"))
+        return rehung.union(self_edge).distinct()
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new_e = small_star(large_star(E)).localCheckpoint(eager=True)
+        changed = new_e.exceptAll(E)
+        old_e, E = E, new_e
+        if changed.isEmpty() and E.exceptAll(old_e).isEmpty():
+            break
+    roots = E.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    members = E.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return members.unionByName(roots).distinct()
 
 
 def near_dup_clusters(

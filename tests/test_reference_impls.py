@@ -95,3 +95,35 @@ def test_connected_components_matches_union_find(spark):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == want
+
+
+def test_star_cc_matches_label_propagation_and_union_find(spark):
+    """The alternating star algorithm must agree with both the label-
+    propagation implementation and union-find, on a chain (worst case for
+    label propagation), a clique, and random graphs."""
+    from etl_scripts_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        [(i, i + 1) for i in range(30)],                      # 31-node chain
+        [(a, b) for a in range(5) for b in range(a)],          # clique
+    ]
+    rng = np.random.default_rng(11)
+    for seed in range(3):
+        edges = [
+            (int(a), int(b))
+            for a, b in np.random.default_rng(seed).integers(0, 60, (80, 2))
+            if a != b
+        ]
+        cases.append(edges)
+
+    for edges in cases:
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        lp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+        star = {
+            r["id"]: r["component"]
+            for r in connected_components_star(pairs).collect()
+        }
+        assert star == lp, f"divergence on {edges[:5]}..."
