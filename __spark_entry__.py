@@ -445,6 +445,37 @@ def q_parent_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_graph_components",
+    oracle.with_entities_recursive(
+        """edges AS (
+      SELECT child_code AS src, parent_code AS dst FROM sample_parents
+      UNION ALL SELECT parent_code, child_code FROM sample_parents
+    ), nodes AS (SELECT DISTINCT src AS id FROM edges),
+    lp(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, lp.lbl FROM lp, edges e WHERE lp.id = e.src
+    )""",
+        "SELECT id, min(lbl) AS component FROM lp GROUP BY id",
+    ),
+)
+def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the sample-parent graph via the alternating
+    large-star/small-star algorithm (O(log²n) rounds independent of graph
+    shape — this graph's region trees are exactly the long-ish shape where
+    per-hop label propagation pays diameter rounds).  Oracle: recursive-CTE
+    reachability closure + min, a declarative definition of the same
+    components."""
+    edges = catalog.sample_parent_edges(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation")
+    )
+    pairs = edges.select(
+        F.col("child_code").alias("id_a"), F.col("parent_code").alias("id_b")
+    )
+    return dedup.connected_components_star(pairs)
+
+
+@_register(
     "q_lineage_roots",
     oracle.with_entities_recursive(
         """
