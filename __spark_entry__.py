@@ -1389,6 +1389,71 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_simhash_pairs",
+    "WITH sig AS ("
+    + "SELECT doc_id, ("
+    + " + ".join(
+        f"(CASE WHEN list_sum(list_transform(list_distinct({_W}),"
+        f" t -> CASE WHEN substring(md5(t), {j + 1}, 1) IN ('1','3','5','7','9','b','d','f')"
+        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(16)
+    )
+    + ")::BIGINT AS simhash FROM documents"
+    + """
+    ), bands AS (
+      SELECT doc_id, simhash, simhash % 256 AS b0, simhash // 256 AS b1 FROM sig
+    ), cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+      FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole banding (two 8-bit halves — any
+    pair within hamming distance 1 shares at least one half exactly) bounds
+    the candidate set, then bit_count(xor) verifies.  The same
+    band-then-verify shape as MinHash-LSH, on a 16-bit signature."""
+    staged = _tp(spark, sf_dir, "documents").select(
+        "doc_id", text.distinct_tokens(F.col("text")).alias("_toks")
+    )
+    sig = staged.select(
+        "doc_id", text.simhash16_from_tokens(F.col("_toks")).cast("bigint").alias("simhash")
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        (F.col("simhash") % 256).alias("b0"),
+        F.floor(F.col("simhash") / 256).alias("b1"),
+    ).persist()
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"),
+        F.col("b0").alias("a0"), F.col("b1").alias("a1"),
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"),
+        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
+    )
+    cand = (
+        a.join(b, (F.col("a0") == F.col("c0")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "sa", "sb")
+        .union(
+            a.join(b, (F.col("a1") == F.col("c1")) & (F.col("id_a") < F.col("id_b")))
+            .select("id_a", "id_b", "sa", "sb")
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(ham <= 1).select(
+        "id_a", "id_b", ham.cast("bigint").alias("hamming")
+    )
+
+
+@_register(
     "q_dedup_exact",
     f"""
     SELECT md5({oracle.norm_text_sql('text')}) AS content_hash,
