@@ -48,6 +48,8 @@ HEADLINE = [
     "q_asof_join",
     "q_sequence_packing",
     "q_ivf_recall",
+    "q_simhash_pairs",
+    "q_graph_components",
 ]
 
 

@@ -40,3 +40,24 @@ def write_samples_bucketed(samples: DataFrame, table: str, n_buckets: int = 64) 
 
 def with_ingest_date(df: DataFrame, ts_col: str) -> DataFrame:
     return df.withColumn("ingest_date", F.to_date(F.col(ts_col)))
+
+
+def compact(df: DataFrame, dest: str, target_rows_per_file: int) -> None:
+    """Rewrite a table with bounded file sizes — the small-files antidote.
+
+    Dropbox-style ingestion produces one tiny file batch per arrival; after
+    a year a day-partition holds thousands of KB-sized files and every scan
+    pays per-file open/footer cost.  Compaction = read → repartition to
+    ceil(rows/target) → write with maxRecordsPerFile as the hard upper
+    bound (repartition spreads rows evenly; the option caps any residual
+    skew).  Run per partition (e.g. yesterday's ingest day), never on the
+    whole table.
+    """
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    (
+        df.repartition(n_files)
+        .write.option("maxRecordsPerFile", target_rows_per_file)
+        .mode("error")
+        .parquet(dest)
+    )

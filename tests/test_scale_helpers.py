@@ -119,3 +119,19 @@ def test_bucketed_samples_join_skips_shuffle(spark, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
         spark.sql("DROP DATABASE IF EXISTS bucketed_test CASCADE")
+
+
+def test_compact_bounds_file_count_and_size(spark, tmp_path):
+    """Compaction of a fragmented (64-partition) tiny table must produce
+    ceil(rows/target) files, each within the record cap."""
+    import glob
+
+    from etl_scripts_spark.sinks.layout import compact
+
+    frag = spark.range(1000).repartition(64)
+    dest = str(tmp_path / "compacted")
+    compact(frag, dest, target_rows_per_file=400)
+    files = glob.glob(f"{dest}/part-*.parquet")
+    assert len(files) == 3  # ceil(1000/400)
+    sizes = [spark.read.parquet(f).count() for f in files]
+    assert sum(sizes) == 1000 and max(sizes) <= 400
