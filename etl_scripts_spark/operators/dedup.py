@@ -288,12 +288,27 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame
             .distinct()
         )
 
+    def fingerprint(e: DataFrame) -> tuple:
+        # order-insensitive set fingerprint: one tiny aggregate instead of
+        # two exceptAll probes per round.  bit_xor never overflows (unlike
+        # a hash SUM under ANSI mode) and is order-insensitive; a
+        # (count, xor) collision between consecutive DIFFERENT edge sets
+        # would stop a round early (~2^-64 for random xxhash64 values) —
+        # accepted for halving the per-round job count.
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    fp = fingerprint(E)
     for _ in range(max_iter):
         new_e = small_star(large_star(E)).localCheckpoint(eager=True)
-        changed = new_e.exceptAll(E)
-        old_e, E = E, new_e
-        if changed.isEmpty() and E.exceptAll(old_e).isEmpty():
+        new_fp = fingerprint(new_e)
+        E = new_e
+        if new_fp == fp:
             break
+        fp = new_fp
     roots = E.select(F.col("v").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
