@@ -50,6 +50,37 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+def _kind(series: pd.Series) -> str:
+    """Coarse type fingerprint for hash-compatibility: the driver hashes
+    serialized values, so Decimal-vs-int or float-vs-int skew (e.g. DuckDB
+    HUGEINT from sum(BIGINT)) breaks the hash even when values compare equal.
+    Buckets: i=integer, f=float, b=bool, s=string, t=datetime, o=other."""
+    k = series.dtype.kind
+    if k in ("i", "u"):
+        return "i"
+    if k == "f":
+        return "f"
+    if k == "b":
+        return "b"
+    if k == "M":
+        return "t"
+    for v in series:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            return "b"
+        if isinstance(v, int):
+            return "i"
+        if isinstance(v, float):
+            if math.isnan(v):
+                continue
+            return "f"
+        if isinstance(v, str):
+            return "s"
+        return type(v).__name__
+    return "?"
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     """Returns list of mismatch descriptions (empty = match)."""
     problems: list[str] = []
@@ -64,6 +95,12 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
     a = normalize(spark_pdf)
     b = normalize(oracle_pdf)
     for col in a.columns:
+        ka, kb = _kind(spark_pdf[col]), _kind(oracle_pdf[col])
+        if "?" not in (ka, kb) and ka != kb:
+            problems.append(
+                f"column {col!r}: type kind differs (hash-unsafe): spark={ka} oracle={kb} "
+                f"(spark dtype={spark_pdf[col].dtype}, oracle dtype={oracle_pdf[col].dtype})"
+            )
         av, bv = a[col].tolist(), b[col].tolist()
         bad = [
             (i, x, y) for i, (x, y) in enumerate(zip(av, bv)) if not values_equal(x, y)
