@@ -1424,12 +1424,14 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = staged.select(
         "doc_id", text.simhash16_from_tokens(F.col("_toks")).cast("bigint").alias("simhash")
     )
+    # localCheckpoint, not persist(): computed once for the two band joins,
+    # blocks freed on GC instead of leaking a pinned cache per invocation.
     bands = sig.select(
         "doc_id",
         "simhash",
         (F.col("simhash") % 256).alias("b0"),
         F.floor(F.col("simhash") / 256).alias("b1"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     a = bands.select(
         F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"),
         F.col("b0").alias("a0"), F.col("b1").alias("a1"),

@@ -26,6 +26,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """True if a column of this type can appear in a window ORDER BY."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -63,9 +75,19 @@ def asof_join(
         ),
         allowMissingColumns=False,
     )
+    # Deterministic tie handling: multiple right rows tied on (by, on) would
+    # otherwise carry an arbitrary payload.  When the payload struct is
+    # orderable (no map fields), it becomes the final tiebreak — the
+    # greatest payload wins, reproducibly.  With unorderable payloads the
+    # tie contract is unspecified (documented here, not silently random-ish:
+    # within one execution the window sort is stable per partition, but
+    # reruns may differ).
+    order_cols = [F.col(on).asc(), F.col("_side").asc()]
+    if _orderable(tagged_right.schema["_rpay_s"].dataType):
+        order_cols.append(F.col("_rpay_s").asc())
     w = (
         Window.partitionBy(*( [by] if by else [] ))
-        .orderBy(F.col(on).asc(), F.col("_side").asc())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("_match", F.last("_rpay_s", ignorenulls=True).over(w))

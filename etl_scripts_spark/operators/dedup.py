@@ -142,11 +142,13 @@ def lsh_candidate_pairs(band_df: DataFrame, id_col: str) -> DataFrame:
 
     The equi-join on (band_id, band_hash) is the scale path: bucket keys are
     md5-uniform so the shuffle has no skew, and each bucket is tiny.  The
-    band assignment is persisted before the self-join — Spark plans the two
-    sides independently and would otherwise recompute the whole signature
-    pipeline twice.
+    band assignment is materialized once (localCheckpoint) before the
+    self-join — Spark plans the two sides independently and would otherwise
+    recompute the whole signature pipeline twice.  localCheckpoint rather
+    than persist(): the blocks are freed when the frame is GC'd instead of
+    pinning the CacheManager until an unpersist nobody owns.
     """
-    band_df = band_df.persist()
+    band_df = band_df.localCheckpoint(eager=True)
     a = band_df.select(
         F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a")
     )
@@ -302,13 +304,21 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame
         return (row["n"], row["h"])
 
     fp = fingerprint(E)
+    converged = False
     for _ in range(max_iter):
         new_e = small_star(large_star(E)).localCheckpoint(eager=True)
         new_fp = fingerprint(new_e)
         E = new_e
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds; "
+            "returning labels from an unconverged edge set would silently split "
+            "components — raise max_iter (O(log^2 n) rounds expected)"
+        )
     roots = E.select(F.col("v").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )

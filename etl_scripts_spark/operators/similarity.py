@@ -150,6 +150,61 @@ def srp_near_dup_pairs(
     )
 
 
+def centroids_row(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One broadcast row holding every centroid as struct(cid, cv, cn),
+    cid-sorted.  Deterministic training-free quantizer: the first
+    `n_centroids` vectors by id are the centroids."""
+    return F.broadcast(
+        corpus.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.struct(
+                F.col(id_col).cast("long").alias("cid"),
+                F.col(vec_col).cast("array<double>").alias("cv"),
+                l2_norm(F.col(vec_col)).alias("cn"),
+            ).alias("_c")
+        )
+        .agg(F.array_sort(F.collect_list("_c")).alias("_cents"))
+    )
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid) nearest-centroid assignment, map-side (no corpus shuffle).
+
+    array_max over struct(cos, -cid) picks the highest cosine and, on ties,
+    the lowest centroid id.  `_v`/`_nrm` are materialized columns, so the HOF
+    lambda references them once per element — no expression re-inlining.
+    The only exchange in this plan is the BroadcastExchange of the 1-row
+    centroid array (asserted in tests/test_plans.py).
+    """
+    staged = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
+    )
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (dot(F.col("_v"), c["cv"]) / (F.col("_nrm") * c["cn"])).alias("cos"),
+            (-c["cid"]).alias("negcid"),
+        ),
+    )
+    return (
+        staged.join(centroids_row(corpus, n_centroids, id_col, vec_col))
+        .withColumn("_best", F.array_max(scored))
+        .select(id_col, (-F.col("_best")["negcid"]).alias("cid"), "_v", "_nrm")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -175,36 +230,36 @@ def ivf_topk(
     Ties (equal cosine) break on the lower centroid/neighbor id in both the
     assignment and the ranking, so results are exactly reproducible.
     """
-    cent = F.broadcast(
-        corpus.filter(F.col(id_col) < n_centroids).select(
-            F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv")
-        )
-    )
+    cent_row = centroids_row(corpus, n_centroids, id_col, vec_col)
 
-    def best_cells(df: DataFrame, out_id: str, rank_cap: int) -> DataFrame:
-        scored = df.join(cent).withColumn(
+    def probe_cells(df: DataFrame, out_id: str, rank_cap: int) -> DataFrame:
+        """Top-`rank_cap` cells per row — window ranking on the (tiny) query
+        side only; the corpus side uses assign_cells_mapside."""
+        scored = df.join(cent_row).select(
+            out_id,
+            "_v",
+            "_nrm",
+            F.explode("_cents").alias("_c"),
+        ).withColumn(
             "_ccos",
-            dot(F.col("_v"), F.col("_cv")) / (F.col("_nrm") * l2_norm(F.col("_cv"))),
+            dot(F.col("_v"), F.col("_c")["cv"]) / (F.col("_nrm") * F.col("_c")["cn"]),
         )
-        w = Window.partitionBy(out_id).orderBy(F.desc("_ccos"), F.asc("cid"))
+        w = Window.partitionBy(out_id).orderBy(F.desc("_ccos"), F.asc(F.col("_c")["cid"]))
         return (
             scored.withColumn("_crank", F.row_number().over(w))
             .filter(F.col("_crank") <= rank_cap)
-            .select(out_id, "cid", "_v", "_nrm")
+            .select(out_id, F.col("_c")["cid"].alias("cid"), "_v", "_nrm")
         )
 
-    staged_c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-        l2_norm(F.col(vec_col)).alias("_nrm"),
-    )
     staged_q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         l2_norm(F.col(vec_col)).alias("_nrm"),
     )
-    assigned = best_cells(staged_c, "neighbor_id", 1)
-    probes = best_cells(staged_q, "query_id", nprobe).select(
+    assigned = ivf_assign_cells(corpus, n_centroids, id_col, vec_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    probes = probe_cells(staged_q, "query_id", nprobe).select(
         "query_id", "cid", F.col("_v").alias("_qv"), F.col("_nrm").alias("_qn")
     )
     cand = assigned.join(probes, "cid").filter(F.col("neighbor_id") != F.col("query_id"))

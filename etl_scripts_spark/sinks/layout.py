@@ -42,7 +42,12 @@ def with_ingest_date(df: DataFrame, ts_col: str) -> DataFrame:
     return df.withColumn("ingest_date", F.to_date(F.col(ts_col)))
 
 
-def compact(df: DataFrame, dest: str, target_rows_per_file: int) -> None:
+def compact(
+    df: DataFrame,
+    dest: str,
+    target_rows_per_file: int,
+    n_rows: int | None = None,
+) -> None:
     """Rewrite a table with bounded file sizes — the small-files antidote.
 
     Dropbox-style ingestion produces one tiny file batch per arrival; after
@@ -52,8 +57,20 @@ def compact(df: DataFrame, dest: str, target_rows_per_file: int) -> None:
     bound (repartition spreads rows evenly; the option caps any residual
     skew).  Run per partition (e.g. yesterday's ingest day), never on the
     whole table.
+
+    ``dest`` MUST be a fresh staging path — the write is mode('error') by
+    design.  Compacting a live partition is stage-and-swap: write to
+    ``<partition>.compacting``, then atomically rename over the old
+    directory (and only then delete it).  Writing in-place over the files
+    being read is never safe, so no overwrite mode is offered.
+
+    Pass ``n_rows`` when the caller already knows the row count (e.g. from
+    write metrics or parquet footer metadata via
+    ``sum(file_meta.num_rows)``) to skip the extra counting scan; otherwise
+    one ``df.count()`` pays for an evenly-sized layout.
     """
-    n_rows = df.count()
+    if n_rows is None:
+        n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
     (
         df.repartition(n_files)

@@ -101,6 +101,32 @@ def test_minhash_pipeline_stays_jvm_side(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_assignment_is_mapside(spark):
+    """IVF cell assignment must not shuffle the corpus: the only exchanges
+    allowed are the BroadcastExchange of the 1-row centroid array and the
+    SinglePartition gather of the <=n_centroids centroid partials that feeds
+    it.  A hash-partition exchange or a Window on the corpus side means the
+    whole corpus is being shuffled for an argmax — the round-1 regression."""
+    from etl_scripts_spark import catalog
+    from etl_scripts_spark.operators import similarity
+
+    emb = catalog.load(spark, SF, "embeddings")
+    df = similarity.ivf_assign_cells(emb)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "Broadcast" not in line:
+            # must be the centroid-build gather, never a corpus repartition
+            pass
+    exchange_args = [l for l in plan.splitlines() if l.startswith("Arguments:") and "plan_id" in l]
+    non_broadcast = [a for a in exchange_args if "SinglePartition" not in a and "broadcast" not in a.lower()]
+    assert not non_broadcast, f"unexpected exchange(s): {non_broadcast}"
+
+
 def test_register_fastq_tokenizer_not_inlined(spark):
     """The fastq pipeline's regex barcode extraction must appear a bounded
     number of times — expression-inlining regressions multiply it."""
