@@ -1794,12 +1794,25 @@ def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_buckets_df(_tp(spark, sf_dir, "embeddings"), n_planes=8, dim=64)
 
 
-@_register("q_multimodal_image_meta")  # no oracle: mapInPandas plumbing, rows-only check
+@_register(
+    "q_multimodal_image_meta",
+    """
+    SELECT doc_id,
+           (CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 41 ELSE 14 END)::INT AS n_bytes,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+           (16 + doc_id % 512)::INT AS width,
+           (16 + (doc_id * 7) % 512)::INT AS height
+    FROM documents
+    """,
+)
 def q_multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary-column plumbing: opaque payload → typed metadata via
-    Arrow-batched mapInPandas (decode itself is a marked stub)."""
-    docs = _t(spark, sf_dir, "documents")
-    return multimodal.decode_image_meta(multimodal.with_binary_payload(docs))
+    """Multimodal binary-column decode: spec-valid PNG/JPEG/GIF payloads →
+    typed metadata via the real stdlib header parser inside an Arrow-batched
+    mapInPandas stage.  The oracle predicts (format, dims, size) from the
+    fixture generator's doc_id arithmetic, so a parser regression on any
+    container type is a value mismatch, not just a row count."""
+    docs = _tp(spark, sf_dir, "documents")
+    return multimodal.decode_image_meta(multimodal.with_image_payload(docs))
 
 
 # ---------------------------------------------------------------------------
@@ -2610,21 +2623,68 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_first_seen_available_now(spark, f"{sf_dir}/events.parquet")
 
 
-@_register("q_multimodal_features")  # no oracle: mapInPandas stub embedding
+@_register(
+    "q_multimodal_features",
+    # the documents corpus is pure ASCII (verified: octet_length == length for
+    # every row), so the UTF-8 byte histogram equals the codepoint histogram
+    # DuckDB can compute via ascii(substring(...)).  count/total division is
+    # IEEE-double on both engines → bit-identical.
+    """
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, length(coalesce(text, ''))),
+                            i -> ascii(substring(text, i, 1)) % 16) AS cs
+      FROM documents
+    )
+    SELECT doc_id,
+           dim::INT AS dim,
+           CASE WHEN len(cs) = 0 THEN 0.0
+                ELSE len(list_filter(cs, c -> c = dim))::DOUBLE / len(cs)::DOUBLE
+           END AS value
+    FROM codes, (SELECT unnest(generate_series(0, 15)) AS dim)
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction: payload → fixed-dim vector (stub byte
-    histogram) whose shape composes with the ANN operators (srp/cosine)."""
+    histogram) whose shape composes with the ANN operators (srp/cosine).
+    Exploded to (doc_id, dim, value) scalars for the oracle hash — array
+    cells serialize differently between the two engines."""
     docs = _tp(spark, sf_dir, "documents")
-    return multimodal.extract_features(multimodal.with_binary_payload(docs))
+    feats = multimodal.extract_features(multimodal.with_binary_payload(docs))
+    return feats.select("doc_id", F.posexplode("feature").alias("dim", "value"))
 
 
-@_register("q_multimodal_frame_sample")  # no oracle: mapInPandas fan-out stub
+@_register(
+    "q_multimodal_frame_sample",
+    # oracle re-derives the even-slice frame plan from octet_length alone:
+    # step = max(len//4, 1); off_i = min(i*step, max(len-1, 0));
+    # frame_len = max(min(off+step, len) - off, 0)
+    """
+    WITH lens AS (
+      SELECT doc_id,
+             octet_length(encode(coalesce(text, ''))) AS len,
+             GREATEST(octet_length(encode(coalesce(text, ''))) // 4, 1) AS step
+      FROM documents
+    )
+    SELECT doc_id,
+           i::INT AS frame_idx,
+           LEAST(i * step, GREATEST(len - 1, 0))::BIGINT AS frame_offset,
+           GREATEST(LEAST(LEAST(i * step, GREATEST(len - 1, 0)) + step, len)
+                    - LEAST(i * step, GREATEST(len - 1, 0)), 0)::INT AS n_bytes
+    FROM lens, (SELECT unnest([0, 1, 2, 3]) AS i)
+    """,
+)
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing: one payload row fans out to n frame
     rows (stub slices the byte stream; a codec would seek keyframes)."""
     docs = _tp(spark, sf_dir, "documents")
     frames = multimodal.sample_frames(multimodal.with_binary_payload(docs), n_frames=4)
-    return frames.select("doc_id", "frame_idx", "frame_offset", F.length("frame_bytes").alias("n_bytes"))
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "frame_offset",
+        F.length("frame_bytes").cast("int").alias("n_bytes"),
+    )
 
 
 @_register(
@@ -2768,14 +2828,37 @@ _ORACLES["q_ivf_recall"] = (
 )
 
 
-@_register("q_pdf_metadata")  # no oracle: pdftotext stub, rows-only check
+@_register(
+    "q_pdf_metadata",
+    # DuckDB twin of the deterministic pdftotext stub: seed = first payload
+    # byte + payload length (payload is the UTF-8 text, ASCII corpus), then
+    # the same 'Auftrag: A-<seed%10000>' / barcode construction the regex
+    # scan extracts back out.
+    """
+    WITH s AS (
+      SELECT doc_id,
+             (CASE WHEN coalesce(text, '') = '' THEN 0
+                   ELSE ascii(substring(text, 1, 1)) END)
+               + octet_length(encode(coalesce(text, ''))) AS seed
+      FROM documents
+    )
+    SELECT doc_id,
+           'A-' || lpad((seed % 10000)::VARCHAR, 4, '0') AS order_number,
+           'Q' || substring('ABCD', seed % 4 + 1, 1) || substring('WXYZ', seed % 4 + 1, 1)
+            || '0X' || lpad((seed % 999)::VARCHAR, 3, '0') || 'A0' AS rin_barcode
+    FROM s
+    """,
+)
 def q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: PDF metadata scrape (order number + per-barcode RIN map) via the
-    mapInPandas stage; text extraction is a marked stub, the regex
-    state-machine and plumbing are real."""
+    mapInPandas stage; text extraction is a marked stub (deterministic from
+    payload bytes — the oracle reconstructs it), the regex state-machine and
+    plumbing are real."""
     docs = _tp(spark, sf_dir, "documents")
     out = sidecars.pdf_metadata(multimodal.with_binary_payload(docs))
-    return out.select("doc_id", "order_number", F.map_keys("rin_map").alias("rin_barcodes"))
+    return out.select(
+        "doc_id", "order_number", F.map_keys("rin_map").getItem(0).alias("rin_barcode")
+    )
 
 
 @_register(

@@ -63,6 +63,57 @@ def test_unpack_archives_zip_and_tar(spark):
     ]
 
 
+def test_image_header_parser_fixture_bytes():
+    """parse_image_header reads real container headers (stdlib struct)."""
+    import struct as _s
+    import zlib as _z
+
+    # PNG: signature + IHDR, CRC computed — as a writer would emit it
+    body = b"IHDR" + _s.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+    png = b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + body + _s.pack(">I", _z.crc32(body))
+    assert multimodal.parse_image_header(png) == ("png", 640, 480)
+
+    # JPEG: APP0 before SOF2 (progressive) — the marker walk must skip APP0
+    app0 = b"\xff\xe0" + _s.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    sof2 = b"\xff\xc2" + _s.pack(">H", 17) + b"\x08" + _s.pack(">HH", 33, 44) + b"\x03" + b"\x00" * 9
+    assert multimodal.parse_image_header(b"\xff\xd8" + app0 + sof2 + b"\xff\xd9") == ("jpeg", 44, 33)
+
+    assert multimodal.parse_image_header(b"GIF87a" + _s.pack("<HH", 12, 34) + b"\x00\x00\x00;") == ("gif", 12, 34)
+    # BMP with top-down (negative) height
+    bmp = b"BM" + b"\x00" * 16 + _s.pack("<ii", 320, -200) + b"\x00" * 10
+    assert multimodal.parse_image_header(bmp) == ("bmp", 320, 200)
+
+    assert multimodal.parse_image_header(b"") == ("unknown", None, None)
+    assert multimodal.parse_image_header(b"not an image at all") == ("unknown", None, None)
+    # truncated JPEG: SOI then garbage-free EOI — no SOF, dims unknown
+    assert multimodal.parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+
+
+def test_synthetic_image_roundtrip():
+    """Generator and parser agree for every container the fixture emits."""
+    for doc_id in range(12):
+        payload = multimodal.synthetic_image_bytes(doc_id)
+        fmt, w, h = multimodal.parse_image_header(payload)
+        assert fmt == ["png", "jpeg", "gif"][doc_id % 3]
+        assert w == 16 + doc_id % 512
+        assert h == 16 + (doc_id * 7) % 512
+        assert len(payload) == {"png": 33, "jpeg": 41, "gif": 14}[fmt]
+
+
+def test_decode_image_meta_on_mixed_payloads(spark):
+    df = _items(spark, [(0, "a"), (1, "b"), (2, "c")], "doc_id LONG, text STRING")
+    out = {
+        r.doc_id: (r.format, r.width, r.height, r.n_bytes)
+        for r in multimodal.decode_image_meta(multimodal.with_image_payload(df)).collect()
+    }
+    assert out[0] == ("png", 16, 16, 33)
+    assert out[1] == ("jpeg", 17, 23, 41)
+    assert out[2] == ("gif", 18, 30, 14)
+    # non-image payloads flow through as unknown, not an executor error
+    raw = multimodal.decode_image_meta(multimodal.with_binary_payload(df)).collect()
+    assert all(r.format == "unknown" and r.width is None for r in raw)
+
+
 def test_feature_extraction_shape_and_determinism(spark):
     df = _items(spark, [(1, "abc"), (2, "")], "doc_id LONG, text STRING")
     payload = multimodal.with_binary_payload(df)
