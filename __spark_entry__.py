@@ -28,7 +28,11 @@ from etl_scripts_spark.operators.numbering import allocate_sequence, experiment_
 from etl_scripts_spark.parsers import sidecars
 from etl_scripts_spark.parsers import vcf as vcfmod
 from etl_scripts_spark.pipelines.fastq import register_fastq_batch
-from etl_scripts_spark.pipelines.wf_results import register_wf_results
+from etl_scripts_spark.pipelines.wf_results import (
+    parse_hla_typing,
+    peakpick_fanout,
+    register_wf_results,
+)
 from etl_scripts_spark.reports import core as reports
 from etl_scripts_spark.sinks.merge import merge_upsert
 from etl_scripts_spark.sinks.outbox import build_outbox
@@ -1155,6 +1159,121 @@ def q_wf_results_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["datasets"].select(
         "arrival_id", "experiment_id", "sample_code", "results_type", "logs_type"
     )
+
+
+@_register(
+    "q_hla_typing_parse",
+    # ground-truth oracle: constructs the allele list directly (no re-parse),
+    # so the Spark split/slice/array_join roundtrip is what's under test
+    oracle.with_entities(
+        """
+        , alleles AS (
+          SELECT code AS sample_code, custkey,
+                 list_transform(generate_series(1, (custkey % 3 + 2)::INT),
+                   i -> 'A*' || lpad(((custkey + i) % 99 + 1)::VARCHAR, 2, '0') || ':'
+                        || lpad(((custkey * 3 + i * 7) % 99)::VARCHAR, 2, '0')) AS al
+          FROM samples
+        ), parents AS (
+          SELECT custkey,
+                 string_agg('DS-' || orderkey::VARCHAR, '_'
+                            ORDER BY 'DS-' || orderkey::VARCHAR) AS parent_infos
+          FROM experiments GROUP BY custkey
+        )
+        SELECT a.sample_code,
+               array_to_string(al, chr(10)) AS hla_typing,
+               len(al)::INT AS n_alleles,
+               coalesce(p.parent_infos, '') AS parent_infos,
+               coalesce(p.parent_infos, '') || '_workflow_results' AS result_folder
+        FROM alleles a LEFT JOIN parents p USING (custkey)
+        """
+    ),
+)
+def q_hla_typing_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wf-hlatyping, the first of the two non-clone wf dropboxes: parse the
+    result.tsv typing line — split on tab, drop the first field and the last
+    two, join alleles with newlines into the Q_HLA_TYPING property
+    (register-wf-hlatyping/register-hlatyping.py:87-91) — and derive the
+    parent-join folder rename '<p1>_<p2>_workflow_results' from the sample's
+    parents (ibid.:66-70,107-110; collect sorted for determinism where the
+    reference inherits server order)."""
+    samples = catalog.samples_view(_t(spark, sf_dir, "customer"))
+    ck = F.col("custkey")
+    alleles = F.transform(
+        F.sequence(F.lit(1), (ck % 3 + 2).cast("int")),
+        lambda i: F.concat(
+            F.lit("A*"), F.lpad(((ck + i) % 99 + 1).cast("string"), 2, "0"),
+            F.lit(":"), F.lpad(((ck * 3 + i * 7) % 99).cast("string"), 2, "0"),
+        ),
+    )
+    fixture = samples.select(
+        F.col("code").alias("sample_code"),
+        "custkey",
+        F.concat_ws(
+            "\t", F.col("code"), F.array_join(alleles, "\t"),
+            F.lit("coverage_info"), F.lit("tool_version"),
+        ).alias("result_line"),
+    )
+    parsed = parse_hla_typing(fixture, "result_line")
+    exp = catalog.experiments_view(_t(spark, sf_dir, "orders"))
+    parents = exp.groupBy("custkey").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(F.concat(F.lit("DS-"), F.col("orderkey").cast("string")))
+            ),
+            "_",
+        ).alias("parent_infos")
+    )
+    return (
+        parsed.join(parents, "custkey", "left")
+        .withColumn("parent_infos", F.coalesce(F.col("parent_infos"), F.lit("")))
+        .select(
+            "sample_code", "hla_typing", "n_alleles", "parent_infos",
+            F.concat(F.col("parent_infos"), F.lit("_workflow_results")).alias("result_folder"),
+        )
+    )
+
+
+@_register(
+    "q_peakpick_fanout",
+    oracle.with_entities(
+        """
+        SELECT f.orderkey, f.linenumber,
+               'centroided_run_' || s.code || '_' || f.linenumber::VARCHAR || '.mzML'
+                 AS centroided_name,
+               'MS' || s.code AS ms_code,
+               s.space,
+               'Q_MS_MZML_DATA' AS dataset_type
+        FROM files f
+        JOIN experiments e ON f.orderkey = e.orderkey
+        JOIN samples s ON s.custkey = e.custkey
+        WHERE f.linenumber % 4 = 0
+        """
+    ),
+)
+def q_peakpick_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wf-peakpicking, the second non-clone wf dropbox: per-mzML result
+    fan-out — rename each result/*.mzML to centroided_<name>, extract the
+    sample code from the filename, look the sample up by code, attach one
+    Q_MS_MZML_DATA dataset per file (register-wf-peakpicking/
+    script.py:80-95).  The reference's per-file loop with one search-service
+    query each becomes a projection + broadcast join; the oracle constructs
+    the expected values directly so the regex extraction is what's tested."""
+    files = catalog.files_view(_t(spark, sf_dir, "lineitem"))
+    exp = catalog.experiments_view(_t(spark, sf_dir, "orders")).select("orderkey", "custkey")
+    mz = (
+        files.filter(F.col("linenumber") % 4 == 0)
+        .join(exp, "orderkey")
+        .select(
+            "orderkey",
+            "linenumber",
+            F.concat(
+                F.lit("run_"), catalog.sample_barcode(F.col("custkey")),
+                F.lit("_"), F.col("linenumber").cast("string"), F.lit(".mzML"),
+            ).alias("mzml_name"),
+        )
+    )
+    samples = catalog.samples_view(_t(spark, sf_dir, "customer"))
+    return peakpick_fanout(mz, samples)
 
 
 @_register(
@@ -2568,7 +2687,11 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_near_dup_pairs(corpus, n_planes=8, dim=64, threshold=0.95)
 
 
-@_register("q_incoming_scan")  # no oracle: filesystem source, rows-only check
+# no oracle BY NECESSITY (the only remaining rows-only query): the oracle SQL
+# runs verbatim against pre-registered views, so a filesystem listing would
+# need the sf dir path baked into the SQL string — environment-fragile where
+# rows-only is merely weaker.  The listing logic itself is unit-tested.
+@_register("q_incoming_scan")
 def q_incoming_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2: incoming-directory scan — recursive binaryFile listing of the
     batch directory (register-mtb-data-dropbox.py:606-618); at scale this is

@@ -139,3 +139,45 @@ def test_pdf_metadata_stub_determinism(spark):
     assert all(len(k) == 10 for k in rows[1].rin_map)
     again = {r.doc_id: r for r in sidecars.pdf_metadata(df).collect()}
     assert rows[1].order_number == again[1].order_number
+
+
+def test_hla_typing_parse_edges(spark):
+    from etl_scripts_spark.pipelines.wf_results import parse_hla_typing
+
+    df = spark.createDataFrame(
+        [
+            ("QABCD001AE\tA*01:01\tA*02:01\tB*07:02\tcov\tver",),
+            ("id\tonly\tcov\tver",),   # one allele
+            ("id\tcov\tver",),          # zero alleles → empty typing
+            ("id\tcov",),               # shorter than the fixed tail → empty
+        ],
+        "result_line STRING",
+    )
+    rows = parse_hla_typing(df).collect()
+    out = {r.result_line.split("\t")[0] + str(i): r for i, r in enumerate(rows)}
+    by_typing = [(r.hla_typing, r.n_alleles) for r in rows]
+    assert ("A*01:01\nA*02:01\nB*07:02", 3) in by_typing
+    assert ("only", 1) in by_typing
+    assert by_typing.count(("", 0)) == 2
+
+
+def test_peakpick_fanout_drops_unmatched_and_renames(spark):
+    from etl_scripts_spark.pipelines.wf_results import peakpick_fanout
+
+    mz = spark.createDataFrame(
+        [
+            (1, 1, "run_QABCX001AF_1.mzML"),
+            (1, 2, "nomatch.mzML"),          # regex finds no code → dropped
+            (2, 1, "run_QZZZX002AG_1.mzML"),  # code not in samples → dropped
+        ],
+        "orderkey LONG, linenumber LONG, mzml_name STRING",
+    )
+    samples = spark.createDataFrame(
+        [("QABCX001AF", "SPACE_1")], "code STRING, space STRING"
+    )
+    rows = peakpick_fanout(mz, samples).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.centroided_name == "centroided_run_QABCX001AF_1.mzML"
+    assert r.ms_code == "MSQABCX001AF" and r.space == "SPACE_1"
+    assert r.dataset_type == "Q_MS_MZML_DATA"
