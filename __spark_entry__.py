@@ -23,7 +23,7 @@ from etl_scripts_spark.expressions import (
     split_wf_name,
 )
 from etl_scripts_spark.operators import dedup, lineage, multimodal, sampling, similarity, skew, text, windows
-from etl_scripts_spark.operators.asof import asof_join
+from etl_scripts_spark.operators.asof import asof_join, asof_join_sliced
 from etl_scripts_spark.operators.numbering import allocate_sequence, experiment_code, padded_patient_id, run_sample_code
 from etl_scripts_spark.parsers import sidecars
 from etl_scripts_spark.parsers import vcf as vcfmod
@@ -480,6 +480,35 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_graph_components_chain",
+    # arithmetic oracle: nodes are 100-long chains over dense custkeys, so
+    # the component minimum is computable without a recursive CTE.  Ids are
+    # zero-padded so lexicographic min == numeric min.
+    """
+    SELECT 'C' || lpad(c_custkey::VARCHAR, 6, '0') AS id,
+           'C' || lpad(((c_custkey // 100) * 100)::VARCHAR, 6, '0') AS component
+    FROM customer
+    """,
+)
+def q_graph_components_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial CC: path graphs of diameter 100 (chains over the dense
+    customer keys).  This is the shape where per-hop label propagation pays
+    one round per hop; the star algorithm must stay at O(log² n) rounds —
+    a convergence regression shows up as bench wall-time (or the operator's
+    non-convergence raise), not just a unit-test failure."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    node = lambda col: F.concat(F.lit("C"), F.lpad(col.cast("string"), 6, "0"))  # noqa: E731
+    # custkeys are dense and 0-based: chain c = nodes [100c, 100c+99]
+    pairs = (
+        c.alias("a")
+        .filter(F.col("k") % 100 != 99)
+        .join(c.alias("b"), F.col("b.k") == F.col("a.k") + 1)
+        .select(node(F.col("a.k")).alias("id_a"), node(F.col("b.k")).alias("id_b"))
+    )
+    return dedup.connected_components_star(pairs)
+
+
+@_register(
     "q_lineage_roots",
     oracle.with_entities_recursive(
         """
@@ -833,6 +862,43 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = events.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
     purchases = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
     return asof_join(clicks, purchases, on="ts", by="user_id")
+
+
+@_register(
+    "q_asof_join_skewed",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.ts AS ts_matched, r.value AS value_matched
+    FROM (SELECT event_id, CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id, ts
+          FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN
+         (SELECT user_id, ts, max(value) AS value
+          FROM (SELECT CASE WHEN user_id % 2 = 0 THEN 0 ELSE user_id END AS user_id, ts, value
+                FROM events WHERE event_type = 'purchase')
+          GROUP BY user_id, ts) r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_join_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adversarial as-of: half of all users are collapsed onto one hot key,
+    the shape where the single-window plan serializes on one task (AQE
+    cannot split window partitions).  Runs the time-sliced variant —
+    per-(key, day) windows + bucket-level carry — so skew regressions show
+    up in bench wall-time.  Right side is deduped per (user, ts) because
+    DuckDB's ASOF tie choice among duplicate keys is unspecified."""
+    events = _t(spark, sf_dir, "events")
+    hot = F.when(F.col("user_id") % 2 == 0, F.lit(0).cast("long")).otherwise(F.col("user_id"))
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("event_id", hot.alias("user_id"), "ts")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(hot.alias("user_id"), "ts", "value")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+    return asof_join_sliced(clicks, purchases, on="ts", by="user_id")
 
 
 # ---------------------------------------------------------------------------

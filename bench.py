@@ -50,6 +50,10 @@ HEADLINE = [
     "q_ivf_recall",
     "q_simhash_pairs",
     "q_graph_components",
+    # adversarial shapes: hot-key as-of (sliced plan) and diameter-100
+    # chain CC — regressions in skew handling / star convergence show here
+    "q_asof_join_skewed",
+    "q_graph_components_chain",
 ]
 
 

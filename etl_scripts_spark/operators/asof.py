@@ -18,8 +18,12 @@ individual null fields inside a matched row (a per-column carry would
 resurrect older values for legitimately-null fields).
 
 At 100 TB: the shuffle key is the `by` column — the same partitioning any
-per-key sessionization uses; skewed keys split fine under AQE because the
-window is per-key independent.
+per-key sessionization uses.  NOTE: unlike joins, window partitions canNOT
+be split by AQE's skew handling — a hot key (one user holding half the
+events) funnels through one task.  For skewed keys use
+:func:`asof_join_sliced`, which spreads each key across time slices and
+fixes up slice boundaries with a bucket-level carry (rows = keys × slices,
+not events).
 """
 
 from __future__ import annotations
@@ -96,3 +100,99 @@ def asof_join(
         *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in payload_cols],
     )
     return out
+
+
+def asof_join_sliced(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | None = None,
+    bucket=None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Skew-resistant as-of join: hot ``by`` keys spread across time slices.
+
+    :func:`asof_join` windows over ``by`` alone, so one task sorts a hot
+    key's entire history (AQE splits skewed JOIN partitions, never window
+    partitions).  Here the same tagged-union carry-forward runs per
+    ``(by, slice)`` — bounded task size at any skew — and left rows that
+    precede every in-slice right row coalesce a carried-in payload computed
+    on the bucket-level table (one row per key × slice, aggregated
+    map-side, tiny).  Two extra small shuffles; the final fix-up join is on
+    ``(by, slice)``, the partitioning the window just produced, so the
+    exchange is reused.
+
+    ``bucket``: fn Column → Column mapping the ``on`` value to a slice id
+    (default: UTC day).  Same inclusive / greatest-payload-tie semantics as
+    :func:`asof_join`.
+    """
+    if bucket is None:
+        bucket = lambda c: F.floor(F.unix_timestamp(c) / 86400)  # noqa: E731
+    payload_cols = [c for c in right.columns if c != by]
+    pay = F.struct(*[F.col(c) for c in payload_cols])
+    pay_type = T.StructType([right.schema[c] for c in payload_cols])
+    by_cols = [by] if by else []
+    left_cols = list(left.columns)
+
+    lb = left.withColumn("_b", bucket(F.col(on)))
+    rb = right.withColumn("_b", bucket(F.col(on)))
+
+    tagged_left = lb.select(
+        *left_cols, "_b", F.lit(1).alias("_side"), F.lit(None).cast(pay_type).alias("_rpay_s")
+    )
+    tagged_right = rb.select(
+        *[
+            F.lit(None).cast(dict(left.dtypes)[c]).alias(c)
+            for c in left_cols
+            if c not in ((by,) if by else ()) and c != on
+        ],
+        *by_cols,
+        F.col(on),
+        "_b",
+        F.lit(0).alias("_side"),
+        pay.alias("_rpay_s"),
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    orderable = _orderable(pay_type)
+    order_cols = [F.col(on).asc(), F.col("_side").asc()]
+    if orderable:
+        order_cols.append(F.col("_rpay_s").asc())
+    w_slice = (
+        Window.partitionBy(*by_cols, "_b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("_match", F.last("_rpay_s", ignorenulls=True).over(w_slice))
+
+    # bucket-level last right payload; same greatest-payload tie rule as the
+    # window when the payload is orderable, unspecified-tie otherwise
+    if orderable:
+        last_r = (
+            rb.groupBy(*by_cols, "_b")
+            .agg(F.max(F.struct(F.col(on).alias("_o"), pay.alias("_p"))).alias("_mx"))
+            .select(*by_cols, "_b", F.col("_mx._p").alias("_last_pay"))
+        )
+    else:
+        last_r = rb.groupBy(*by_cols, "_b").agg(F.max_by(pay, F.col(on)).alias("_last_pay"))
+    slices = lb.select(*by_cols, "_b").union(rb.select(*by_cols, "_b")).distinct()
+    w_carry = (
+        Window.partitionBy(*by_cols)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        slices.join(last_r, [*by_cols, "_b"], "left")
+        .withColumn("_carry", F.last("_last_pay", ignorenulls=True).over(w_carry))
+        .select(*by_cols, "_b", "_carry")
+    )
+
+    out = (
+        carried.filter(F.col("_side") == 1)
+        .join(carry, [*by_cols, "_b"], "left")
+        .withColumn("_match", F.coalesce(F.col("_match"), F.col("_carry")))
+    )
+    return out.select(
+        *left_cols,
+        *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in payload_cols],
+    )

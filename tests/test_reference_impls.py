@@ -127,3 +127,39 @@ def test_star_cc_matches_label_propagation_and_union_find(spark):
             for r in connected_components_star(pairs).collect()
         }
         assert star == lp, f"divergence on {edges[:5]}..."
+
+
+def test_asof_join_sliced_matches_plain_under_skew(spark):
+    """The time-sliced (skew-resistant) as-of join is semantically identical
+    to the single-window plan — verified on a hot-key distribution with
+    right-side ties, where both engines' greatest-payload tie rule and the
+    slice-boundary carry-in must agree."""
+    from pyspark.sql import functions as F
+
+    from etl_scripts_spark.operators.asof import asof_join, asof_join_sliced
+
+    rng = np.random.default_rng(11)
+    n_l, n_r = 600, 500
+    # 60% of rows on key 0 (hot); coarse ts so (k, ts) ties actually occur
+    hot = lambda n: np.where(rng.random(n) < 0.6, 0, rng.integers(1, 10, n))  # noqa: E731
+    left = pd.DataFrame(
+        {"k": hot(n_l), "ts": rng.integers(0, 300, n_l), "lid": np.arange(n_l)}
+    )
+    right = pd.DataFrame(
+        {"k": hot(n_r), "ts": rng.integers(0, 300, n_r), "v": rng.normal(size=n_r).round(3)}
+    )
+    ldf = spark.createDataFrame(left.astype({"k": "int64", "ts": "int64"}))
+    rdf = spark.createDataFrame(right.astype({"k": "int64", "ts": "int64"}))
+    cols = ["lid", "ts_matched", "v_matched"]
+    plain = sorted(
+        asof_join(ldf, rdf, on="ts", by="k").select(*cols).collect(),
+        key=lambda r: r.lid,
+    )
+    # slice width 50 → ~6 slices, so carry-in across empty/partial slices runs
+    sliced = sorted(
+        asof_join_sliced(
+            ldf, rdf, on="ts", by="k", bucket=lambda c: F.floor(c / 50)
+        ).select(*cols).collect(),
+        key=lambda r: r.lid,
+    )
+    assert plain == sliced
