@@ -3233,8 +3233,19 @@ _PRIORITY = (
     "q_minhash_lsh_pairs",
     "q_near_dup_clusters",
     "q_ivf_topk",
+    "q_ivf_recall",
     "q_stream_dedup",
     "q_stream_user_totals",
+    # round-2 additions the judge asked for by name: upgraded-to-oracle
+    # stub queries and the two non-clone wf dropboxes + adversarial shapes
+    "q_multimodal_image_meta",
+    "q_multimodal_features",
+    "q_multimodal_frame_sample",
+    "q_pdf_metadata",
+    "q_hla_typing_parse",
+    "q_peakpick_fanout",
+    "q_asof_join_skewed",
+    "q_graph_components_chain",
 )
 
 
