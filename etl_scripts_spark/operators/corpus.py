@@ -1,0 +1,266 @@
+"""Corpus-level statistics and hygiene operators for LLM training data.
+
+The round-1 suite covers per-document signals (quality, lang-ID, fingerprints)
+and pairwise dedup (MinHash/SimHash/LSH).  This module adds the corpus-wide
+operations a production pretraining pipeline runs between dedup and packing:
+
+- **train/eval decontamination** — remove training documents that share an
+  n-gram with a held-out benchmark set (the guard against eval leakage).
+- **BM25 / TF-IDF ranking** — lexical relevance scoring for corpus search
+  and per-document salient-term extraction.
+- **token-window chunking** — split long documents into fixed-size,
+  overlapping context windows (the step before sequence packing).
+- **global top n-grams** — boilerplate detection via most-frequent phrases.
+
+Everything is pure Catalyst (no Python UDFs) and md5-keyed so the DuckDB
+oracle reproduces results bit-identically.  Scale notes are per-function;
+the common theme is that the *corpus* side stays map-only wherever possible
+and only small derived tables (benchmark n-grams, vocabulary document
+frequencies) are shuffled or broadcast.
+
+Reference provenance: the reference repo has no corpus analytics (it is an
+ingestion framework); these operators extend SURVEY.md §6's LLM-pipeline
+mandate, mirroring published pretraining-pipeline practice (GPT-3 §2.2
+13-gram decontamination; Gopher/MassiveText repetition and quality filters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles_from_words
+from .text import words
+
+
+def ngram_hashes(wcol: Column, n: int) -> Column:
+    """Distinct md5 hashes of the n-grams of a MATERIALIZED words column.
+
+    Hashes (16-byte md5 hex) rather than raw n-gram strings are what travel
+    through joins/shuffles: at n=8 a raw n-gram averages ~50 bytes and the
+    hash is both smaller and fixed-width.  md5 keeps the DuckDB oracle
+    bit-identical.
+    """
+    return F.array_distinct(
+        F.transform(shingles_from_words(wcol, n), lambda s: F.md5(s))
+    )
+
+
+def contaminated_ids(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Training docs sharing ≥1 n-gram with the eval/benchmark set.
+
+    Returns ``(id_col, n_shared_grams)`` for every contaminated training
+    document (GPT-3-style n-gram decontamination).
+
+    Scale shape (the benchmark set is always tiny — thousands of docs —
+    while train is the 100 TB side):
+
+    1. eval side: explode its distinct n-gram hashes and ``distinct()``
+       them — a shuffle of the *small* side only.
+    2. train side: stage words once, explode n-gram hashes (map-only
+       Generate, no shuffle), then **broadcast inner-join** against the
+       eval grams — the train corpus is never shuffled.
+    3. the per-doc ``count`` groups only the *matches* (rare by
+       construction), not the corpus.
+
+    n=4 here vs the published 8-13: the synthetic corpus draws from a
+    ~30-word vocabulary, so 4-grams occupy the same "rare but present"
+    collision regime that 13-grams do on web text.
+    """
+    ev_grams = (
+        eval_df.select(F.explode(ngram_hashes(words(F.col(text_col)), n)).alias("g"))
+        .distinct()
+    )
+    tr_grams = train.select(
+        F.col(id_col), words(F.col(text_col)).alias("_w")
+    ).select(F.col(id_col), F.explode(ngram_hashes(F.col("_w"), n)).alias("g"))
+    return (
+        tr_grams.join(F.broadcast(ev_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Drop contaminated docs from ``train`` (anti-join on contaminated ids).
+
+    The contaminated-id set is small (it is bounded by the benchmark's
+    n-gram footprint), so the anti-join broadcasts and the train side
+    stays shuffle-free end to end.
+    """
+    bad = contaminated_ids(train, eval_df, text_col, id_col, n).select(id_col)
+    return train.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def doc_lengths(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, token array, doc length) — the staged base for ranking scores."""
+    return df.select(
+        F.col(id_col), words(F.col(text_col)).alias("_w")
+    ).withColumn("dl", F.size("_w"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term list.
+
+    Per-term contributions are computed as separate columns and added in
+    *fixed query order* — a float sum via groupBy would be order-dependent
+    and break bit-reproducibility.  Term frequencies come from
+    ``size(filter(tokens, = term))`` on the staged token array: map-side,
+    no explode, no shuffle of the corpus.  The only aggregation is one
+    corpus-wide stats row (N, avgdl, per-term document frequencies) — a
+    partial-agg reduce to a single row, broadcast back via cross join.
+    avgdl divides two exact integer sums, so it is deterministic.
+
+    idf uses the monotone BM25+ form ``ln(1 + (N - df + .5)/(df + .5))``,
+    which keeps contributions positive for ultra-common terms.
+    """
+    base = doc_lengths(df, text_col, id_col)
+    for i, t in enumerate(query_terms):
+        base = base.withColumn(
+            f"_tf{i}",
+            F.size(F.filter(F.col("_w"), (lambda term: lambda x: x == term)(t))),
+        )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats)).withColumn(
+        "avgdl", F.col("sum_dl") / F.col("n_docs")
+    )
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5)
+        )
+        tf = F.col(f"_tf{i}")
+        denom = tf + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        score = score + idf * (tf * (k1 + 1.0)) / denom
+    return scored.select(
+        F.col(id_col), F.col("dl"), F.round(score, 4).alias("bm25")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 3,
+) -> DataFrame:
+    """Top-n salient terms per document by tf·idf.
+
+    Plan: stage tokens → explode to (doc, term, tf) — the corpus-side
+    shuffle on (doc, term) is a map-side-combinable count — then join the
+    (small: vocabulary-sized) document-frequency table back by broadcast,
+    and window-rank within each doc.  The per-doc window re-uses the same
+    (id) partitioning the tf groupBy already produced, and ranks on the
+    *rounded* score with the term string as final tiebreak so the cut is
+    reproducible across engines.
+    """
+    toks = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    from pyspark.sql.window import Window
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4)
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= top_n)
+        .select(id_col, "term", "tf", "tfidf", "rk")
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size overlapping token windows (the pre-packing chunking step).
+
+    Window starts are ``1, 1+stride, 1+2·stride, …`` while a full-or-final
+    window still begins before the end; each chunk carries its token count
+    and an md5 content hash (slice → concat → md5 — all inside one
+    projection).  Map-only: sequence + transform + explode, no shuffle, so
+    at 100 TB this is embarrassingly parallel and chunk count per task is
+    bounded by input split size.
+
+    ``stride < chunk_size`` gives overlapping context windows; the final
+    short chunk is kept (training pipelines pad or pack it downstream).
+    """
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(F.col("_w")) - (chunk_size - stride), F.lit(1)), F.lit(stride)
+    )
+    base = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    chunked = base.select(
+        F.col(id_col),
+        F.size("_w").alias("dl"),
+        F.posexplode(
+            F.transform(starts, lambda s: F.slice(F.col("_w"), s, chunk_size))
+        ).alias("chunk_idx", "_chunk"),
+    )
+    return chunked.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size("_chunk").alias("chunk_tokens"),
+        F.md5(F.array_join("_chunk", " ")).alias("chunk_hash"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Most frequent n-grams corpus-wide (boilerplate/template detector).
+
+    Explode n-grams (map-only) → count by gram (map-side partial agg does
+    the heavy lifting; the shuffle carries one row per *distinct* gram per
+    partition) → global top-k with a total order (count desc, gram asc) so
+    the cut is deterministic.  TakeOrderedAndProject keeps the final sort
+    driver-cheap: each partition contributes only its local top-k.
+    """
+    grams = df.select(
+        F.explode(shingles_from_words(words(F.col(text_col)), n)).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
+        .limit(top_k)
+    )
