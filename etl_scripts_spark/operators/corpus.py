@@ -74,7 +74,8 @@ def contaminated_ids(
     collision regime that 13-grams do on web text.
     """
     ev_grams = (
-        eval_df.select(F.explode(ngram_hashes(words(F.col(text_col)), n)).alias("g"))
+        eval_df.select(words(F.col(text_col)).alias("_w"))
+        .select(F.explode(ngram_hashes(F.col("_w"), n)).alias("g"))
         .distinct()
     )
     tr_grams = train.select(
@@ -255,8 +256,8 @@ def top_ngrams(
     the cut is deterministic.  TakeOrderedAndProject keeps the final sort
     driver-cheap: each partition contributes only its local top-k.
     """
-    grams = df.select(
-        F.explode(shingles_from_words(words(F.col(text_col)), n)).alias("gram")
+    grams = df.select(words(F.col(text_col)).alias("_w")).select(
+        F.explode(shingles_from_words(F.col("_w"), n)).alias("gram")
     )
     return (
         grams.groupBy("gram")
