@@ -3211,6 +3211,193 @@ def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus-wide hygiene / ranking operators (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+#: DuckDB twin of corpus.ngram_hashes(words(text), n): per-doc DISTINCT md5
+#: hashes of the n-word shingles (shingles_sql carries the short-doc
+#: fallback of one all-available-words shingle, same as the Spark side).
+def _ngram_hashes_sql(n: int) -> str:
+    return f"list_distinct(list_transform({oracle.shingles_sql('text', n)}, s -> md5(s)))"
+
+
+#: eval/benchmark split used by the decontamination queries: every 50th doc
+#: plays the held-out benchmark, the rest are the training corpus.
+_DECONTAM_CTES = f"""ev AS (
+      SELECT DISTINCT unnest({_ngram_hashes_sql(4)}) AS g
+      FROM documents WHERE doc_id % 50 = 0
+    ), tr AS (
+      SELECT doc_id, unnest({_ngram_hashes_sql(4)}) AS g
+      FROM documents WHERE doc_id % 50 <> 0
+    ), hits AS (
+      SELECT tr.doc_id, count(*) AS n_shared_grams
+      FROM tr JOIN ev USING (g) GROUP BY tr.doc_id
+    )"""
+
+
+def _decontam_split(spark: SparkSession, sf_dir: str):
+    docs = _tp(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+    )
+
+
+@_register(
+    "q_decontam_hits",
+    f"WITH {_DECONTAM_CTES}\nSELECT doc_id, n_shared_grams FROM hits",
+)
+def q_decontam_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style train/eval n-gram decontamination: training docs sharing
+    ≥1 4-gram with the held-out set, with the shared-gram count.  The train
+    corpus is never shuffled — eval grams are distinct-ed (small side) and
+    broadcast; only the rare matches aggregate."""
+    train, ev = _decontam_split(spark, sf_dir)
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.contaminated_ids(train, ev, "text", "doc_id", n=4)
+
+
+@_register(
+    "q_decontam_survivors",
+    f"""
+    WITH {_DECONTAM_CTES}
+    SELECT doc_id FROM documents
+    WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM hits)
+    """,
+)
+def q_decontam_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminated training corpus (anti-join on the contaminated-id
+    set, which is benchmark-bounded and therefore broadcastable)."""
+    train, ev = _decontam_split(spark, sf_dir)
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.decontaminate(train, ev, "text", "doc_id", n=4).select("doc_id")
+
+
+_BM25_TERMS = ("join", "hash", "vector")
+
+
+def _bm25_oracle_sql() -> str:
+    w = oracle.words_sql("text")
+    tf_cols = ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(_BM25_TERMS)
+    )
+    df_cols = ", ".join(
+        f"sum((tf{i} > 0)::BIGINT) AS df{i}" for i in range(len(_BM25_TERMS))
+    )
+    terms = " + ".join(
+        f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+        f" * (tf{i} * 2.2) / (tf{i} + 1.2 * (0.25 + 0.75 * dl / avgdl))"
+        for i in range(len(_BM25_TERMS))
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {w} AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, len(w) AS dl, {tf_cols} FROM base
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl, {df_cols} FROM tf
+    )
+    SELECT doc_id, dl, round(0.0 + {terms}, 4) AS bm25
+    FROM tf, (SELECT *, sum_dl / n_docs AS avgdl FROM stats)
+    """
+
+
+@_register("q_bm25_rank", _bm25_oracle_sql())
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance of every document against a fixed term list.  Map-side
+    term frequencies on the staged token array (no explode), one corpus-wide
+    stats row broadcast back; per-term contributions added in fixed query
+    order so the float sum is reproducible (k1=1.2, b=0.75)."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.bm25_scores(
+        _tp(spark, sf_dir, "documents"), list(_BM25_TERMS), "text", "doc_id"
+    )
+
+
+@_register(
+    "q_tfidf_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({oracle.words_sql('text')}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), dfreq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT doc_id, term, tf,
+             round(tf * ln((SELECT count(*) FROM documents) / df), 4) AS tfidf
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, term, tf, tfidf, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by tf·idf: corpus-side shuffle is a
+    map-side-combinable (doc, term) count; the vocabulary-sized document-
+    frequency table joins back by broadcast; the per-doc rank re-uses the
+    groupBy's partitioning and cuts on the rounded score with the term as
+    tiebreak so the top-3 is reproducible across engines."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.tfidf_top_terms(_tp(spark, sf_dir, "documents"), "text", "doc_id", top_n=3)
+
+
+@_register(
+    "q_chunk_documents",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {oracle.words_sql('text')} AS w FROM documents
+    ), st AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 16, 1), 48)) AS s
+      FROM base
+    )
+    SELECT doc_id,
+           ((s - 1) // 48)::INT AS chunk_idx,
+           len(w[s:s+63]) AS chunk_tokens,
+           md5(array_to_string(w[s:s+63], ' ')) AS chunk_hash
+    FROM st
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token windows (chunk_size=64, stride=48 — the
+    pre-packing chunking step).  Map-only sequence+transform+posexplode: no
+    shuffle, chunk count per task bounded by input split size."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.chunk_documents(
+        _tp(spark, sf_dir, "documents"), "text", "doc_id", chunk_size=64, stride=48
+    )
+
+
+@_register(
+    "q_top_ngrams",
+    f"""
+    SELECT gram, count(*) AS n_occurrences
+    FROM (SELECT unnest({oracle.shingles_sql('text', 5)}) AS gram FROM documents)
+    GROUP BY gram
+    ORDER BY n_occurrences DESC, gram ASC
+    LIMIT 20
+    """,
+)
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide most-frequent 5-grams (boilerplate/template detector).
+    Map-side partial agg carries one row per distinct gram per partition;
+    the global top-20 cut has a total order (count desc, gram asc) so the
+    limit is deterministic."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.top_ngrams(_tp(spark, sf_dir, "documents"), "text", n=5, top_k=20)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -3246,6 +3433,13 @@ _PRIORITY = (
     "q_peakpick_fanout",
     "q_asof_join_skewed",
     "q_graph_components_chain",
+    # round-3 additions: corpus hygiene/ranking operators (operators/corpus.py)
+    "q_decontam_hits",
+    "q_decontam_survivors",
+    "q_bm25_rank",
+    "q_tfidf_terms",
+    "q_chunk_documents",
+    "q_top_ngrams",
 )
 
 

@@ -56,21 +56,35 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None, int | None]:
         return ("gif", w, h)
     if n >= 4 and payload[:2] == b"\xff\xd8":
         i = 2
-        while i + 4 <= n and payload[i] == 0xFF:
+        while i + 1 < n and payload[i] == 0xFF:
+            # spec allows any number of 0xFF fill bytes between segments
+            while i + 1 < n and payload[i + 1] == 0xFF:
+                i += 1
             marker = payload[i + 1]
             if marker in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF seen
                 break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no length
+                i += 2
+                continue
             if marker in _SOF_MARKERS:
                 if i + 9 <= n:
                     h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
                     return ("jpeg", w, h)
                 break
+            if i + 4 > n:
+                break
             (seg,) = struct.unpack(">H", payload[i + 2 : i + 4])
             i += 2 + seg
         return ("jpeg", None, None)
-    if n >= 26 and payload[:2] == b"BM":
-        w, h = struct.unpack("<ii", payload[18:26])
-        return ("bmp", w, abs(h))
+    if n >= 22 and payload[:2] == b"BM":
+        (dib,) = struct.unpack("<I", payload[14:18])
+        if dib == 12:  # BITMAPCOREHEADER: u16 dims, never negative
+            w16, h16 = struct.unpack("<HH", payload[18:22])
+            return ("bmp", w16, h16)
+        if n >= 26:
+            w, h = struct.unpack("<ii", payload[18:26])
+            return ("bmp", w, abs(h))
+        return ("bmp", None, None)
     return ("unknown", None, None)
 
 

@@ -154,7 +154,6 @@ def test_hla_typing_parse_edges(spark):
         "result_line STRING",
     )
     rows = parse_hla_typing(df).collect()
-    out = {r.result_line.split("\t")[0] + str(i): r for i, r in enumerate(rows)}
     by_typing = [(r.hla_typing, r.n_alleles) for r in rows]
     assert ("A*01:01\nA*02:01\nB*07:02", 3) in by_typing
     assert ("only", 1) in by_typing

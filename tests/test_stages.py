@@ -88,6 +88,16 @@ def test_image_header_parser_fixture_bytes():
     # truncated JPEG: SOI then garbage-free EOI — no SOF, dims unknown
     assert multimodal.parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
 
+    # JPEG with inter-segment 0xFF fill bytes and standalone TEM/RST markers
+    # (both length-less) before the SOF — spec-valid, must not abort the walk
+    sof0 = b"\xff\xc0" + _s.pack(">H", 17) + b"\x08" + _s.pack(">HH", 7, 9) + b"\x03" + b"\x00" * 9
+    padded = b"\xff\xd8" + b"\xff" * 3 + b"\xff\x01" + b"\xff\xd0" + app0 + b"\xff\xff" + sof0 + b"\xff\xd9"
+    assert multimodal.parse_image_header(padded) == ("jpeg", 9, 7)
+
+    # BMP with the legacy 12-byte BITMAPCOREHEADER: u16 dims at offset 18
+    core = b"BM" + b"\x00" * 12 + _s.pack("<I", 12) + _s.pack("<HH", 111, 222) + b"\x00" * 8
+    assert multimodal.parse_image_header(core) == ("bmp", 111, 222)
+
 
 def test_synthetic_image_roundtrip():
     """Generator and parser agree for every container the fixture emits."""
