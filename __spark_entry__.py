@@ -2753,15 +2753,29 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.srp_near_dup_pairs(corpus, n_planes=8, dim=64, threshold=0.95)
 
 
-# no oracle BY NECESSITY (the only remaining rows-only query): the oracle SQL
-# runs verbatim against pre-registered views, so a filesystem listing would
-# need the sf dir path baked into the SQL string — environment-fragile where
-# rows-only is merely weaker.  The listing logic itself is unit-tested.
-@_register("q_incoming_scan")
+@_register(
+    "q_incoming_scan",
+    # The oracle SQL cannot see the filesystem (it runs verbatim against the
+    # pre-registered views), but S1's actual contract is a completeness
+    # gate — every expected batch file present and non-empty — and the
+    # expected manifest is static, so a literal VALUES table IS the oracle.
+    # The Spark side still exercises the real binaryFile directory listing.
+    """
+    SELECT file_name, has_data FROM (VALUES
+      ('customer.parquet', true), ('documents.parquet', true),
+      ('embeddings.parquet', true), ('events.parquet', true),
+      ('lineitem.parquet', true), ('nation.parquet', true),
+      ('orders.parquet', true), ('part.parquet', true),
+      ('region.parquet', true), ('supplier.parquet', true)
+    ) AS t(file_name, has_data)
+    ORDER BY file_name
+    """,
+)
 def q_incoming_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2: incoming-directory scan — recursive binaryFile listing of the
-    batch directory (register-mtb-data-dropbox.py:606-618); at scale this is
-    the ingest-manifest source, here it lists the sf dir itself."""
+    batch directory (register-mtb-data-dropbox.py:606-618) reduced to the
+    completeness-gate shape (file present, non-empty); at scale this is the
+    ingest-manifest source, here it lists the sf dir itself."""
     listing = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -2769,7 +2783,7 @@ def q_incoming_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return listing.select(
         F.regexp_extract(F.col("path"), "[^/]+$", 0).alias("file_name"),
-        F.col("length"),
+        (F.col("length") > 0).alias("has_data"),
     ).orderBy("file_name")
 
 
@@ -3019,34 +3033,33 @@ _ORACLES["q_ivf_recall"] = (
 
 @_register(
     "q_pdf_metadata",
-    # DuckDB twin of the deterministic pdftotext stub: seed = first payload
-    # byte + payload length (payload is the UTF-8 text, ASCII corpus), then
-    # the same 'Auftrag: A-<seed%10000>' / barcode construction the regex
-    # scan extracts back out.
+    # The Spark side builds a REAL per-doc PDF (synthetic_pdf_bytes: 3
+    # container variants — plain Tj, FlateDecode, TJ-array) and extracts
+    # its text back with the stdlib content-stream parser; the oracle
+    # reproduces the expected extraction from the same doc_id arithmetic,
+    # so a parser bug in either direction breaks the round-trip.
     """
-    WITH s AS (
-      SELECT doc_id,
-             (CASE WHEN coalesce(text, '') = '' THEN 0
-                   ELSE ascii(substring(text, 1, 1)) END)
-               + octet_length(encode(coalesce(text, ''))) AS seed
-      FROM documents
-    )
     SELECT doc_id,
-           'A-' || lpad((seed % 10000)::VARCHAR, 4, '0') AS order_number,
-           'Q' || substring('ABCD', seed % 4 + 1, 1) || substring('WXYZ', seed % 4 + 1, 1)
-            || '0X' || lpad((seed % 999)::VARCHAR, 3, '0') || 'A0' AS rin_barcode
-    FROM s
+           'A-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS order_number,
+           'Q' || substring('ABCD', doc_id % 4 + 1, 1)
+            || substring('WXYZ', (doc_id // 4) % 4 + 1, 1)
+            || '0X' || lpad((doc_id % 999)::VARCHAR, 3, '0') || 'A0' AS rin_barcode,
+           (doc_id % 10)::VARCHAR || '.' || (doc_id % 7)::VARCHAR AS rin
+    FROM documents
     """,
 )
 def q_pdf_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S11: PDF metadata scrape (order number + per-barcode RIN map) via the
-    mapInPandas stage; text extraction is a marked stub (deterministic from
-    payload bytes — the oracle reconstructs it), the regex state-machine and
-    plumbing are real."""
+    """S11: PDF metadata scrape (order number + per-barcode RIN map,
+    register-cel-dropbox.py:49-81) — generate a spec-valid order-sheet PDF
+    per document, then run the real stdlib pdftotext equivalent
+    (content-stream walk, Flate inflate, Tj/TJ replay) + regex scan."""
     docs = _tp(spark, sf_dir, "documents")
-    out = sidecars.pdf_metadata(multimodal.with_binary_payload(docs))
+    out = sidecars.pdf_metadata(sidecars.with_pdf_payload(docs.select("doc_id")))
     return out.select(
-        "doc_id", "order_number", F.map_keys("rin_map").getItem(0).alias("rin_barcode")
+        "doc_id",
+        "order_number",
+        F.map_keys("rin_map").getItem(0).alias("rin_barcode"),
+        F.map_values("rin_map").getItem(0).alias("rin"),
     )
 
 

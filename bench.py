@@ -66,26 +66,34 @@ def main() -> None:
     # one warm-up action so JVM/codegen startup isn't billed to the first query
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # One broken query must not cost the whole suite its bench signal:
+    # time each query independently, record failures, and always emit the
+    # headline JSON for whatever ran.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr, flush=True)
+        try:
+            df = queries[name](spark, sf_dir)
+            n = df.count()
+            timings[name] = round(time.time() - t0, 3)
+            print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr, flush=True)
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED after {round(time.time() - t0, 3)}s: "
+                  f"{errors[name]}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
     spark.stop()
 
 

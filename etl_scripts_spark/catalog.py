@@ -71,9 +71,20 @@ def load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def normalize_events(events: DataFrame) -> DataFrame:
-    """ts BIGINT (ns since epoch) → TIMESTAMP at microsecond precision."""
-    if dict(events.dtypes).get("ts") == "bigint":
+    """Normalize events.ts to TIMESTAMP (µs precision, UTC session TZ).
+
+    Handles every encoding the driver testdata has shipped:
+      - BIGINT nanos-since-epoch (legacy ``nanosAsLong`` read) → truncate to µs
+      - TIMESTAMP_NTZ (parquet timestamp[us], no TZ; Spark 4 inference) →
+        reinterpret as UTC instant — exact, because the session TZ is pinned
+        UTC (:mod:`..session`), matching DuckDB's read of the same file
+      - TIMESTAMP → passthrough
+    """
+    dtype = dict(events.dtypes).get("ts")
+    if dtype == "bigint":
         events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtype == "timestamp_ntz":
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     return events
 
 

@@ -105,6 +105,19 @@ def decontaminate(
     return train.join(F.broadcast(bad), id_col, "left_anti")
 
 
+def join_singleton(df: DataFrame, one_row: DataFrame) -> DataFrame:
+    """Attach a 1-row aggregate (corpus stats, doc count) to every row.
+
+    Plans as BroadcastNestedLoopJoin with a 1-row build side — the right
+    physical shape for a global-stats attach at any scale (the build side
+    is a single broadcast row; the probe side streams map-side).  A
+    literal-key equi-join would plan identically: Catalyst constant-folds
+    the key back to a true-condition join.  Queries using this declare the
+    shape in the plan-test whitelist (CROSS_JOINS_BY_DESIGN).
+    """
+    return df.crossJoin(F.broadcast(one_row))
+
+
 def doc_lengths(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """(id, token array, doc length) — the staged base for ranking scores."""
     return df.select(
@@ -148,7 +161,7 @@ def bm25_scores(
             for i in range(len(query_terms))
         ],
     )
-    scored = base.crossJoin(F.broadcast(stats)).withColumn(
+    scored = join_singleton(base, stats).withColumn(
         "avgdl", F.col("sum_dl") / F.col("n_docs")
     )
     score = F.lit(0.0)
@@ -188,8 +201,7 @@ def tfidf_top_terms(
     from pyspark.sql.window import Window
 
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(n_docs))
+        join_singleton(tf.join(F.broadcast(dfreq), "term"), n_docs)
         .withColumn(
             "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4)
         )

@@ -265,9 +265,32 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame
     minimum.  Equivalence with label propagation and union-find is covered
     by tests/test_reference_impls.py.
     """
-    E = pairs.select(
-        F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
-    ).filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+    from pyspark.sql import Observation
+
+    def checkpoint_with_fingerprint(e: DataFrame) -> tuple[DataFrame, tuple]:
+        # Order-insensitive set fingerprint (count, bit_xor of xxhash64) for
+        # convergence detection, collected via `observe` DURING the eager
+        # checkpoint's materialization — zero extra jobs per round (the
+        # earlier design paid a second full-pass aggregate job each round,
+        # which dominated wall-time on high-round chain graphs).  bit_xor
+        # never overflows (unlike a hash SUM under ANSI mode); a (count,
+        # xor) collision between consecutive DIFFERENT edge sets would stop
+        # a round early (~2^-64 for random xxhash64 values) — accepted.
+        obs = Observation()
+        observed = e.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        )
+        cp = observed.localCheckpoint(eager=True)
+        m = obs.get
+        return cp, (m["n"], m["h"])
+
+    E, fp = checkpoint_with_fingerprint(
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"), F.least("id_a", "id_b").alias("v")
+        ).filter(F.col("u") != F.col("v")).distinct()
+    )
 
     def small_star(e: DataFrame) -> DataFrame:
         mins = e.groupBy("u").agg(F.min("v").alias("m"))
@@ -279,6 +302,9 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame
         return rehung.union(self_edge).distinct()
 
     def large_star(e: DataFrame) -> DataFrame:
+        # No distinct here: duplicate out-edges are harmless to the
+        # min-aggregates downstream and small_star's final distinct dedups —
+        # dropping it removes one shuffle stage per round.
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
@@ -287,27 +313,11 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame
             sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
         )
 
-    def fingerprint(e: DataFrame) -> tuple:
-        # order-insensitive set fingerprint: one tiny aggregate instead of
-        # two exceptAll probes per round.  bit_xor never overflows (unlike
-        # a hash SUM under ANSI mode) and is order-insensitive; a
-        # (count, xor) collision between consecutive DIFFERENT edge sets
-        # would stop a round early (~2^-64 for random xxhash64 values) —
-        # accepted for halving the per-round job count.
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).first()
-        return (row["n"], row["h"])
-
-    fp = fingerprint(E)
     converged = False
     for _ in range(max_iter):
-        new_e = small_star(large_star(E)).localCheckpoint(eager=True)
-        new_fp = fingerprint(new_e)
+        new_e, new_fp = checkpoint_with_fingerprint(small_star(large_star(E)))
         E = new_e
         if new_fp == fp:
             converged = True

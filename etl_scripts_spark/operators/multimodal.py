@@ -60,6 +60,8 @@ def parse_image_header(payload: bytes) -> tuple[str, int | None, int | None]:
             # spec allows any number of 0xFF fill bytes between segments
             while i + 1 < n and payload[i + 1] == 0xFF:
                 i += 1
+            if i + 1 >= n:  # payload ends in fill bytes: truncated, keep flowing
+                break
             marker = payload[i + 1]
             if marker in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF seen
                 break

@@ -37,12 +37,14 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     session_start, session_end).  Deterministic order: (ts, event_id).
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.lit(gap_minutes * 60)
+    # unix_micros works on TIMESTAMP regardless of how the parquet encoded it
+    # (a raw long cast is illegal on TIMESTAMP_NTZ and only second-precision
+    # on TIMESTAMP).
+    gap = F.lit(gap_minutes * 60 * 1_000_000)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     with_flag = events.withColumn(
         "new_session",
-        F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > gap, 1
-        ).otherwise(F.lit(0)),
+        F.when(ts_us - F.lag(ts_us).over(w) > gap, 1).otherwise(F.lit(0)),
     ).withColumn(
         "new_session", F.when(F.lag("ts").over(w).isNull(), 1).otherwise(F.col("new_session"))
     )

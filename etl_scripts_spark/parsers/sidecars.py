@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -99,23 +101,135 @@ PDF_META_SCHEMA = T.StructType(
 )
 
 
+def synthetic_pdf_bytes(doc_id: int) -> bytes:
+    """Deterministic spec-valid one-page PDF order sheet for doc_id.
+
+    The content is the microarray order-sheet shape the reference scrapes
+    (register-cel-dropbox.py:49-81): an 'Auftrag' order number line and a
+    '<barcode> RIN: <score>' line, derived from doc_id arithmetic so a
+    DuckDB oracle can predict the extraction output.  Three container
+    variants keyed by doc_id % 3 exercise the extractor's real paths:
+      0 — plain uncompressed content stream, one `(…) Tj` per line
+      1 — the same stream FlateDecode-compressed (zlib)
+      2 — text split across a `[(…) (…)] TJ` array (uncompressed)
+    """
+    import zlib
+
+    order = f"A-{doc_id % 10000:04d}"
+    barcode = f"Q{'ABCD'[doc_id % 4]}{'WXYZ'[(doc_id // 4) % 4]}0X{doc_id % 999:03d}A0"
+    rin = f"{doc_id % 10}.{doc_id % 7}"
+    variant = doc_id % 3
+    if variant == 2:
+        content = (
+            b"BT /F1 12 Tf 72 720 Td [(Auftrag: ) (" + order.encode() + b")] TJ\n"
+            b"0 -14 Td [(" + barcode.encode() + b" ) (RIN: " + rin.encode() + b")] TJ ET"
+        )
+    else:
+        content = (
+            b"BT /F1 12 Tf 72 720 Td (Auftrag: " + order.encode() + b") Tj\n"
+            b"0 -14 Td (" + barcode.encode() + b" RIN: " + rin.encode() + b") Tj ET"
+        )
+    if variant == 1:
+        body = zlib.compress(content)
+        filt = b" /Filter /FlateDecode"
+    else:
+        body = content
+        filt = b""
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(body)).encode() + filt + b" >>\nstream\n"
+        + body + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, obj in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i + obj + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
+_PDF_STREAM_RE = None  # compiled lazily on the executor (regex import below)
+
+
+def extract_pdf_text(raw: bytes) -> str:
+    """pdftotext, stdlib edition: pull text out of PDF content streams.
+
+    Walks every `<<dict>> stream … endstream` object; inflates
+    /FlateDecode bodies (zlib), skips other filters; then replays the
+    text-showing operators — `(…) Tj` (and the `'`/`"` variants) emit one
+    line each, `[(…) (…) …] TJ` concatenates its array pieces into one
+    line.  Literal-string escapes (\\( \\) \\\\ \\n octal) are decoded.
+    Broken or encrypted input yields '' — callers keep flowing, matching
+    the reference's skip-on-parse-failure behavior.
+    """
+    import re
+    import zlib
+
+    stream_re = re.compile(rb"<<(.*?)>>\s*stream\r?\n(.*?)endstream", re.S)
+    lit = rb"\((?:\\.|[^\\()])*\)"
+    show_re = re.compile(
+        rb"(?P<tj>" + lit + rb")\s*(?:Tj|'|\")|\[(?P<arr>(?:" + lit + rb"|[^\]])*)\]\s*TJ"
+    )
+    lit_re = re.compile(lit)
+    esc_re = re.compile(rb"\\([0-7]{1,3}|.)")
+
+    def _unescape(s: bytes) -> str:
+        simple = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b", b"f": b"\f"}
+
+        def repl(m):
+            g = m.group(1)
+            if g.isdigit():
+                return bytes([int(g, 8) & 0xFF])
+            return simple.get(g, g)
+
+        return esc_re.sub(repl, s).decode("latin-1")
+
+    lines: list[str] = []
+    try:
+        for m in stream_re.finditer(raw):
+            head, body = m.group(1), m.group(2)
+            if b"FlateDecode" in head:
+                try:
+                    body = zlib.decompress(body.strip(b"\r\n"))
+                except zlib.error:
+                    continue
+            elif b"/Filter" in head:
+                continue  # unsupported filter (DCT, LZW, …): not a text stream
+            for sm in show_re.finditer(body):
+                if sm.group("tj") is not None:
+                    lines.append(_unescape(sm.group("tj")[1:-1]))
+                else:
+                    parts = [
+                        _unescape(p[1:-1]) for p in lit_re.findall(sm.group("arr"))
+                    ]
+                    lines.append("".join(parts))
+    except Exception:
+        return ""
+    return "\n".join(lines)
+
+
 def pdf_metadata(df, id_col: str = "doc_id", bin_col: str = "payload"):
     """S11: PDF metadata scrape (microarray order number + per-barcode RIN,
     register-cel-dropbox.py:49-81) as an Arrow-batched mapInPandas stage.
 
-    pdftotext is not in this image, so the text-extraction step is a marked
-    STUB (deterministic from the payload bytes); the state-machine regex
-    scan over the extracted text and the Spark plumbing are real.  Swap
-    `_fake_pdf_text` for a pdftotext/poppler call to go live.
+    Text extraction is :func:`extract_pdf_text` — a real stdlib content-
+    stream parser (uncompressed + FlateDecode) — followed by the same
+    regex state machine the reference runs over pdftotext output.
     """
     import re
-
-    def _fake_pdf_text(raw: bytes) -> str:
-        # STUB — stands in for `pdftotext file.pdf -`; derives a plausible
-        # order sheet deterministically so tests are stable.
-        seed = (raw[0] if raw else 0) + len(raw)
-        barcode = f"Q{'ABCD'[seed % 4]}{'WXYZ'[seed % 4]}0X{seed % 999:03d}A0"
-        return f"Auftrag: A-{seed % 10000:04d}\n{barcode} RIN: {seed % 10}.{seed % 7}\n"
 
     order_re = re.compile(r"Auftrag:\s*(\S+)")
     rin_re = re.compile(r"(Q[A-Z0-9]{4}[0-9]{3}[A-Z][A-Z0-9])\s+RIN:\s*([0-9.]+)")
@@ -126,7 +240,7 @@ def pdf_metadata(df, id_col: str = "doc_id", bin_col: str = "payload"):
         for pdf in it:
             ids, orders, rins = [], [], []
             for did, b in zip(pdf[id_col], pdf[bin_col]):
-                text = _fake_pdf_text(bytes(b) if b is not None else b"")
+                text = extract_pdf_text(bytes(b) if b is not None else b"")
                 m = order_re.search(text)
                 ids.append(int(did))
                 orders.append(m.group(1) if m else None)
@@ -134,3 +248,15 @@ def pdf_metadata(df, id_col: str = "doc_id", bin_col: str = "payload"):
             yield pd.DataFrame({"doc_id": ids, "order_number": orders, "rin_map": rins})
 
     return df.select(id_col, bin_col).mapInPandas(batches, PDF_META_SCHEMA)
+
+
+def with_pdf_payload(df, id_col: str = "doc_id"):
+    """Attach the deterministic synthetic order-sheet PDF as a binary
+    `payload` column (Arrow-batched; the fixture generator runs on the
+    executors, never the driver)."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _gen(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synthetic_pdf_bytes(int(i)))
+
+    return df.withColumn("payload", _gen(F.col(id_col)))

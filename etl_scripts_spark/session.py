@@ -27,6 +27,11 @@ def get_spark(app_name: str = "etl_scripts_spark", shuffle_partitions: int | Non
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver testdata's events.ts is parquet timestamp[us] with no
+        # timezone; Spark 4 would infer TIMESTAMP_NTZ, which rejects
+        # withWatermark and long casts.  Session TZ is pinned UTC, so reading
+        # it as plain TIMESTAMP is bit-identical to DuckDB's reading.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

@@ -128,15 +128,31 @@ def test_run_folder_classification(spark):
     }
 
 
-def test_pdf_metadata_stub_determinism(spark):
-    from etl_scripts_spark.operators.multimodal import with_binary_payload
+def test_pdf_text_extraction_roundtrip():
+    """All three container variants (plain Tj / FlateDecode / TJ array)
+    extract to identical text; junk input degrades to '' not a raise."""
+    for did in (0, 1, 2, 3, 4, 5, 300, 12345):
+        text = sidecars.extract_pdf_text(sidecars.synthetic_pdf_bytes(did))
+        assert text.startswith(f"Auftrag: A-{did % 10000:04d}\n"), (did, text)
+        assert f" RIN: {did % 10}.{did % 7}" in text, (did, text)
+    assert sidecars.extract_pdf_text(b"") == ""
+    assert sidecars.extract_pdf_text(b"not a pdf at all") == ""
+    # corrupt Flate body: stream skipped, no raise
+    broken = sidecars.synthetic_pdf_bytes(1).replace(b"stream\n", b"stream\n\x00\x01", 1)
+    assert isinstance(sidecars.extract_pdf_text(broken), str)
+    # literal-string escapes decode
+    esc = b"<< >>\nstream\n BT (a\\(b\\)c\\\\d\\101) Tj ET\nendstream"
+    assert sidecars.extract_pdf_text(esc) == "a(b)c\\dA"
 
-    df = with_binary_payload(
-        spark.createDataFrame([(1, "order sheet"), (2, "")], "doc_id LONG, text STRING")
+
+def test_pdf_metadata_real_extraction(spark):
+    df = sidecars.with_pdf_payload(
+        spark.createDataFrame([(1,), (2,), (3,)], "doc_id LONG")
     )
     rows = {r.doc_id: r for r in sidecars.pdf_metadata(df).collect()}
-    assert rows[1].order_number and rows[1].order_number.startswith("A-")
-    assert all(len(k) == 10 for k in rows[1].rin_map)
+    assert rows[1].order_number == "A-0001"
+    assert rows[2].rin_map == {"QCW0X002A0": "2.2"}
+    assert all(len(k) == 10 for r in rows.values() for k in r.rin_map)
     again = {r.doc_id: r for r in sidecars.pdf_metadata(df).collect()}
     assert rows[1].order_number == again[1].order_number
 

@@ -36,6 +36,11 @@ CROSS_JOINS_BY_DESIGN = {
     "q_ivf_topk",
     "q_ivf_recall",  # composes the brute-force ground truth above
     "q_timestamped_ids",
+    # 1-row corpus-stats attach (corpus.join_singleton): a single broadcast
+    # row joined to every document — BNLJ is the correct physical shape and
+    # Catalyst folds any literal equi-key back into it.
+    "q_bm25_rank",
+    "q_tfidf_terms",
 }
 
 STREAMING = {

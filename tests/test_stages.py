@@ -87,6 +87,10 @@ def test_image_header_parser_fixture_bytes():
     assert multimodal.parse_image_header(b"not an image at all") == ("unknown", None, None)
     # truncated JPEG: SOI then garbage-free EOI — no SOF, dims unknown
     assert multimodal.parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)
+    # truncated JPEG ending in trailing 0xFF fill bytes: the marker walk
+    # must stop at the boundary, not read past the payload
+    assert multimodal.parse_image_header(b"\xff\xd8\xff\xff") == ("jpeg", None, None)
+    assert multimodal.parse_image_header(b"\xff\xd8\xff\xff\xff") == ("jpeg", None, None)
 
     # JPEG with inter-segment 0xFF fill bytes and standalone TEM/RST markers
     # (both length-less) before the SOF — spec-valid, must not abort the walk
