@@ -25,6 +25,8 @@ ARROW_STAGES = {
     "q_multimodal_features",
     "q_multimodal_frame_sample",
     "q_multimodal_image_meta",
+    "q_multimodal_pixel_stats",
+    "q_multimodal_resize",
     "q_pdf_metadata",
     "q_tool_dryrun",
 }

@@ -103,6 +103,44 @@ def test_image_header_parser_fixture_bytes():
     assert multimodal.parse_image_header(core) == ("bmp", 111, 222)
 
 
+def test_pixel_codec_roundtrip():
+    """Encode → decode is the identity for every container variant; PNG
+    fixtures cycle all five row filters, BMP is bottom-up with padding."""
+    import struct as _s
+    import zlib
+
+    import numpy as np
+
+    for did in range(24):  # covers bmp / png-gray / png-rgb × filter phases
+        fmt, img = multimodal.decode_image_pixels(
+            multimodal.synthetic_pixel_image_bytes(did)
+        )
+        exp = multimodal._pixel_pattern(did)
+        assert img is not None and fmt == ("bmp" if did % 3 == 0 else "png")
+        assert img.shape[:2] == exp.shape
+        assert all((img[:, :, c] == exp).all() for c in range(img.shape[2]))
+    # undecodable inputs flow through as None, never raise
+    assert multimodal.decode_png_pixels(b"\x89PNG\r\n\x1a\njunk") is None
+    assert multimodal.decode_bmp_pixels(b"BMjunk") is None
+    assert multimodal.decode_image_pixels(b"\xff\xd8\xff\xd9")[1] is None
+    # 16-bit / paletted / interlaced PNG: declared unsupported → None
+    ihdr = b"IHDR" + _s.pack(">II", 4, 4) + b"\x10\x00\x00\x00\x00"
+    png16 = (
+        b"\x89PNG\r\n\x1a\n" + _s.pack(">I", 13) + ihdr
+        + _s.pack(">I", zlib.crc32(ihdr))
+    )
+    assert multimodal.decode_png_pixels(png16) is None
+
+    # nearest-neighbor resize law on a known pattern
+    src = multimodal.synthetic_pixel_image_bytes(5)  # png-rgb, w=13, h=15
+    _f, full = multimodal.decode_image_pixels(src)
+    h, w, _c = full.shape
+    xs = (np.arange(16) * w) // 16
+    ys = (np.arange(16) * h) // 16
+    expected = full[ys][:, xs]
+    assert expected.shape == (16, 16, full.shape[2])
+
+
 def test_synthetic_image_roundtrip():
     """Generator and parser agree for every container the fixture emits."""
     for doc_id in range(12):
