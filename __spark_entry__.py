@@ -464,10 +464,12 @@ def q_parent_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components of the sample-parent graph via the alternating
-    large-star/small-star algorithm (O(log²n) rounds independent of graph
-    shape — this graph's region trees are exactly the long-ish shape where
-    per-hop label propagation pays diameter rounds).  Oracle: recursive-CTE
+    """Connected components of the sample-parent graph.  The
+    customer→nation→region tree is SHALLOW (diameter ≲ 3), so per-hop
+    label propagation converges in 3-4 rounds and beats the star
+    algorithm's per-round constant (2 shuffles + 2 joins vs 1 join + 1
+    groupBy); `q_graph_components_chain` covers the deep-graph dispatch
+    (connected_components_star, O(log²n) rounds).  Oracle: recursive-CTE
     reachability closure + min, a declarative definition of the same
     components."""
     edges = catalog.sample_parent_edges(
@@ -476,7 +478,7 @@ def q_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = edges.select(
         F.col("child_code").alias("id_a"), F.col("parent_code").alias("id_b")
     )
-    return dedup.connected_components_star(pairs)
+    return dedup.connected_components(pairs)
 
 
 @_register(

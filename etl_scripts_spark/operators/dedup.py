@@ -209,6 +209,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     plan stays linear (same device as :mod:`.lineage`); convergence is
     detected with an any-change anti-probe, not a full diff collect.
     """
+    from pyspark.sql import Observation
+
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
@@ -217,6 +219,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
     )
     converged = False
+    fp = None
     for _ in range(max_iter):
         nbr = labels.join(edges, labels["id"] == edges["src"]).select(
             F.col("dst").alias("id"), F.col("lbl")
@@ -224,16 +227,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         new_labels = (
             labels.select("id", "lbl").union(nbr).groupBy("id").agg(F.min("lbl").alias("lbl"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        improved = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lbl") < F.col("o.lbl"))
-        )
+        # Convergence via a label-set fingerprint observed DURING the eager
+        # checkpoint: labels only ever decrease, so fingerprint equality
+        # across a round ⇔ fixpoint.  Replaces the old join+isEmpty probe,
+        # which cost a second full job per round.
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(id, lbl))").alias("h"),
+        ).localCheckpoint(eager=True)
+        m = obs.get
+        new_fp = (m["n"], m["h"])
         labels = new_labels
-        if improved.isEmpty():
+        if new_fp == fp:
             converged = True
             break
+        fp = new_fp
     if not converged:
         # Stopping early would RETURN WRONG LABELS (a component would stay
         # split) — refuse instead and point at the round-bounded algorithm.
