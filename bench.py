@@ -54,6 +54,11 @@ HEADLINE = [
     # chain CC — regressions in skew handling / star convergence show here
     "q_asof_join_skewed",
     "q_graph_components_chain",
+    # round-4 additions: the real pixel/PDF decode paths (Arrow-batched
+    # Python stages — their cost scales with payload bytes, worth watching)
+    "q_multimodal_pixel_stats",
+    "q_multimodal_resize",
+    "q_pdf_metadata",
 ]
 
 
