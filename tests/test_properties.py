@@ -1,0 +1,79 @@
+"""Property-based checks (hypothesis) for the pure-Python codec surfaces.
+
+These run without a SparkSession: the pixel and PDF codecs are plain
+functions executed inside Arrow batches, so fuzzing them directly covers
+the exact code the executors run.  Two families:
+
+  * round-trip laws — encode(x) then decode gives back x, for ALL ids
+    (every container variant, every PNG filter phase, every dim class);
+  * totality — arbitrary byte garbage never raises, it degrades to the
+    documented "unknown/None/empty" values (the keep-flowing contract a
+    100 TB corpus scan relies on).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_scripts_spark.operators import multimodal
+from etl_scripts_spark.parsers import sidecars
+
+ids = st.integers(min_value=0, max_value=2**31 - 1)
+
+
+@settings(max_examples=150, deadline=None)
+@given(ids)
+def test_pixel_roundtrip_any_id(doc_id):
+    fmt, img = multimodal.decode_image_pixels(
+        multimodal.synthetic_pixel_image_bytes(doc_id)
+    )
+    exp = multimodal._pixel_pattern(doc_id)
+    assert fmt == ("bmp" if doc_id % 3 == 0 else "png")
+    assert img is not None and img.shape[:2] == exp.shape
+    assert all((img[:, :, c] == exp).all() for c in range(img.shape[2]))
+
+
+@settings(max_examples=150, deadline=None)
+@given(ids)
+def test_pdf_roundtrip_any_id(doc_id):
+    text = sidecars.extract_pdf_text(sidecars.synthetic_pdf_bytes(doc_id))
+    assert text == (
+        f"Auftrag: A-{doc_id % 10000:04d}\n"
+        f"Q{'ABCD'[doc_id % 4]}{'WXYZ'[(doc_id // 4) % 4]}0X{doc_id % 999:03d}A0"
+        f" RIN: {doc_id % 10}.{doc_id % 7}"
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=256))
+def test_image_parsers_total_on_garbage(raw):
+    fmt, w, h = multimodal.parse_image_header(raw)
+    assert isinstance(fmt, str)
+    dfmt, img = multimodal.decode_image_pixels(raw)
+    assert isinstance(dfmt, str)
+    assert img is None or img.ndim == 3
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=256))
+def test_pdf_extractor_total_on_garbage(raw):
+    assert isinstance(sidecars.extract_pdf_text(raw), str)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=192))
+def test_parsers_total_on_jpeg_prefixed_garbage(raw):
+    # adversarial: valid SOI then garbage — the marker walk must terminate
+    payload = b"\xff\xd8" + raw
+    fmt, w, h = multimodal.parse_image_header(payload)
+    # <4 bytes is below the JPEG branch's truncation guard → "unknown"
+    assert fmt == ("jpeg" if len(payload) >= 4 else "unknown")
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=192))
+def test_png_decoder_total_on_png_prefixed_garbage(raw):
+    # valid PNG signature then garbage chunks: None, never an exception
+    out = multimodal.decode_png_pixels(b"\x89PNG\r\n\x1a\n" + raw)
+    assert out is None or out.ndim == 3
