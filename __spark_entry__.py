@@ -2974,6 +2974,68 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_multimodal_audio_stats",
+    # WAV fixture law: n = 256 + d%256 samples of s(i) = (31d + 7i) mod
+    # 65536 - 32768 at rate 8000 + (d%4)*4000 — every stat of the DECODED
+    # PCM is doc_id arithmetic.
+    """
+    WITH dims AS (
+      SELECT doc_id, 256 + doc_id % 256 AS n, 8000 + (doc_id % 4) * 4000 AS rate
+      FROM documents
+    ),
+    sm AS (
+      SELECT doc_id, n, rate, unnest(generate_series(0, n - 1)) AS i FROM dims
+    )
+    SELECT doc_id, rate::INT AS sample_rate, n::INT AS n_samples,
+           sum((doc_id * 31 + i * 7) % 65536 - 32768)::BIGINT AS sum_samples,
+           max(abs((doc_id * 31 + i * 7) % 65536 - 32768))::INT AS peak
+    FROM sm GROUP BY doc_id, n, rate
+    """,
+)
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode: 16-bit PCM WAV (RIFF fmt/data chunk walk) →
+    per-file sample stats, value-exact vs the fixture's closed form.  The
+    audio modality's decode path is stdlib-real end-to-end; only lossy
+    codecs (mp3 et al.) remain a library seam."""
+    docs = _tp(spark, sf_dir, "documents")
+    return multimodal.decode_audio_stats(multimodal.with_wav_payload(docs))
+
+
+@_register(
+    "q_multimodal_video_frames",
+    # AVI fixture law: k = 2 + d%7 frames, frame i is 10 + (d+i)%50 bytes
+    # of b(m) = (d + 3i + m) mod 256; even sampling picks src = j*k//4.
+    """
+    WITH dims AS (SELECT doc_id, 2 + doc_id % 7 AS k FROM documents),
+    f AS (SELECT doc_id, k, unnest([0, 1, 2, 3]) AS j FROM dims),
+    src AS (
+      SELECT doc_id, j, k, (j * k // 4) AS src_frame,
+             10 + (doc_id + (j * k // 4)) % 50 AS ln
+      FROM f
+    ),
+    b AS (
+      SELECT doc_id, j, k, src_frame, ln,
+             unnest(generate_series(0, ln - 1)) AS m
+      FROM src
+    )
+    SELECT doc_id, j::INT AS frame_idx, src_frame::INT AS src_frame,
+           k::INT AS n_frames, ln::INT AS n_bytes,
+           sum((doc_id + 3 * src_frame + m) % 256)::BIGINT AS byte_sum
+    FROM b GROUP BY doc_id, j, k, src_frame, ln
+    """,
+)
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container demux: walk the RIFF/AVI chunk tree to the
+    movi list, index the '00dc' frame chunks, sample 4 evenly (the
+    keyframe-seek law a real container allows, vs. byte-slicing for
+    opaque payloads).  Frame bytes are fingerprinted in-stage so the
+    fan-out never multiplies payload bytes through the plan; the codec
+    payload itself stays an ffmpeg seam."""
+    docs = _tp(spark, sf_dir, "documents")
+    return multimodal.sample_video_frames(multimodal.with_avi_payload(docs))
+
+
+@_register(
     "q_tool_dryrun",
     """
     SELECT s_suppkey AS item_id, 'dryrun' AS status,
@@ -3559,6 +3621,8 @@ _FORCE_HEAD = (
     # new this round
     "q_multimodal_pixel_stats",
     "q_multimodal_resize",
+    "q_multimodal_audio_stats",
+    "q_multimodal_video_frames",
     # r2-only evidence: LLM dedup / ANN / corpus set
     "q_dedup_exact",
     "q_minhash_lsh_pairs",

@@ -333,6 +333,257 @@ def synthetic_pixel_image_bytes(doc_id: int) -> bytes:
     )
 
 
+# --- RIFF container family: WAV audio decode + AVI video demux -----------
+
+
+def parse_riff_chunks(payload: bytes):
+    """Walk a RIFF container's top-level chunks: yields
+    (fourcc, list_type, data_offset, size).  list_type is set for LIST
+    chunks (their first 4 payload bytes), else None.  Totally tolerant:
+    malformed tails just end the walk."""
+    if len(payload) < 12 or payload[:4] != b"RIFF":
+        return
+    pos = 12
+    end = min(8 + struct.unpack("<I", payload[4:8])[0], len(payload))
+    while pos + 8 <= end:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if pos + 8 + size > len(payload):
+            break
+        list_type = payload[pos + 8 : pos + 12] if fourcc == b"LIST" else None
+        yield fourcc, list_type, pos + 8, size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def synthetic_wav_bytes(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono PCM WAV: n = 256 + doc_id % 256 samples,
+    s(i) = ((doc_id*31 + i*7) mod 65536) - 32768, rate 8000 + (doc_id % 4)
+    * 4000.  Fully decodable AND closed-form, so the oracle recomputes any
+    aggregate of the decoded samples from doc_id arithmetic."""
+    import numpy as np
+
+    n = 256 + doc_id % 256
+    rate = 8000 + (doc_id % 4) * 4000
+    i = np.arange(n, dtype=np.int64)
+    samples = (((doc_id * 31 + i * 7) % 65536) - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)  # PCM mono 16-bit
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_audio(payload: bytes):
+    """WAV PCM → (sample_rate, int16 ndarray) — real stdlib decode of the
+    fmt + data chunks; None for non-PCM/malformed input (keep flowing)."""
+    import numpy as np
+
+    try:
+        if payload[8:12] != b"WAVE":
+            return None
+        rate, bits, channels, data = None, None, None, None
+        pos, end = 12, min(8 + struct.unpack("<I", payload[4:8])[0], len(payload))
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            chunk = payload[pos + 8 : pos + 8 + size]
+            if fourcc == b"fmt " and len(chunk) >= 16:
+                audio_fmt, channels, rate = struct.unpack("<HHI", chunk[:8])
+                bits = struct.unpack("<H", chunk[14:16])[0]
+                if audio_fmt != 1:  # PCM only
+                    return None
+            elif fourcc == b"data":
+                data = chunk
+            pos += 8 + size + (size & 1)
+        if rate is None or data is None or bits != 16 or channels != 1:
+            return None
+        return rate, np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+    except Exception:
+        return None
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("sum_samples", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+    ]
+)
+
+
+def with_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture source for the audio path (map-only, Arrow-batched)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [synthetic_wav_bytes(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+
+
+def decode_audio_stats(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """binary → REAL WAV decode → per-file stats (rate, n, sum, peak)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "sample_rate": [], "n_samples": [], "sum_samples": [], "peak": []}
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                dec = decode_wav_audio(bytes(b) if b is not None else b"")
+                out["doc_id"].append(int(did))
+                if dec is None:
+                    for k in ("sample_rate", "n_samples", "sum_samples", "peak"):
+                        out[k].append(None)
+                else:
+                    rate, s = dec
+                    out["sample_rate"].append(rate)
+                    out["n_samples"].append(len(s))
+                    out["sum_samples"].append(int(s.astype("int64").sum()))
+                    out["peak"].append(int(abs(s.astype("int64")).max()) if len(s) else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int32"),
+                    "sum_samples": pd.array(out["sum_samples"], dtype="Int64"),
+                    "peak": pd.array(out["peak"], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+def synthetic_avi_bytes(doc_id: int) -> bytes:
+    """Minimal spec-shaped AVI: RIFF('AVI ') with an hdrl LIST (avih main
+    header carrying the true frame count) and a movi LIST of '00dc' video
+    chunks.  k = 2 + doc_id % 7 frames; frame i has length
+    10 + (doc_id + i) % 50 and bytes b(m) = (doc_id + 3i + m) mod 256 —
+    closed-form for the demux oracle."""
+    k = 2 + doc_id % 7
+    frames = []
+    for i in range(k):
+        ln = 10 + (doc_id + i) % 50
+        frames.append(bytes(((doc_id + 3 * i + m) % 256) for m in range(ln)))
+    avih = struct.pack("<14I", 33367, 0, 0, 0, k, 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = bytearray(b"movi")
+    for fr in frames:
+        movi += b"00dc" + struct.pack("<I", len(fr)) + fr
+        if len(fr) & 1:
+            movi += b"\x00"
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi_frames(payload: bytes):
+    """REAL RIFF/AVI demux: walk the chunk tree, locate the movi LIST, and
+    return [(offset, frame_bytes), ...] for the video ('..dc'/'..db')
+    chunks.  This is container demuxing — the codec payload stays opaque
+    (decode needs ffmpeg; that seam is downstream).  None if no movi."""
+    for fourcc, list_type, off, size in parse_riff_chunks(payload):
+        if fourcc == b"LIST" and list_type == b"movi":
+            frames = []
+            pos, end = off + 4, off + size
+            while pos + 8 <= end:
+                cc = payload[pos : pos + 4]
+                (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                if pos + 8 + ln > end:
+                    break
+                if cc[2:4] in (b"dc", b"db"):
+                    frames.append((pos + 8, payload[pos + 8 : pos + 8 + ln]))
+                pos += 8 + ln + (ln & 1)
+            return frames
+    return None
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("src_frame", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("byte_sum", T.LongType()),
+    ]
+)
+
+
+def with_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture source for the video-demux path (map-only, Arrow-batched)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [synthetic_avi_bytes(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", n_frames: int = 4
+) -> DataFrame:
+    """REAL keyframe-index sampling: demux the AVI movi list, then pick n
+    evenly-spaced frames (src = j*k//n — the even-sampling law a seekable
+    container allows, vs. the byte-slicing stub for opaque payloads).
+    One row in → n rows out, partitioning carried over, frame bytes
+    reduced to (len, sum) fingerprints before they leave the stage so the
+    fan-out doesn't multiply payload bytes through the rest of the plan.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {k.name: [] for k in VIDEO_FRAME_SCHEMA.fields}
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                frames = demux_avi_frames(bytes(b) if b is not None else b"")
+                if not frames:
+                    continue  # undecodable → no rows (quarantine upstream)
+                k = len(frames)
+                for j in range(n_frames):
+                    src = j * k // n_frames
+                    _off, data = frames[src]
+                    arr = np.frombuffer(data, dtype=np.uint8)
+                    out["doc_id"].append(int(did))
+                    out["frame_idx"].append(j)
+                    out["src_frame"].append(src)
+                    out["n_frames"].append(k)
+                    out["n_bytes"].append(len(data))
+                    out["byte_sum"].append(int(arr.astype("int64").sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                    "src_frame": pd.array(out["src_frame"], dtype="Int32"),
+                    "n_frames": pd.array(out["n_frames"], dtype="Int32"),
+                    "n_bytes": pd.array(out["n_bytes"], dtype="Int32"),
+                    "byte_sum": pd.array(out["byte_sum"], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, VIDEO_FRAME_SCHEMA)
+
+
 PAYLOAD_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -27,6 +27,8 @@ ARROW_STAGES = {
     "q_multimodal_image_meta",
     "q_multimodal_pixel_stats",
     "q_multimodal_resize",
+    "q_multimodal_audio_stats",
+    "q_multimodal_video_frames",
     "q_pdf_metadata",
     "q_tool_dryrun",
 }

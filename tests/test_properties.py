@@ -77,3 +77,36 @@ def test_png_decoder_total_on_png_prefixed_garbage(raw):
     # valid PNG signature then garbage chunks: None, never an exception
     out = multimodal.decode_png_pixels(b"\x89PNG\r\n\x1a\n" + raw)
     assert out is None or out.ndim == 3
+
+
+@settings(max_examples=150, deadline=None)
+@given(ids)
+def test_wav_roundtrip_any_id(doc_id):
+    import numpy as np
+
+    rate, s = multimodal.decode_wav_audio(multimodal.synthetic_wav_bytes(doc_id))
+    n = 256 + doc_id % 256
+    i = np.arange(n, dtype=np.int64)
+    assert rate == 8000 + (doc_id % 4) * 4000
+    assert (s.astype("int64") == ((doc_id * 31 + i * 7) % 65536) - 32768).all()
+
+
+@settings(max_examples=150, deadline=None)
+@given(ids)
+def test_avi_demux_roundtrip_any_id(doc_id):
+    frames = multimodal.demux_avi_frames(multimodal.synthetic_avi_bytes(doc_id))
+    k = 2 + doc_id % 7
+    assert len(frames) == k
+    for i, (_off, data) in enumerate(frames):
+        ln = 10 + (doc_id + i) % 50
+        assert data == bytes(((doc_id + 3 * i + m) % 256) for m in range(ln))
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=256))
+def test_riff_family_total_on_garbage(raw):
+    assert multimodal.decode_wav_audio(raw) is None or True
+    frames = multimodal.demux_avi_frames(raw)
+    assert frames is None or isinstance(frames, list)
+    # RIFF-prefixed garbage exercises the chunk walker specifically
+    list(multimodal.parse_riff_chunks(b"RIFF" + raw))
