@@ -3508,6 +3508,35 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_lm_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({oracle.words_sql('text')}) AS term FROM documents
+    ), vocab AS (
+      SELECT term, count(*) AS c FROM toks GROUP BY term
+    ), stats AS (
+      SELECT count(*) AS v, sum(c) AS n_tok FROM vocab
+    ), scored AS (
+      SELECT t.doc_id,
+             round(ln((vb.c + 1.0) / (s.n_tok + s.v)), 8)::DECIMAL(18,8) AS logp
+      FROM toks t JOIN vocab vb USING (term), stats s
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(sum(logp)::DOUBLE / count(*), 4) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM mean log-likelihood per document (add-one smoothing) —
+    the cheap fluency/quality score for corpus filtering.  Per-token
+    log-probs round to 8 dp and sum as DECIMAL so the score is exact and
+    shuffle-order-independent; see corpus.lm_scores for the scale shape."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.lm_scores(_tp(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
     "q_chunk_documents",
     f"""
     WITH base AS (
@@ -3623,6 +3652,7 @@ _FORCE_HEAD = (
     "q_multimodal_resize",
     "q_multimodal_audio_stats",
     "q_multimodal_video_frames",
+    "q_lm_score",
     # r2-only evidence: LLM dedup / ANN / corpus set
     "q_dedup_exact",
     "q_minhash_lsh_pairs",

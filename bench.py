@@ -68,8 +68,17 @@ def main() -> None:
     spark = get_spark("etl-scripts-spark-bench")
     queries = entrymod.queries()
 
-    # one warm-up action so JVM/codegen startup isn't billed to the first query
+    # Warm-up actions so one-time infra startup isn't billed to whichever
+    # query happens to run first: JVM/codegen, parquet footer reading, and
+    # the Python/Arrow worker pool (first mapInPandas pays worker spawn).
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    def _noop(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(64).repartition(64).mapInPandas(_noop, "id long").count()
 
     # One broken query must not cost the whole suite its bench signal:
     # time each query independently, record failures, and always emit the

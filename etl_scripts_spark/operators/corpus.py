@@ -254,6 +254,46 @@ def chunk_documents(
     )
 
 
+def lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document add-one-smoothed unigram LM mean log-likelihood — the
+    classic cheap fluency/quality signal for corpus filtering (documents
+    scoring far below the corpus mean are boilerplate, non-language, or
+    mojibake).
+
+    Scale shape: one (term) groupBy builds the vocabulary (map-side
+    combinable), one tiny aggregate derives (V, N), and the per-document
+    score is explode → vocab join → groupBy(doc) — all equi-joins on
+    uniform keys; the vocabulary join broadcasts at test scale and
+    degrades gracefully to a shuffle join when the vocab outgrows the
+    threshold (plain equi-join, no hint lock-in).
+
+    Float discipline: per-token log-probs are rounded to 8 dp and summed
+    as DECIMAL(18,8), so the per-doc sum is EXACT and shuffle-order-
+    independent — a raw double sum over an exploded token table would be
+    order-dependent and unreproducible across engines (and across runs).
+    """
+    base = doc_lengths(df, text_col, id_col)
+    toks = base.select(F.col(id_col), F.explode("_w").alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
+    stats = vocab.agg(
+        F.count("*").alias("v"), F.sum("c").alias("n_tok")
+    )
+    scored = join_singleton(toks.join(vocab, "term"), stats)
+    logp = F.round(
+        F.log((F.col("c") + F.lit(1)) / (F.col("n_tok") + F.col("v"))), 8
+    ).cast("decimal(18,8)")
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum(logp).alias("_ll"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("_ll").cast("double") / F.col("n_tokens"), 4).alias("avg_logp"),
+    )
+
+
 def top_ngrams(
     df: DataFrame,
     text_col: str = "text",

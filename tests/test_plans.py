@@ -45,6 +45,7 @@ CROSS_JOINS_BY_DESIGN = {
     # Catalyst folds any literal equi-key back into it.
     "q_bm25_rank",
     "q_tfidf_terms",
+    "q_lm_score",
 }
 
 STREAMING = {
