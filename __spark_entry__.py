@@ -3508,6 +3508,48 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_source_mixing",
+    # same salted-md5 arithmetic as the Spark op (the engine-portable hex
+    # trick): pct = md5('mix-v1|' || id)[:6] as int % 100, then per-source
+    # floor(w) + (pct < frac(w)*100) copies.
+    """
+    WITH h AS (
+      SELECT doc_id, doc_id % 4 AS source_id,
+             ('0x' || substring(md5('mix-v1|' || doc_id::VARCHAR), 1, 6))::BIGINT
+               % 100 AS pct
+      FROM documents
+    ), n AS (
+      SELECT doc_id, source_id,
+             CASE source_id
+               WHEN 0 THEN 2 + CASE WHEN pct < 50 THEN 1 ELSE 0 END
+               WHEN 1 THEN 1
+               WHEN 2 THEN CASE WHEN pct < 60 THEN 1 ELSE 0 END
+               ELSE CASE WHEN pct < 25 THEN 1 ELSE 0 END
+             END AS n
+      FROM h
+    )
+    SELECT doc_id, source_id,
+           unnest(generate_series(0, n - 1)) AS copy_idx
+    FROM n WHERE n > 0
+    """,
+)
+def q_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing (Pile/LLaMA-style): expected copy
+    count per source equals its weight {2.5, 1.0, 0.6, 0.25}, decided by a
+    per-document salted hash — deterministic, map-side, no shuffle, no RNG.
+    See sampling.source_mix for the 100 TB volume note."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).alias("source_id")
+    )
+    out = sampling.source_mix(
+        docs, {0: 2.5, 1: 1.0, 2: 0.6, 3: 0.25}, "source_id", "doc_id"
+    )
+    return out.select(
+        "doc_id", "source_id", F.col("copy_idx").cast("bigint").alias("copy_idx")
+    )
+
+
+@_register(
     "q_lm_score",
     f"""
     WITH toks AS (
@@ -3653,6 +3695,7 @@ _FORCE_HEAD = (
     "q_multimodal_audio_stats",
     "q_multimodal_video_frames",
     "q_lm_score",
+    "q_source_mixing",
     # r2-only evidence: LLM dedup / ANN / corpus set
     "q_dedup_exact",
     "q_minhash_lsh_pairs",

@@ -39,6 +39,42 @@ def split_assign(id_col: Column, train_pct: int = 90, salt: str = "split-v1") ->
     )
 
 
+def source_mix(
+    df: DataFrame,
+    weights: dict[int, float],
+    source_col: str = "source_id",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic temperature-weighted source mixing with fractional
+    up/down-sampling — the standard pre-training data-mixing step (e.g.
+    Pile/LLaMA-style source weights).
+
+    A document from a source with weight w is emitted floor(w) times, plus
+    one more copy when its salted hash lands below frac(w) — so the
+    EXPECTED copy count is exactly w, the decision is per-document
+    deterministic (stable across re-runs and backfills; change the salt
+    for an independent draw), and the op is pure map-side: no shuffle, no
+    state, no RNG.  Copies get a `copy_idx` so downstream packing treats
+    them as distinct rows.  w < 1 is plain downsampling (emit 0 or 1).
+
+    100 TB note: output volume is sum(w_s * bytes_s) — the explode
+    multiplies rows but stays inside the scan's partitioning; no key is
+    ever hot because copies stay on their input partition.
+    """
+    pct = split_hash(F.col(id_col), salt)  # uniform [0, 100)
+    n_copies = F.lit(1)  # sources without a declared weight pass through
+    for src, w in weights.items():
+        base = int(w)
+        frac_pct = int(round((w - base) * 100))
+        n_copies = F.when(
+            F.col(source_col) == src, F.lit(base) + (pct < frac_pct).cast("int")
+        ).otherwise(n_copies)
+    return df.withColumn("_n", n_copies).filter(F.col("_n") > 0).select(
+        "*", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy_idx")
+    ).drop("_n")
+
+
 def pack_chunks(
     df: DataFrame,
     id_col: str,
