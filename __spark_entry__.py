@@ -1961,6 +1961,60 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
 
 
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's iterations as chained CTEs — a declarative replay
+    of similarity.kmeans_assign's exact arithmetic (sequential-fold
+    cosines are bit-identical to list_dot_product; means go through the
+    same round-7-decimal-sum / round-6 pipeline)."""
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,"
+        " sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm"
+        " FROM embeddings),",
+        f"c0 AS (SELECT vec_id::BIGINT AS cid, ev AS cv, nrm AS cn FROM v WHERE vec_id < {k})",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f""", a{i} AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.ev, c.cv) / (v.nrm * c.cn) DESC, c.cid) AS rk
+        FROM v, c{i} c) WHERE rk = 1
+    ), s{i} AS (
+      SELECT a{i}.cid, gs.pos,
+             sum(round(v.ev[gs.pos], 7)::DECIMAL(18,7)) AS s, count(*) AS n
+      FROM a{i} JOIN v USING (vec_id),
+           (SELECT unnest(generate_series(1, {dim})) AS pos) gs
+      GROUP BY a{i}.cid, gs.pos
+    ), c{i + 1} AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+        SELECT cid, list(round(s::DOUBLE / n, 6) ORDER BY pos) AS cv
+        FROM s{i} GROUP BY cid)
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT vec_id, cid FROM (
+      SELECT v.vec_id, c.cid,
+             row_number() OVER (PARTITION BY v.vec_id
+               ORDER BY list_dot_product(v.ev, c.cv) / (v.nrm * c.cn) DESC, c.cid) AS rk
+      FROM v, c{n_iter} c) WHERE rk = 1"""
+    )
+    return "".join(parts)
+
+
+@_register("q_kmeans_assign", _kmeans_oracle_sql())
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (2 Lloyd rounds, k=8): map-side
+    argmax against broadcast centroids (corpus never shuffles), centroid
+    update via per-dimension decimal-exact means.  The trained upgrade of
+    the IVF coarse quantizer; ALGORITHM parity checked row-exact against
+    the unrolled-CTE oracle."""
+    return similarity.kmeans_assign(
+        _tp(spark, sf_dir, "embeddings"), k=8, n_iter=2
+    )
+
+
 _PLANES = similarity.hyperplanes(8, 64)
 
 
@@ -3696,6 +3750,7 @@ _FORCE_HEAD = (
     "q_multimodal_video_frames",
     "q_lm_score",
     "q_source_mixing",
+    "q_kmeans_assign",
     # r2-only evidence: LLM dedup / ANN / corpus set
     "q_dedup_exact",
     "q_minhash_lsh_pairs",

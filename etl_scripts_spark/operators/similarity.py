@@ -271,3 +271,92 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def _centroid_row_from(cent_table: DataFrame) -> DataFrame:
+    """(cid, cv) table → one broadcast row [struct(cid, cv, cn), ...],
+    cid-sorted (same shape `ivf_assign_cells` consumes)."""
+    return F.broadcast(
+        cent_table.select(
+            F.struct(
+                F.col("cid").cast("long").alias("cid"),
+                F.col("cv").cast("array<double>").alias("cv"),
+                l2_norm(F.col("cv")).alias("cn"),
+            ).alias("_c")
+        ).agg(F.array_sort(F.collect_list("_c")).alias("_cents"))
+    )
+
+
+def _assign_to_centroids(staged: DataFrame, cents_row: DataFrame, id_col: str) -> DataFrame:
+    """Map-side nearest-centroid argmax by cosine (ties → lowest cid);
+    the only exchange is the 1-row centroid broadcast."""
+    scored = F.transform(
+        F.col("_cents"),
+        lambda c: F.struct(
+            (dot(F.col("_v"), c["cv"]) / (F.col("_nrm") * c["cn"])).alias("cos"),
+            (-c["cid"]).alias("negcid"),
+        ),
+    )
+    return (
+        staged.join(cents_row)
+        .withColumn("_best", F.array_max(scored))
+        .select(id_col, (-F.col("_best")["negcid"]).alias("cid"), "_v", "_nrm")
+    )
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd's): (id, cid) after `n_iter`
+    update rounds — the trained upgrade of the IVF coarse quantizer
+    (`centroids_row` is iteration zero of exactly this loop).
+
+    Per round: (1) map-side cosine argmax against the broadcast centroids
+    — the corpus NEVER shuffles; (2) centroid update as a per-dimension
+    mean via posexplode → groupBy(cid, dim) — both shuffles are map-side
+    combinable and carry k×dim aggregates, not vectors.  The new
+    centroids collapse to one broadcast row for the next round; the k-row
+    centroid table is localCheckpointed per round so the plan stays flat.
+
+    Engine-portable numerics (the property the oracle checks): cosines
+    are sequential double folds (bit-identical to the oracle's
+    list_dot_product), and the mean's numerator sums components rounded
+    to 7 dp as DECIMAL — exact and shuffle-order-independent, where a raw
+    double SUM over shuffled members would differ run-to-run.  The mean
+    itself rounds to 6 dp, so round-N centroids are bit-identical across
+    engines and assignments stay exact integers.  Clusters that lose all
+    members simply vanish (deterministic in both engines).
+    """
+    staged = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
+    )
+    cents_row = centroids_row(corpus, k, id_col, vec_col)
+    for _ in range(n_iter):
+        assigned = _assign_to_centroids(staged, cents_row, id_col)
+        dims = assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
+        sums = dims.groupBy("cid", "pos").agg(
+            F.sum(F.round(F.col("val"), 7).cast("decimal(18,7)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        new_cents = (
+            sums.withColumn("m", F.round(F.col("s").cast("double") / F.col("n"), 6))
+            .groupBy("cid")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("m")))
+                ).alias("_pm")
+            )
+            .select(
+                "cid",
+                F.transform(F.col("_pm"), lambda x: x["m"]).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cents_row = _centroid_row_from(new_cents)
+    return _assign_to_centroids(staged, cents_row, id_col).select(id_col, "cid")

@@ -46,6 +46,8 @@ CROSS_JOINS_BY_DESIGN = {
     "q_bm25_rank",
     "q_tfidf_terms",
     "q_lm_score",
+    # 1-row centroid-array broadcast per Lloyd round (same shape as ivf)
+    "q_kmeans_assign",
 }
 
 STREAMING = {
