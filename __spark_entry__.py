@@ -1961,11 +1961,12 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
 
 
-def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+def _kmeans_cte_chain(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
     """Unrolled Lloyd's iterations as chained CTEs — a declarative replay
-    of similarity.kmeans_assign's exact arithmetic (sequential-fold
+    of similarity.kmeans_centroids_row's exact arithmetic (sequential-fold
     cosines are bit-identical to list_dot_product; means go through the
-    same round-7-decimal-sum / round-6 pipeline)."""
+    same round-7-decimal-sum / round-6 pipeline).  Ends at CTE c{n_iter}
+    = (cid, cv, cn), plus v = (vec_id, ev, nrm)."""
     parts = [
         "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,"
         " sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm"
@@ -1992,15 +1993,68 @@ def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
         FROM s{i} GROUP BY cid)
     )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+    return (
+        _kmeans_cte_chain(k, n_iter, dim)
+        + f"""
     SELECT vec_id, cid FROM (
       SELECT v.vec_id, c.cid,
              row_number() OVER (PARTITION BY v.vec_id
                ORDER BY list_dot_product(v.ev, c.cv) / (v.nrm * c.cn) DESC, c.cid) AS rk
       FROM v, c{n_iter} c) WHERE rk = 1"""
     )
-    return "".join(parts)
+
+
+def _ivf_trained_oracle_sql(k: int = 8, n_iter: int = 2, nprobe: int = 3, topk: int = 5) -> str:
+    """IVF probing over the TRAINED quantizer: kmeans CTE chain spliced
+    into the same assigned/probes/rank SQL as q_ivf_topk."""
+    return (
+        _kmeans_cte_chain(k, n_iter)
+        + f""", cent AS (SELECT cid, cv, cn FROM c{n_iter}
+    ), corpus AS (SELECT vec_id AS neighbor_id, ev AS v2, nrm FROM v
+    ), qs AS (
+      SELECT vec_id AS query_id, ev AS qv, nrm AS qn FROM v WHERE vec_id < 20
+    ), assigned AS (
+      SELECT neighbor_id, cid, v2, nrm FROM (
+        SELECT c.neighbor_id, t.cid, c.v2, c.nrm,
+               row_number() OVER (PARTITION BY c.neighbor_id
+                 ORDER BY list_dot_product(c.v2, t.cv) / (c.nrm * t.cn) DESC, t.cid) AS r
+        FROM corpus c CROSS JOIN cent t
+      ) WHERE r = 1
+    ), probes AS (
+      SELECT query_id, cid, qv, qn FROM (
+        SELECT q.query_id, t.cid, q.qv, q.qn,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_dot_product(q.qv, t.cv) / (q.qn * t.cn) DESC, t.cid) AS r
+        FROM qs q CROSS JOIN cent t
+      ) WHERE r <= {nprobe}
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT p.query_id, a.neighbor_id,
+             row_number() OVER (PARTITION BY p.query_id
+               ORDER BY list_dot_product(p.qv, a.v2) / (p.qn * a.nrm) DESC, a.neighbor_id) AS rank
+      FROM assigned a JOIN probes p ON a.cid = p.cid
+      WHERE a.neighbor_id != p.query_id
+    ) WHERE rank <= {topk}"""
+    )
+
+
+@_register("q_ivf_trained", _ivf_trained_oracle_sql())
+def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer ANN: the k-means centroids (2 Lloyd rounds, k=8)
+    feed the same IVF probe path — train → index → search as ONE composed
+    plan, no driver round-trip between stages.  Algorithm parity checked
+    row-exact against the spliced oracle."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    cents = similarity.kmeans_centroids_row(emb, k=8, n_iter=2)
+    queries = emb.filter(F.col("vec_id") < 20)
+    out = similarity.ivf_topk(emb, queries, nprobe=3, k=5, cents_row=cents)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
 
 
 @_register("q_kmeans_assign", _kmeans_oracle_sql())
@@ -3751,6 +3805,7 @@ _FORCE_HEAD = (
     "q_lm_score",
     "q_source_mixing",
     "q_kmeans_assign",
+    "q_ivf_trained",
     # r2-only evidence: LLM dedup / ANN / corpus set
     "q_dedup_exact",
     "q_minhash_lsh_pairs",

@@ -59,6 +59,9 @@ HEADLINE = [
     "q_multimodal_pixel_stats",
     "q_multimodal_resize",
     "q_pdf_metadata",
+    # iterative training + trained-quantizer search
+    "q_kmeans_assign",
+    "q_ivf_trained",
 ]
 
 

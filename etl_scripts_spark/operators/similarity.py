@@ -177,6 +177,7 @@ def ivf_assign_cells(
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents_row: DataFrame | None = None,
 ) -> DataFrame:
     """(id, cid) nearest-centroid assignment, map-side (no corpus shuffle).
 
@@ -198,8 +199,10 @@ def ivf_assign_cells(
             (-c["cid"]).alias("negcid"),
         ),
     )
+    if cents_row is None:
+        cents_row = centroids_row(corpus, n_centroids, id_col, vec_col)
     return (
-        staged.join(centroids_row(corpus, n_centroids, id_col, vec_col))
+        staged.join(cents_row)
         .withColumn("_best", F.array_max(scored))
         .select(id_col, (-F.col("_best")["negcid"]).alias("cid"), "_v", "_nrm")
     )
@@ -213,9 +216,12 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents_row: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: coarse-quantize the corpus into
     centroid cells, probe only the closest `nprobe` cells per query.
+    Pass `cents_row` (e.g. from :func:`kmeans_centroids_row`) to search a
+    TRAINED quantizer instead of the default training-free one.
 
     Deterministic training-free quantizer: the first `n_centroids` vectors
     by id are the centroids (so an external oracle can replay the exact
@@ -230,7 +236,11 @@ def ivf_topk(
     Ties (equal cosine) break on the lower centroid/neighbor id in both the
     assignment and the ranking, so results are exactly reproducible.
     """
-    cent_row = centroids_row(corpus, n_centroids, id_col, vec_col)
+    cent_row = (
+        cents_row
+        if cents_row is not None
+        else centroids_row(corpus, n_centroids, id_col, vec_col)
+    )
 
     def probe_cells(df: DataFrame, out_id: str, rank_cap: int) -> DataFrame:
         """Top-`rank_cap` cells per row — window ranking on the (tiny) query
@@ -256,9 +266,9 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("_v"),
         l2_norm(F.col(vec_col)).alias("_nrm"),
     )
-    assigned = ivf_assign_cells(corpus, n_centroids, id_col, vec_col).withColumnRenamed(
-        id_col, "neighbor_id"
-    )
+    assigned = ivf_assign_cells(
+        corpus, n_centroids, id_col, vec_col, cents_row=cent_row
+    ).withColumnRenamed(id_col, "neighbor_id")
     probes = probe_cells(staged_q, "query_id", nprobe).select(
         "query_id", "cid", F.col("_v").alias("_qv"), F.col("_nrm").alias("_qn")
     )
@@ -336,6 +346,25 @@ def kmeans_assign(
         F.col(vec_col).cast("array<double>").alias("_v"),
         l2_norm(F.col(vec_col)).alias("_nrm"),
     )
+    cents_row = kmeans_centroids_row(corpus, k, n_iter, id_col, vec_col)
+    return _assign_to_centroids(staged, cents_row, id_col).select(id_col, "cid")
+
+
+def kmeans_centroids_row(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train the quantizer: `n_iter` Lloyd rounds, returning the 1-row
+    broadcast centroid array in the shape `ivf_topk(cents_row=...)` and
+    `ivf_assign_cells` consume — compose for trained-quantizer ANN."""
+    staged = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
+    )
     cents_row = centroids_row(corpus, k, id_col, vec_col)
     for _ in range(n_iter):
         assigned = _assign_to_centroids(staged, cents_row, id_col)
@@ -359,4 +388,4 @@ def kmeans_assign(
             .localCheckpoint(eager=True)
         )
         cents_row = _centroid_row_from(new_cents)
-    return _assign_to_centroids(staged, cents_row, id_col).select(id_col, "cid")
+    return cents_row

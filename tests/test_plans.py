@@ -48,6 +48,7 @@ CROSS_JOINS_BY_DESIGN = {
     "q_lm_score",
     # 1-row centroid-array broadcast per Lloyd round (same shape as ivf)
     "q_kmeans_assign",
+    "q_ivf_trained",
 }
 
 STREAMING = {
