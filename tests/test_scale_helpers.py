@@ -135,3 +135,36 @@ def test_compact_bounds_file_count_and_size(spark, tmp_path):
     assert len(files) == 3  # ceil(1000/400)
     sizes = [spark.read.parquet(f).count() for f in files]
     assert sum(sizes) == 1000 and max(sizes) <= 400
+
+
+def test_source_mix_copy_counts(spark):
+    """Expected-copy law: floor(w) guaranteed copies + fractional extra by
+    salted hash; unweighted sources pass through exactly once; weight-0
+    sources vanish; copy_idx enumerates 0..n-1."""
+    from pyspark.sql import functions as F
+
+    from etl_scripts_spark.operators.sampling import source_mix, split_hash
+
+    df = spark.range(400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5).alias("source_id")
+    )
+    out = source_mix(df, {0: 2.5, 1: 1.0, 2: 0.6, 3: 0.0}, "source_id", "doc_id")
+    rows = out.groupBy("source_id", "doc_id").count().collect()
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source_id, []).append(r["count"])
+    assert set(per_src[0]) <= {2, 3}       # 2.5 → 2 or 3 copies
+    assert set(per_src[1]) == {1}          # exactly once
+    assert set(per_src.get(2, [])) == {1}  # 0.6 → kept docs appear once
+    assert 3 not in per_src                # weight 0 → dropped entirely
+    assert set(per_src[4]) == {1}          # undeclared source passes through
+    # the fractional decision replays from the same salted hash
+    kept2 = {r.doc_id for r in out.filter(F.col("source_id") == 2).collect()}
+    expect2 = {
+        r.doc_id
+        for r in df.filter(F.col("source_id") == 2)
+        .withColumn("pct", split_hash(F.col("doc_id"), "mix-v1"))
+        .filter(F.col("pct") < 60)
+        .collect()
+    }
+    assert kept2 == expect2
