@@ -42,6 +42,7 @@ from etl_scripts_spark.streaming.stateful import (
     stateful_user_totals_available_now,
 )
 from etl_scripts_spark.streaming.windowed import (
+    enriched_counts_available_now,
     hourly_counts_available_now,
     session_windows_available_now,
 )
@@ -841,6 +842,28 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle here encodes exactly that — the two formulations are verified
     to agree on the definition they share."""
     return session_windows_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+@_register(
+    "q_stream_enriched",
+    """
+    SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H') AS hour_start,
+           coalesce(c.c_mktsegment, 'UNKNOWN') AS group_key,
+           count(*) AS n_events, sum(e.value::DECIMAL(18,2))::DOUBLE AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joins the
+    static customer dimension (re-resolved per micro-batch), then rolls up
+    per (segment × hour).  Unmatched users keep flowing as 'UNKNOWN' —
+    an inner join would silently under-count.  Oracle = the equivalent
+    batch join+rollup."""
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return enriched_counts_available_now(
+        spark, f"{sf_dir}/events.parquet", dim, "c_custkey", "c_mktsegment"
+    )
 
 
 @_register(
@@ -3806,6 +3829,7 @@ _FORCE_HEAD = (
     "q_source_mixing",
     "q_kmeans_assign",
     "q_ivf_trained",
+    "q_stream_enriched",
     # r2-only evidence: LLM dedup / ANN / corpus set
     "q_dedup_exact",
     "q_minhash_lsh_pairs",

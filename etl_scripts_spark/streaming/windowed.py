@@ -116,3 +116,59 @@ def hourly_counts_available_now(
         "n_events",
         "sum_value",
     )
+
+
+def enriched_counts_available_now(
+    spark: SparkSession,
+    events_parquet: str,
+    dim: DataFrame,
+    dim_key: str,
+    group_col: str,
+    approx_keys: int = 256,
+) -> DataFrame:
+    """Stream-static enrichment join + windowed rollup — THE standard
+    streaming-dimension pattern: the event stream joins a static (slowly-
+    changing) dimension, then aggregates per (dimension attribute × hour).
+
+    Scale shape: the static side broadcasts (re-resolved per micro-batch,
+    so a dim refresh between batches is picked up); the stream side never
+    shuffles until the windowed aggregate, whose state is keyed by
+    (attribute × hour) — a tiny keyspace, so shards are sized to it, not
+    to event volume.  Events missing from the dimension are kept
+    (left join, attribute NULL→'UNKNOWN') — dropping them would silently
+    under-count, the streaming analogue of the keep-flowing contract.
+    """
+    from ..catalog import normalize_events
+    from .tuning import state_shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_parquet).schema
+    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
+    stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
+    enriched = stream.join(
+        F.broadcast(dim), stream["user_id"] == dim[dim_key], "left"
+    ).withColumn("_grp", F.coalesce(F.col(group_col), F.lit("UNKNOWN")))
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"), F.col("_grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+    name = f"etl_stream_out_{next(_name_counter)}"
+    with state_shuffle_partitions(spark, approx_keys):
+        query = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH").alias("hour_start"),
+        F.col("_grp").alias("group_key"),
+        "n_events",
+        "sum_value",
+    )

@@ -56,6 +56,7 @@ STREAMING = {
     "q_stream_user_totals",
     "q_stream_dedup",
     "q_stream_sessionize",
+    "q_stream_enriched",
 }
 
 
