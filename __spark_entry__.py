@@ -1577,92 +1577,92 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash64_sql() -> str:
+    """DuckDB twin of text.simhash64_from_tokens: 64 per-bit vote terms
+    over a materialized per-token md5 list `ms` (CTE below).  Bit 63's
+    weight is the bigint-min literal — DuckDB evaluates the sum in
+    HUGEINT and the final ::BIGINT cast is in range by construction."""
+    sets_sql = [
+        "(" + ",".join(f"'{c}'" for c in s) + ")" for s in text.HEX_BIT_SETS
+    ]
+    terms = []
+    for p in range(1, 17):
+        for k in range(4):
+            j = (p - 1) * 4 + k
+            w = str(-(1 << 63)) if j == 63 else str(1 << j)
+            terms.append(
+                f"(CASE WHEN list_sum(list_transform(ms, m ->"
+                f" CASE WHEN substring(m, {p}, 1) IN {sets_sql[k]}"
+                f" THEN 1 ELSE -1 END)) > 0 THEN {w} ELSE 0 END)"
+            )
+    return " + ".join(terms)
+
+
+_SIMHASH_SIG_CTE = (
+    f"sigsrc AS (SELECT doc_id, list_transform(list_distinct({_W}),"
+    " t -> md5(t)) AS ms FROM documents), sig AS ("
+    "SELECT doc_id, ({})::BIGINT AS simhash FROM sigsrc)"
+)
+
+
 @_register(
     "q_simhash",
-    "SELECT doc_id, ("
-    + " + ".join(
-        f"(CASE WHEN list_sum(list_transform(list_distinct({_W}),"
-        f" t -> CASE WHEN substring(md5(t), {j + 1}, 1) IN ('1','3','5','7','9','b','d','f')"
-        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(16)
-    )
-    + ")::BIGINT AS simhash FROM documents",
+    "WITH "
+    + _SIMHASH_SIG_CTE.format(_simhash64_sql())
+    + " SELECT doc_id, simhash FROM sig",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash near-dup signature (tokens materialized once)."""
+    """64-bit SimHash near-dup signature (tokens materialized once)."""
     staged = _tp(spark, sf_dir, "documents").select(
         "doc_id", text.distinct_tokens(F.col("text")).alias("_toks")
     )
     return staged.select(
-        "doc_id", text.simhash16_from_tokens(F.col("_toks")).cast("bigint").alias("simhash")
+        "doc_id", text.simhash64_from_tokens(F.col("_toks")).alias("simhash")
     )
 
 
 @_register(
     "q_simhash_pairs",
-    "WITH sig AS ("
-    + "SELECT doc_id, ("
-    + " + ".join(
-        f"(CASE WHEN list_sum(list_transform(list_distinct({_W}),"
-        f" t -> CASE WHEN substring(md5(t), {j + 1}, 1) IN ('1','3','5','7','9','b','d','f')"
-        f" THEN 1 ELSE -1 END)) > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(16)
-    )
-    + ")::BIGINT AS simhash FROM documents"
+    "WITH "
+    + _SIMHASH_SIG_CTE.format(_simhash64_sql())
     + """
-    ), bands AS (
-      SELECT doc_id, simhash, simhash % 256 AS b0, simhash // 256 AS b1 FROM sig
+    , bands AS (
+      SELECT doc_id, simhash,
+             simhash & 65535 AS b0, (simhash >> 16) & 65535 AS b1,
+             (simhash >> 32) & 65535 AS b2, (simhash >> 48) & 65535 AS b3
+      FROM sig
     ), cand AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS ham
       FROM bands a JOIN bands b ON a.b0 = b.b0 AND a.doc_id < b.doc_id
       UNION
-      SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+      SELECT a.doc_id, b.doc_id, bit_count(xor(a.simhash, b.simhash))
       FROM bands a JOIN bands b ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, bit_count(xor(a.simhash, b.simhash))
+      FROM bands a JOIN bands b ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+      UNION
+      SELECT a.doc_id, b.doc_id, bit_count(xor(a.simhash, b.simhash))
+      FROM bands a JOIN bands b ON a.b3 = b.b3 AND a.doc_id < b.doc_id
     )
-    SELECT id_a, id_b, bit_count(xor(sa, sb))::BIGINT AS hamming
-    FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+    SELECT id_a, id_b, ham::BIGINT AS hamming FROM cand WHERE ham <= 3
     """,
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: pigeonhole banding (two 8-bit halves — any
-    pair within hamming distance 1 shares at least one half exactly) bounds
-    the candidate set, then bit_count(xor) verifies.  The same
-    band-then-verify shape as MinHash-LSH, on a 16-bit signature."""
-    staged = _tp(spark, sf_dir, "documents").select(
-        "doc_id", text.distinct_tokens(F.col("text")).alias("_toks")
-    )
-    sig = staged.select(
-        "doc_id", text.simhash16_from_tokens(F.col("_toks")).cast("bigint").alias("simhash")
-    )
-    # localCheckpoint, not persist(): computed once for the two band joins,
-    # blocks freed on GC instead of leaking a pinned cache per invocation.
-    bands = sig.select(
-        "doc_id",
-        "simhash",
-        (F.col("simhash") % 256).alias("b0"),
-        F.floor(F.col("simhash") / 256).alias("b1"),
-    ).localCheckpoint(eager=True)
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"),
-        F.col("b0").alias("a0"), F.col("b1").alias("a1"),
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"),
-        F.col("b0").alias("c0"), F.col("b1").alias("c1"),
-    )
-    cand = (
-        a.join(b, (F.col("a0") == F.col("c0")) & (F.col("id_a") < F.col("id_b")))
-        .select("id_a", "id_b", "sa", "sb")
-        .union(
-            a.join(b, (F.col("a1") == F.col("c1")) & (F.col("id_a") < F.col("id_b")))
-            .select("id_a", "id_b", "sa", "sb")
-        )
-        .distinct()
-    )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return cand.filter(ham <= 1).select(
-        "id_a", "id_b", ham.cast("bigint").alias("hamming")
-    )
+    """SimHash near-dup pairs: 4×16-bit pigeonhole banding (any pair within
+    hamming distance 3 agrees exactly on at least one band), then
+    bit_count(xor) verifies.  Band-then-verify, same shape as MinHash-LSH.
+
+    Scale notes vs the retired 16-bit version: a 64-bit signature space
+    does not saturate, so equal-band groups stay ~uniform (2^16 keys per
+    band) and the join output grows ~linearly with true near-dup count
+    instead of quadratically with corpus size.  Hamming is computed and
+    filtered INSIDE each band join, before the distinct — the distinct
+    shuffles only surviving (id_a, id_b, hamming) triples, not signatures.
+    At extreme corpus sizes (≥2^20 docs per band key) the next step is
+    more/narrower permuted bands, not a wider join.
+    """
+    return text.simhash_near_dup_pairs(_tp(spark, sf_dir, "documents"))
 
 
 @_register(

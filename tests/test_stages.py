@@ -254,3 +254,32 @@ def test_asof_join_semantics(spark):
     assert out[101] == (15, None)     # latest row wins; its null v stays null
     assert out[102] == (None, None)   # nothing precedes ts=5
     assert out[103] == (None, None)   # key 2 has no right rows at all
+
+
+def test_simhash_pair_count_grows_linearly(spark):
+    """The linear-growth law the 64-bit signature buys: duplicating each of
+    n mutually-unrelated random docs exactly once yields exactly n pairs
+    (one per twin, hamming 0) — and doubling n doubles the pair count.
+    The retired 16-bit signature fails this: its saturated space made
+    unrelated docs collide within the hamming budget, so pair output grew
+    quadratically with corpus size."""
+    import random
+
+    from etl_scripts_spark.operators.text import simhash_near_dup_pairs
+
+    rng = random.Random(20260813)
+    vocab = [f"tok{i:04d}" for i in range(4000)]
+
+    def corpus(n):
+        rows = []
+        for i in range(n):
+            words = rng.sample(vocab, 30)
+            body = " ".join(words)
+            rows.append((2 * i, body))
+            rows.append((2 * i + 1, body))  # exact twin
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    small = simhash_near_dup_pairs(corpus(60)).collect()
+    large = simhash_near_dup_pairs(corpus(120)).collect()
+    assert len(small) == 60 and all(r.hamming == 0 for r in small)
+    assert len(large) == 120 and all(r.hamming == 0 for r in large)
