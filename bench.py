@@ -85,20 +85,33 @@ def main() -> None:
 
     # One broken query must not cost the whole suite its bench signal:
     # time each query independently, record failures, and always emit the
-    # headline JSON for whatever ran.
+    # headline JSON for whatever ran.  Each query runs TWICE and reports
+    # min-of-2 — single-run numbers entangle real regressions with run
+    # noise (JIT warmup, GC, first-touch plan analysis), which made two
+    # past round-over-round deltas undiagnosable.  Both raws are kept in
+    # "runs" so the warm/cold split stays visible.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        try:
-            df = queries[name](spark, sf_dir)
-            n = df.count()
-            timings[name] = round(time.time() - t0, 3)
-            print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr, flush=True)
-        except Exception as exc:  # noqa: BLE001 — harness boundary
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# {name}: FAILED after {round(time.time() - t0, 3)}s: "
-                  f"{errors[name]}", file=sys.stderr, flush=True)
+        raws: list[float] = []
+        rows = -1
+        for _ in range(2):
+            t0 = time.time()
+            try:
+                df = queries[name](spark, sf_dir)
+                rows = df.count()
+                raws.append(round(time.time() - t0, 3))
+            except Exception as exc:  # noqa: BLE001 — harness boundary
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# {name}: FAILED after {round(time.time() - t0, 3)}s: "
+                      f"{errors[name]}", file=sys.stderr, flush=True)
+                break
+        if raws:
+            runs[name] = raws
+            timings[name] = min(raws)
+            print(f"# {name}: {rows} rows in {timings[name]}s (runs: {raws})",
+                  file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -106,6 +119,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
         "sf": sf,
     }
     if errors:

@@ -754,6 +754,8 @@ def decode_pixel_stats(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pa
     """
 
     def batches(it: Iterator) -> Iterator:
+        from decimal import ROUND_HALF_UP, Decimal
+
         import pandas as pd
 
         for pdf in it:
@@ -772,7 +774,18 @@ def decode_pixel_stats(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pa
                     out["height"].append(h)
                     out["channels"].append(ch)
                     out["px_sum"].append(s)
-                    out["mean_px"].append(round(s / (h * w * ch), 4))
+                    # HALF_UP over the double's shortest decimal repr —
+                    # bit-for-bit what Spark round() does (BigDecimal
+                    # .valueOf → HALF_UP; Python repr == Java
+                    # Double.toString shortest form).  Python round() is
+                    # banker's (half-even) and diverges on exact .5 ties.
+                    out["mean_px"].append(
+                        float(
+                            Decimal(repr(s / (h * w * ch))).quantize(
+                                Decimal("0.0001"), rounding=ROUND_HALF_UP
+                            )
+                        )
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": out["doc_id"],

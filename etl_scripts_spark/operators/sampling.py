@@ -22,15 +22,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def split_hash(id_col: Column, salt: str = "split-v1") -> Column:
-    """Uniform [0,100) bucket from a salted md5 of the id — engine-portable
-    (DuckDB: ('0x' || substring(md5(...),1,6))::BIGINT % 100)."""
+def split_hash(id_col: Column, salt: str = "split-v1", basis: int = 100) -> Column:
+    """Uniform [0, basis) bucket from a salted md5 of the id — engine-
+    portable (DuckDB: ('0x' || substring(md5(...),1,6))::BIGINT % basis).
+    basis=100 for percent splits; source_mix uses basis=10000 so
+    fractional weights resolve to 0.01%."""
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 6),
         16,
         10,
     ).cast("bigint")
-    return h % 100
+    return h % basis
 
 
 def split_assign(id_col: Column, train_pct: int = 90, salt: str = "split-v1") -> Column:
@@ -52,23 +54,25 @@ def source_mix(
 
     A document from a source with weight w is emitted floor(w) times, plus
     one more copy when its salted hash lands below frac(w) — so the
-    EXPECTED copy count is exactly w, the decision is per-document
-    deterministic (stable across re-runs and backfills; change the salt
-    for an independent draw), and the op is pure map-side: no shuffle, no
-    state, no RNG.  Copies get a `copy_idx` so downstream packing treats
-    them as distinct rows.  w < 1 is plain downsampling (emit 0 or 1).
+    EXPECTED copy count is exactly w up to the hash resolution of 1/10000
+    (weights quantize to 0.01%: w=0.3333 is honored, w=0.33333 rounds to
+    0.3333), the decision is per-document deterministic (stable across
+    re-runs and backfills; change the salt for an independent draw), and
+    the op is pure map-side: no shuffle, no state, no RNG.  Copies get a
+    `copy_idx` so downstream packing treats them as distinct rows.  w < 1
+    is plain downsampling (emit 0 or 1).
 
     100 TB note: output volume is sum(w_s * bytes_s) — the explode
     multiplies rows but stays inside the scan's partitioning; no key is
     ever hot because copies stay on their input partition.
     """
-    pct = split_hash(F.col(id_col), salt)  # uniform [0, 100)
+    bp = split_hash(F.col(id_col), salt, basis=10000)  # uniform [0, 10000)
     n_copies = F.lit(1)  # sources without a declared weight pass through
     for src, w in weights.items():
         base = int(w)
-        frac_pct = int(round((w - base) * 100))
+        frac_bp = int(round((w - base) * 10000))
         n_copies = F.when(
-            F.col(source_col) == src, F.lit(base) + (pct < frac_pct).cast("int")
+            F.col(source_col) == src, F.lit(base) + (bp < frac_bp).cast("int")
         ).otherwise(n_copies)
     return df.withColumn("_n", n_copies).filter(F.col("_n") > 0).select(
         "*", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("copy_idx")

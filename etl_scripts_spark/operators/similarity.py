@@ -360,12 +360,15 @@ def kmeans_centroids_row(
     """Train the quantizer: `n_iter` Lloyd rounds, returning the 1-row
     broadcast centroid array in the shape `ivf_topk(cents_row=...)` and
     `ivf_assign_cells` consume — compose for trained-quantizer ANN."""
+    from pyspark.sql import Observation
+
     staged = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
         l2_norm(F.col(vec_col)).alias("_nrm"),
     )
     cents_row = centroids_row(corpus, k, id_col, vec_col)
+    fp = None
     for _ in range(n_iter):
         assigned = _assign_to_centroids(staged, cents_row, id_col)
         dims = assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
@@ -373,6 +376,14 @@ def kmeans_centroids_row(
             F.sum(F.round(F.col("val"), 7).cast("decimal(18,7)")).alias("s"),
             F.count(F.lit(1)).alias("n"),
         )
+        # Convergence via a centroid-set fingerprint observed DURING the
+        # eager checkpoint's job (same zero-extra-cost trick as
+        # dedup.connected_components_star): centroids are rounded to 6 dp,
+        # so fingerprint equality across a round ⇔ Lloyd fixpoint, and
+        # remaining rounds would be exact no-ops — skipping them cannot
+        # change the result (the fixed-round DuckDB oracle agrees because
+        # the update is idempotent at the fixpoint).
+        obs = Observation()
         new_cents = (
             sums.withColumn("m", F.round(F.col("s").cast("double") / F.col("n"), 6))
             .groupBy("cid")
@@ -385,7 +396,17 @@ def kmeans_centroids_row(
                 "cid",
                 F.transform(F.col("_pm"), lambda x: x["m"]).alias("cv"),
             )
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(cid, cv))").alias("h"),
+            )
             .localCheckpoint(eager=True)
         )
+        m = obs.get
+        new_fp = (m["n"], m["h"])
         cents_row = _centroid_row_from(new_cents)
+        if new_fp == fp:
+            break
+        fp = new_fp
     return cents_row

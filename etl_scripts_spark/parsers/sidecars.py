@@ -191,11 +191,20 @@ def extract_pdf_text(raw: bytes) -> str:
 
         def repl(m):
             g = m.group(1)
-            if g.isdigit():
+            # octal escape only when every char is 0-7: '\8'/'\9' match the
+            # '.' branch and are digits, but int(g, 8) would raise — the
+            # PDF spec keeps unknown escapes as the literal character.
+            if g and not g.strip(b"01234567"):
                 return bytes([int(g, 8) & 0xFF])
             return simple.get(g, g)
 
-        return esc_re.sub(repl, s).decode("latin-1")
+        try:
+            return esc_re.sub(repl, s).decode("latin-1")
+        except Exception:
+            # one malformed literal must not drop the whole document's
+            # text (outer handler returns '' for everything) — degrade to
+            # the raw bytes of just this string.
+            return s.decode("latin-1", errors="replace")
 
     lines: list[str] = []
     try:

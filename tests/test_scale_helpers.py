@@ -159,12 +159,26 @@ def test_source_mix_copy_counts(spark):
     assert 3 not in per_src                # weight 0 → dropped entirely
     assert set(per_src[4]) == {1}          # undeclared source passes through
     # the fractional decision replays from the same salted hash
+    # (basis 10000 — weights resolve to 0.01%, not whole percent)
     kept2 = {r.doc_id for r in out.filter(F.col("source_id") == 2).collect()}
     expect2 = {
         r.doc_id
         for r in df.filter(F.col("source_id") == 2)
-        .withColumn("pct", split_hash(F.col("doc_id"), "mix-v1"))
-        .filter(F.col("pct") < 60)
+        .withColumn("bp", split_hash(F.col("doc_id"), "mix-v1", basis=10000))
+        .filter(F.col("bp") < 6000)
         .collect()
     }
     assert kept2 == expect2
+    # sub-percent weights are honored (the old whole-percent quantization
+    # made 0.0005 collapse to 0): ~0.05% of 400 docs ≈ 0 or a few, but
+    # the decision must match the hash law exactly
+    out2 = source_mix(df, {0: 0.1234}, "source_id", "doc_id")
+    kept0 = {r.doc_id for r in out2.filter(F.col("source_id") == 0).collect()}
+    expect0 = {
+        r.doc_id
+        for r in df.filter(F.col("source_id") == 0)
+        .withColumn("bp", split_hash(F.col("doc_id"), "mix-v1", basis=10000))
+        .filter(F.col("bp") < 1234)
+        .collect()
+    }
+    assert kept0 == expect0
