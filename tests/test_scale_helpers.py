@@ -182,3 +182,55 @@ def test_source_mix_copy_counts(spark):
         .collect()
     }
     assert kept0 == expect0
+
+
+def test_optimistic_upsert_interleaved_writers(spark, tmp_path):
+    """Lost-update-free MERGE under interleaved commits (the W1/W5 scale
+    story, reference getSampleForUpdate probe-loop): two writers both read
+    v1, both stage, exactly ONE CAS wins the next version; the loser's
+    retry merges onto the winner's committed state, so the final table
+    holds BOTH writers' rows and the conflicting key resolves to the
+    retrying writer (last committer), never to silent overwrite."""
+    import os
+
+    from etl_scripts_spark.sinks.commit import (
+        optimistic_upsert,
+        read_version,
+        table_version,
+        try_publish_version,
+    )
+    from etl_scripts_spark.sinks.files import staged_write
+    from etl_scripts_spark.sinks.merge import merge_upsert
+
+    root = str(tmp_path / "samples")
+    base = spark.createDataFrame(
+        [("S1", "base"), ("S2", "base")], "code string, src string"
+    )
+    assert optimistic_upsert(spark, root, base, ["code"]) == 1
+
+    # Both writers read the SAME snapshot (v1) — the classic race window.
+    v = table_version(root)
+    assert v == 1
+    state = read_version(spark, root, v)
+    a_up = spark.createDataFrame([("S2", "A"), ("S3", "A")], "code string, src string")
+    b_up = spark.createDataFrame([("S2", "B"), ("S4", "B")], "code string, src string")
+    a_staged = os.path.join(root, "data", "race-a")
+    b_staged = os.path.join(root, "data", "race-b")
+    staged_write(merge_upsert(state, a_up, ["code"]), a_staged)
+    staged_write(merge_upsert(state, b_up, ["code"]), b_staged)
+
+    # B publishes first and wins v2; A's CAS on v2 MUST fail (no overwrite).
+    assert try_publish_version(root, v + 1, b_staged) is True
+    assert try_publish_version(root, v + 1, a_staged) is False
+    assert table_version(root) == 2
+
+    # A retries through the real loop: merges onto B's state, commits v3.
+    assert optimistic_upsert(spark, root, a_up, ["code"]) == 3
+    final = {r.code: r.src for r in read_version(spark, root).collect()}
+    # nothing lost: B's S4 survived A's retry; S3 is A's; S2 = last committer
+    assert final == {"S1": "base", "S2": "A", "S3": "A", "S4": "B"}
+
+    # idempotent retry: re-running A's exact updates changes no rows
+    assert optimistic_upsert(spark, root, a_up, ["code"]) == 4
+    again = {r.code: r.src for r in read_version(spark, root).collect()}
+    assert again == final
