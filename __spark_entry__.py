@@ -44,6 +44,7 @@ from etl_scripts_spark.streaming.stateful import (
 from etl_scripts_spark.streaming.windowed import (
     enriched_counts_available_now,
     hourly_counts_available_now,
+    interval_join_available_now,
     session_windows_available_now,
 )
 
@@ -863,6 +864,30 @@ def q_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     return enriched_counts_available_now(
         spark, f"{sf_dir}/events.parquet", dim, "c_custkey", "c_mktsegment"
+    )
+
+
+@_register(
+    "q_stream_interval_join",
+    """
+    SELECT a.event_id AS left_id, b.event_id AS right_id,
+           (epoch_us(a.ts) - epoch_us(b.ts)) // 1000000 AS lag_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'purchase' AND b.event_type = 'click'
+     AND b.ts BETWEEN a.ts - INTERVAL 6 HOUR AND a.ts
+    """,
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join (attribution window: purchase ← same
+    user's clicks in the prior 6 h).  Both sides are genuine streams; the
+    time-range condition + watermarks bound the join state (without them
+    state grows unboundedly — the condition IS the scale story).  A single
+    AvailableNow drain in append mode flushes the complete inner join,
+    which the batch interval-join oracle verifies."""
+    return interval_join_available_now(
+        spark, f"{sf_dir}/events.parquet",
+        left_type="purchase", right_type="click", window_hours=6,
     )
 
 
@@ -1984,16 +2009,18 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"))
 
 
-def _kmeans_cte_chain(k: int = 8, n_iter: int = 2, dim: int = 64) -> str:
+def _kmeans_cte_chain(
+    k: int = 8, n_iter: int = 2, dim: int = 64, src: str = "embeddings"
+) -> str:
     """Unrolled Lloyd's iterations as chained CTEs — a declarative replay
     of similarity.kmeans_centroids_row's exact arithmetic (sequential-fold
     cosines are bit-identical to list_dot_product; means go through the
     same round-7-decimal-sum / round-6 pipeline).  Ends at CTE c{n_iter}
-    = (cid, cv, cn), plus v = (vec_id, ev, nrm)."""
+    = (cid, cv, cn), plus v = (vec_id, ev, nrm) read from `src`."""
     parts = [
         "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,"
         " sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm"
-        " FROM embeddings),",
+        f" FROM {src}),",
         f"c0 AS (SELECT vec_id::BIGINT AS cid, ev AS cv, nrm AS cn FROM v WHERE vec_id < {k})",
     ]
     for i in range(n_iter):
@@ -2090,6 +2117,53 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_assign(
         _tp(spark, sf_dir, "embeddings"), k=8, n_iter=2
     )
+
+
+#: embeddings corpus augmented with planted duplicates (vec_id + 1e6 for
+#: every 20th vector) — shared by the embedding-dedup queries so the
+#: operators have positives to find.
+_AUG_EMB_SQL = (
+    "(SELECT vec_id, embedding FROM embeddings"
+    " UNION ALL"
+    " SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings"
+    " WHERE vec_id % 20 = 0)"
+)
+
+
+@_register(
+    "q_semdedup",
+    _kmeans_cte_chain(8, 2, 64, src=_AUG_EMB_SQL)
+    + """
+    , fin AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.ev, c.cv) / (v.nrm * c.cn) DESC, c.cid) AS rk
+        FROM v, c2 c) WHERE rk = 1
+    ), pruned AS (
+      SELECT DISTINCT fb.vec_id
+      FROM fin fa JOIN fin fb ON fa.cid = fb.cid AND fa.vec_id < fb.vec_id
+      JOIN v va ON va.vec_id = fa.vec_id
+      JOIN v vb ON vb.vec_id = fb.vec_id
+      WHERE list_dot_product(va.ev, vb.ev) / (va.nrm * vb.nrm) > 0.95
+    )
+    SELECT f.vec_id, f.cid, (p.vec_id IS NULL) AS keep
+    FROM fin f LEFT JOIN pruned p ON f.vec_id = p.vec_id
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-dedup): k-means partitions the embedding
+    space, exact cosine prunes within clusters — O(Σ|c|²) instead of
+    O(n²), the published recipe for semantic dedup at corpus scale.
+    Corpus augmented with planted duplicates so pruning has positives;
+    row-exact against the spliced kmeans-CTE + pair-join oracle."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").unionAll(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+        )
+    )
+    return similarity.semdedup(corpus, k=8, n_iter=2, threshold=0.95)
 
 
 _PLANES = similarity.hyperplanes(8, 64)
@@ -3710,6 +3784,80 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_scripts_spark.operators import corpus
 
     return corpus.lm_scores(_tp(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "q_lm_buckets",
+    # splice the registered q_lm_score oracle as a CTE — the bucket law is
+    # defined on exactly the score the other query verifies
+    "WITH scored AS ({LM}) "
+    "SELECT doc_id, avg_logp, "
+    "ntile(4) OVER (ORDER BY avg_logp, doc_id)::BIGINT AS quality_bucket "
+    "FROM scored",
+)
+def q_lm_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-quartile bucketing: rank documents by unigram-LM score
+    and cut into 4 equal-frequency buckets (CCNet-style perplexity
+    binning — bucket 1 = least fluent, 4 = most).  Deterministic total
+    order (score, then doc_id) so the cut is reproducible.  Scale: NOT a
+    bare ntile().over(Window.orderBy(...)) — that collapses the corpus
+    through one task; windows.ntile_buckets range-partitions the 2-column
+    (score, id) payload and ranks per partition with broadcast offsets."""
+    from etl_scripts_spark.operators import corpus
+
+    scored = corpus.lm_scores(_tp(spark, sf_dir, "documents"), "text", "doc_id")
+    return windows.ntile_buckets(
+        scored.select("doc_id", "avg_logp"),
+        ["avg_logp", "doc_id"],
+        n_buckets=4,
+        out_col="quality_bucket",
+    ).select("doc_id", "avg_logp", "quality_bucket")
+
+
+_ORACLES["q_lm_buckets"] = _ORACLES["q_lm_buckets"].replace(
+    "{LM}", _ORACLES["q_lm_score"]
+)
+
+
+@_register(
+    "q_dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, (doc_id % 5 = 0) AS tgt,
+             unnest({oracle.words_sql('text')}) AS term
+      FROM documents
+    ), src_vocab AS (
+      SELECT term, count(*) AS c_src FROM toks GROUP BY term
+    ), tgt_vocab AS (
+      SELECT term, count(*) AS c_tgt FROM toks WHERE tgt GROUP BY term
+    ), vocab AS (
+      SELECT s.term, s.c_src, coalesce(t.c_tgt, 0) AS c_tgt
+      FROM src_vocab s LEFT JOIN tgt_vocab t USING (term)
+    ), stats AS (
+      SELECT count(*) AS v, sum(c_src) AS n_src, sum(c_tgt) AS n_tgt FROM vocab
+    ), scored AS (
+      SELECT t.doc_id,
+             round(ln(((vb.c_tgt + 1.0) / (s.n_tgt + s.v))
+                      / ((vb.c_src + 1.0) / (s.n_src + s.v))), 8)::DECIMAL(18,8) AS lr
+      FROM toks t JOIN vocab vb USING (term), stats s
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           round(sum(lr)::DOUBLE, 4) AS dsir_logw
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights: how much more likely each document's
+    unigrams are under the curated target subset (here doc_id % 5 = 0)
+    than under the full corpus — resampling by these weights shifts the
+    corpus toward the target domain.  Decimal-exact per-doc sums; see
+    corpus.dsir_logweights for the scale shape."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.dsir_logweights(
+        _tp(spark, sf_dir, "documents"),
+        is_target=(F.col("doc_id") % 5 == 0),
+    )
 
 
 @_register(

@@ -62,6 +62,12 @@ HEADLINE = [
     # iterative training + trained-quantizer search
     "q_kmeans_assign",
     "q_ivf_trained",
+    # round-5 additions: semantic dedup, importance weighting, perplexity
+    # bucketing (distributed ntile), stream-stream interval join
+    "q_semdedup",
+    "q_dsir_weights",
+    "q_lm_buckets",
+    "q_stream_interval_join",
 ]
 
 

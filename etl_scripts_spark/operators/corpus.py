@@ -317,3 +317,66 @@ def top_ngrams(
         .orderBy(F.col("n_occurrences").desc(), F.col("gram").asc())
         .limit(top_k)
     )
+
+
+def dsir_logweights(
+    df: DataFrame,
+    is_target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how much more likely its unigrams are under a TARGET distribution
+    (a curated subset, selected by `is_target`) than under the full-corpus
+    source distribution.  High log-weight documents look like the target;
+    resampling by weight shifts the corpus toward it.
+
+    log w(doc) = Σ_t log( p_tgt(t) / p_src(t) ), add-one smoothed over the
+    SHARED source vocabulary (target counts of unseen terms are 0, never
+    missing — a left join with coalesce, so the ratio is defined for every
+    corpus token).
+
+    Scale shape: two term groupBys (map-side combinable) build the two
+    count tables over the same key space; the per-document score is
+    explode → vocab join → groupBy(doc).  The vocabulary join broadcasts
+    at test scale and degrades to a plain shuffle equi-join beyond the
+    threshold.  The target subset never needs to fit anywhere — only its
+    term counts do.
+
+    Float discipline (same as :func:`lm_scores`): per-token log-ratios are
+    rounded to 8 dp and summed as DECIMAL(18,8), so the per-doc sum is
+    exact and shuffle-order-independent across engines.
+    """
+    base = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("_w"), is_target.alias("_tgt")
+    )
+    toks = base.select(F.col(id_col), "_tgt", F.explode("_w").alias("term"))
+    src_vocab = toks.groupBy("term").agg(F.count("*").alias("c_src"))
+    tgt_vocab = (
+        toks.filter(F.col("_tgt")).groupBy("term").agg(F.count("*").alias("c_tgt"))
+    )
+    vocab = src_vocab.join(tgt_vocab, "term", "left").select(
+        "term", "c_src", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
+    )
+    stats = vocab.agg(
+        F.count("*").alias("v"),
+        F.sum("c_src").alias("n_src"),
+        F.sum("c_tgt").alias("n_tgt"),
+    )
+    scored = join_singleton(toks.join(vocab, "term"), stats)
+    log_ratio = F.round(
+        F.log(
+            ((F.col("c_tgt") + F.lit(1)) / (F.col("n_tgt") + F.col("v")))
+            / ((F.col("c_src") + F.lit(1)) / (F.col("n_src") + F.col("v")))
+        ),
+        8,
+    ).cast("decimal(18,8)")
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum(log_ratio).alias("_lw"), F.count(F.lit(1)).alias("n_tokens")
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.round(F.col("_lw").cast("double"), 4).alias("dsir_logw"),
+    )

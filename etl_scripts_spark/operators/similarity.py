@@ -410,3 +410,57 @@ def kmeans_centroids_row(
             break
         fp = new_fp
     return cents_row
+
+
+def semdedup(
+    corpus: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    the embedding space, then pruning near-duplicates WITHIN each cluster
+    — a document is pruned when a lower-id document in its cluster has
+    cosine similarity above the threshold.  Returns (id, cid, keep).
+
+    This is the composition that makes embedding dedup tractable at
+    corpus scale: the k-means quantizer (broadcast centroids, map-side
+    assign — the corpus never shuffles during training) partitions the
+    space so the exact-cosine verify join runs per cluster, O(Σ|c|²)
+    instead of O(n²).  The only corpus shuffle is the hash partition by
+    cluster id for the self-join.  At extreme cluster sizes the
+    within-cluster step composes with SRP-LSH bucketing
+    (:func:`srp_near_dup_pairs`) instead of the plain self-join —
+    cluster-then-LSH, the published SemDeDup scale recipe.
+    """
+    staged = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
+    )
+    cents_row = kmeans_centroids_row(corpus, k, n_iter, id_col, vec_col)
+    assigned = _assign_to_centroids(staged, cents_row, id_col)
+    a = assigned.select(
+        F.col(id_col).alias("id_a"), "cid",
+        F.col("_v").alias("va"), F.col("_nrm").alias("na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("id_b"), "cid",
+        F.col("_v").alias("vb"), F.col("_nrm").alias("nb"),
+    )
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    pruned = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos > threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return assigned.join(pruned, id_col, "left").select(
+        F.col(id_col),
+        "cid",
+        F.coalesce(~F.col("_pruned"), F.lit(True)).alias("keep"),
+    )

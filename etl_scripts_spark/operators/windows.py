@@ -82,3 +82,70 @@ def top_k_per_group(
     tiebreak."""
     w = Window.partitionBy(part_col).orderBy(F.desc(order_col), F.asc(tiebreak_col))
     return df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list[str], n_parts: int = 32, out_col: str = "rank"
+) -> DataFrame:
+    """Exact global row_number over a total order WITHOUT collapsing to a
+    single partition (the classic `Window.orderBy(...)` trap that
+    serializes the whole table through one task).
+
+    Distributed shape: range-partition on the order key, per-partition
+    local row_number (the window partitions by the physical range
+    partition, so every task ranks only its slice), then add the
+    broadcast cumulative size of all earlier partitions.  The result
+    depends only on the total order, not on where the sampled range
+    boundaries land — `order_cols` must therefore be a total order
+    (include a unique id as the last column).
+
+    The range-partitioned frame is localCheckpointed because BOTH the
+    local-rank branch and the partition-size branch read it: a re-sampled
+    range exchange between branches would make offsets inconsistent with
+    local ranks.
+    """
+    parted = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = parted.withColumn("_lrn", F.row_number().over(w))
+    sizes = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(  # ≤ n_parts rows — the only single-partition window
+        "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, F.col("_lrn") + F.col("_off"))
+        .drop("_pid", "_lrn", "_off")
+    )
+
+
+def ntile_buckets(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int = 4,
+    n_parts: int = 32,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Exact ANSI NTILE over a total order, built on
+    :func:`global_row_number` — equal-frequency buckets where the first
+    (n mod k) buckets hold ceil(n/k) rows — without the single-partition
+    sort a bare `ntile().over(Window.orderBy(...))` plans.
+
+    tests/test_stages.py pins the formula against the builtin ntile on a
+    remainder-bearing frame.
+    """
+    ranked = global_row_number(df, order_cols, n_parts, out_col="_grank")
+    n_row = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    out = ranked.join(F.broadcast(n_row))
+    q = F.floor(F.col("_n") / n_buckets)
+    rem = F.col("_n") % n_buckets
+    big = rem * (q + 1)  # rows living in the (q+1)-sized leading buckets
+    r = F.col("_grank")
+    bucket = F.when(
+        r <= big, F.floor((r - 1) / (q + 1)) + 1
+    ).otherwise(rem + F.floor((r - big - 1) / q) + 1)
+    return out.withColumn(out_col, bucket.cast("bigint")).drop("_grank", "_n")

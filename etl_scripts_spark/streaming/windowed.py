@@ -172,3 +172,85 @@ def enriched_counts_available_now(
         "n_events",
         "sum_value",
     )
+
+
+def interval_join_available_now(
+    spark: SparkSession,
+    events_parquet: str,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    window_hours: int = 6,
+) -> DataFrame:
+    """STREAM-STREAM interval join: each left-type event joins the same
+    user's right-type events from the preceding `window_hours` — the
+    attribution-window pattern (purchase ← clicks that led to it).
+
+    Both sides are genuine streams (two file-source readers over the same
+    path), so Spark buffers each side in join state and the time-range
+    condition plus watermarks bound that state: right-side rows older
+    than the window beyond the watermark are evicted, left rows evict at
+    the watermark itself.  Without the time bound the state would grow
+    unboundedly — the condition IS the scale story.  Inner interval joins
+    support append mode, which a single AvailableNow drain flushes
+    completely, so the result equals the batch interval join the oracle
+    runs.
+
+    Returns (left_id, right_id, lag_s): lag in whole seconds (micros
+    diff // 1e6, exact integer arithmetic in both engines).
+    """
+    from ..catalog import normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_parquet).schema
+    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
+
+    def _stream():
+        return normalize_events(
+            spark.readStream.schema(schema).parquet(glob_path)
+        )
+
+    left = (
+        _stream()
+        .filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", "1 hour")
+    )
+    right = (
+        _stream()
+        .filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+        )
+        .withWatermark("r_ts", f"{window_hours + 1} hours")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_ts BETWEEN l_ts - INTERVAL {window_hours} HOURS AND l_ts"
+        ),
+        "inner",
+    )
+    out = joined.select(
+        "left_id",
+        "right_id",
+        (
+            (F.unix_micros(F.col("l_ts")) - F.unix_micros(F.col("r_ts")))
+            / F.lit(1_000_000)
+        ).cast("bigint").alias("lag_s"),
+    )
+    name = f"etl_stream_out_{next(_name_counter)}"
+    query = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)

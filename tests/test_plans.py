@@ -49,6 +49,10 @@ CROSS_JOINS_BY_DESIGN = {
     # 1-row centroid-array broadcast per Lloyd round (same shape as ivf)
     "q_kmeans_assign",
     "q_ivf_trained",
+    "q_semdedup",
+    # 1-row corpus-stats attach (join_singleton), same as bm25/lm_score
+    "q_dsir_weights",
+    "q_lm_buckets",
 }
 
 STREAMING = {
@@ -57,6 +61,7 @@ STREAMING = {
     "q_stream_dedup",
     "q_stream_sessionize",
     "q_stream_enriched",
+    "q_stream_interval_join",
 }
 
 

@@ -283,3 +283,30 @@ def test_simhash_pair_count_grows_linearly(spark):
     large = simhash_near_dup_pairs(corpus(120)).collect()
     assert len(small) == 60 and all(r.hamming == 0 for r in small)
     assert len(large) == 120 and all(r.hamming == 0 for r in large)
+
+
+def test_ntile_buckets_matches_builtin(spark):
+    """The distributed NTILE (range partition + local rank + broadcast
+    offsets) must equal the builtin single-partition ntile, including the
+    remainder law (first n%k buckets get the extra row) — pinned on a
+    7-row frame (7 = 4*1+3) and a 500-row frame across several k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_scripts_spark.operators.windows import ntile_buckets
+
+    for n, k in [(7, 4), (500, 4), (10, 3), (5, 8)]:
+        df = spark.range(n).select(
+            F.col("id"), (F.col("id") * 37 % 11).alias("score")
+        )
+        got = {
+            r.id: r.bucket
+            for r in ntile_buckets(df, ["score", "id"], n_buckets=k).collect()
+        }
+        want = {
+            r.id: r.b
+            for r in df.select(
+                "id", F.ntile(k).over(Window.orderBy("score", "id")).alias("b")
+            ).collect()
+        }
+        assert got == want, f"n={n} k={k}"
