@@ -3908,6 +3908,40 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.top_ngrams(_tp(spark, sf_dir, "documents"), "text", n=5, top_k=20)
 
 
+@_register(
+    "q_boilerplate_flags",
+    # splice the q_top_ngrams oracle as the top-k CTE: the flag law is
+    # defined on exactly the cut the other query verifies
+    f"""
+    WITH top AS ({{TOP}}),
+    grams AS (
+      SELECT DISTINCT doc_id, unnest({oracle.shingles_sql('text', 5)}) AS gram
+      FROM documents
+    ), hit AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN top t USING (gram)
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_boilerplate
+    FROM documents d LEFT JOIN hit h USING (doc_id)
+    """,
+)
+def q_boilerplate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template filter driven by the corpus's own statistics:
+    flag every document containing any of the global top-20 5-grams.  The
+    top-k table broadcasts (k rows by construction); the document side
+    explodes distinct grams map-side and semi-joins.  See
+    corpus.boilerplate_flags for the scale shape."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.boilerplate_flags(
+        _tp(spark, sf_dir, "documents"), "text", "doc_id", n=5, top_k=20
+    )
+
+
+_ORACLES["q_boilerplate_flags"] = _ORACLES["q_boilerplate_flags"].replace(
+    "{TOP}", _ORACLES["q_top_ngrams"]
+)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------

@@ -380,3 +380,41 @@ def dsir_logweights(
         F.col("n_tokens"),
         F.round(F.col("_lw").cast("double"), 4).alias("dsir_logw"),
     )
+
+
+def boilerplate_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Flag documents containing any corpus-wide top-k n-gram — the
+    boilerplate/template filter that composes :func:`top_ngrams` with a
+    per-document membership probe (MassiveText-style repeated-template
+    removal, driven by the corpus's own statistics instead of a curated
+    phrase list).
+
+    Scale shape: the top-k table is tiny by construction (k rows) and
+    broadcasts; the document side explodes its DISTINCT n-grams map-side
+    and semi-joins — one row per (doc, matched gram) candidate, collapsed
+    by the distinct before the left join back.  The corpus is scanned
+    twice (once for global counts, once for membership) — unavoidable
+    without materializing per-doc gram sets, which would dwarf the text.
+    """
+    top = top_ngrams(df, text_col, n, top_k).select("gram")
+    grams = df.select(
+        F.col(id_col), words(F.col(text_col)).alias("_w")
+    ).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_from_words(F.col("_w"), n))).alias("gram"),
+    )
+    hit = (
+        grams.join(F.broadcast(top), "gram")
+        .select(id_col)
+        .distinct()
+        .withColumn("_hit", F.lit(True))
+    )
+    return df.select(F.col(id_col)).join(hit, id_col, "left").select(
+        F.col(id_col), F.coalesce(F.col("_hit"), F.lit(False)).alias("is_boilerplate")
+    )

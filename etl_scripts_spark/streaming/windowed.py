@@ -180,6 +180,7 @@ def interval_join_available_now(
     left_type: str = "purchase",
     right_type: str = "click",
     window_hours: int = 6,
+    approx_keys: int = 1000,
 ) -> DataFrame:
     """STREAM-STREAM interval join: each left-type event joins the same
     user's right-type events from the preceding `window_hours` — the
@@ -245,12 +246,17 @@ def interval_join_available_now(
         ).cast("bigint").alias("lag_s"),
     )
     name = f"etl_stream_out_{next(_name_counter)}"
-    query = (
-        out.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # join state is keyed by user — shard count sized to key cardinality
+    # (each extra shard is 4 state stores here: left/right × keyed/KV)
+    from .tuning import state_shuffle_partitions
+
+    with state_shuffle_partitions(spark, approx_keys):
+        query = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return spark.table(name)
