@@ -2010,37 +2010,47 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kmeans_cte_chain(
-    k: int = 8, n_iter: int = 2, dim: int = 64, src: str = "embeddings"
+    k: int = 8,
+    n_iter: int = 2,
+    dim: int = 64,
+    src: str = "embeddings",
+    prefix: str = "",
+    with_kw: bool = True,
 ) -> str:
     """Unrolled Lloyd's iterations as chained CTEs — a declarative replay
     of similarity.kmeans_centroids_row's exact arithmetic (sequential-fold
     cosines are bit-identical to list_dot_product; means go through the
-    same round-7-decimal-sum / round-6 pipeline).  Ends at CTE c{n_iter}
-    = (cid, cv, cn), plus v = (vec_id, ev, nrm) read from `src`."""
+    same round-7-decimal-sum / round-6 pipeline).  Ends at CTE
+    {prefix}c{n_iter} = (cid, cv, cn), plus {prefix}v = (vec_id, ev, nrm)
+    read from `src`.  `prefix` namespaces the CTEs so several chains (one
+    per PQ block, say) compose in one WITH; `with_kw=False` omits the
+    leading WITH for chains spliced after the first."""
+    p = prefix
     parts = [
-        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,"
+        ("WITH " if with_kw else "")
+        + f"{p}v AS (SELECT vec_id, embedding::DOUBLE[] AS ev,"
         " sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm"
         f" FROM {src}),",
-        f"c0 AS (SELECT vec_id::BIGINT AS cid, ev AS cv, nrm AS cn FROM v WHERE vec_id < {k})",
+        f"{p}c0 AS (SELECT vec_id::BIGINT AS cid, ev AS cv, nrm AS cn FROM {p}v WHERE vec_id < {k})",
     ]
     for i in range(n_iter):
         parts.append(
-            f""", a{i} AS (
+            f""", {p}a{i} AS (
       SELECT vec_id, cid FROM (
         SELECT v.vec_id, c.cid,
                row_number() OVER (PARTITION BY v.vec_id
                  ORDER BY list_dot_product(v.ev, c.cv) / (v.nrm * c.cn) DESC, c.cid) AS rk
-        FROM v, c{i} c) WHERE rk = 1
-    ), s{i} AS (
-      SELECT a{i}.cid, gs.pos,
+        FROM {p}v v, {p}c{i} c) WHERE rk = 1
+    ), {p}s{i} AS (
+      SELECT {p}a{i}.cid, gs.pos,
              sum(round(v.ev[gs.pos], 7)::DECIMAL(18,7)) AS s, count(*) AS n
-      FROM a{i} JOIN v USING (vec_id),
+      FROM {p}a{i} JOIN {p}v v USING (vec_id),
            (SELECT unnest(generate_series(1, {dim})) AS pos) gs
-      GROUP BY a{i}.cid, gs.pos
-    ), c{i + 1} AS (
+      GROUP BY {p}a{i}.cid, gs.pos
+    ), {p}c{i + 1} AS (
       SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
         SELECT cid, list(round(s::DOUBLE / n, 6) ORDER BY pos) AS cv
-        FROM s{i} GROUP BY cid)
+        FROM {p}s{i} GROUP BY cid)
     )"""
         )
     return "".join(parts)
@@ -3940,6 +3950,33 @@ def q_boilerplate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLES["q_boilerplate_flags"] = _ORACLES["q_boilerplate_flags"].replace(
     "{TOP}", _ORACLES["q_top_ngrams"]
 )
+
+
+@_register(
+    "q_doc_sample",
+    """
+    SELECT doc_id, source_id, sample_rank FROM (
+      SELECT doc_id, doc_id % 4 AS source_id,
+             row_number() OVER (
+               PARTITION BY doc_id % 4
+               ORDER BY md5('sample-v1|' || doc_id::VARCHAR) ASC, doc_id ASC
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 50
+    """,
+)
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source sample: the 50 lowest salted-hash docs per
+    source — the reproducible substitute for rand() sampling (membership
+    is a pure function of salt+id, immune to re-runs/backfills/partition
+    layout).  One shuffle on the group key; WindowGroupLimit pushes the
+    rank cut map-side.  See sampling.deterministic_sample."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).alias("source_id")
+    )
+    return sampling.deterministic_sample(
+        docs, 50, "source_id", "doc_id"
+    ).select("doc_id", "source_id", F.col("sample_rank").cast("bigint").alias("sample_rank"))
 
 
 # ---------------------------------------------------------------------------

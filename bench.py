@@ -68,6 +68,8 @@ HEADLINE = [
     "q_dsir_weights",
     "q_lm_buckets",
     "q_stream_interval_join",
+    "q_boilerplate_flags",
+    "q_doc_sample",
 ]
 
 

@@ -96,3 +96,32 @@ def pack_chunks(
     return staged.withColumn(
         "chunk_id", ((cum - F.col(token_col)) / F.lit(budget)).cast("bigint")
     )
+
+
+def deterministic_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str,
+    id_col: str,
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic per-group sample: the `n_per_group` lowest
+    salted-hash rows of each group, with `sample_rank` (1-based).
+
+    This is the reproducible substitute for rand()-based sampling in a
+    pipeline that re-runs and backfills: membership is a pure function of
+    (salt, id), so re-execution, arrival order, and partitioning cannot
+    change the sample; a different salt draws an independent sample.
+
+    Scale shape: one shuffle on the group key; the row_number window is
+    per group, and Spark's WindowGroupLimit pushes the rank<=n cut into
+    each partition, so only n rows per group survive the exchange's
+    downstream.  The hash is md5 (engine-portable) with the id appended
+    to the ordering for a total order even under hash collisions.
+    """
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_group)
+    )
