@@ -2117,6 +2117,82 @@ def q_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle_sql(m: int = 4, k: int = 8, n_iter: int = 1, d: int = 16, topk: int = 5) -> str:
+    """PQ/ADC oracle mirroring the FUSED training pass: a single long-form
+    (vec_id, blk) table carries every sub-vector, block rides the grouping
+    keys through the Lloyd round(s), then codes (per-block argmax), a
+    per-query LUT of rounded-decimal dot products against each codebook,
+    and the summed ADC score ranked per query."""
+    parts = [
+        f"""WITH pv AS (
+      SELECT vec_id, blk, ev, sqrt(list_dot_product(ev, ev)) AS nrm FROM (
+        SELECT vec_id, gs.blk,
+               (embedding[gs.blk * {d} + 1 : gs.blk * {d} + {d}])::DOUBLE[] AS ev
+        FROM embeddings, (SELECT unnest(generate_series(0, {m - 1})) AS blk) gs)
+    ), pc0 AS (
+      SELECT blk, vec_id::BIGINT AS cid, ev AS cv, nrm AS cn FROM pv WHERE vec_id < {k}
+    )"""
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f""", pa{i} AS (
+      SELECT vec_id, blk, cid FROM (
+        SELECT v.vec_id, v.blk, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.blk
+                 ORDER BY list_dot_product(v.ev, c.cv) / (v.nrm * c.cn) DESC, c.cid) AS rk
+        FROM pv v JOIN pc{i} c ON v.blk = c.blk) WHERE rk = 1
+    ), ps{i} AS (
+      SELECT a.blk, a.cid, gs.pos,
+             sum(round(v.ev[gs.pos], 7)::DECIMAL(18,7)) AS s, count(*) AS n
+      FROM pa{i} a JOIN pv v ON a.vec_id = v.vec_id AND a.blk = v.blk,
+           (SELECT unnest(generate_series(1, {d})) AS pos) gs
+      GROUP BY a.blk, a.cid, gs.pos
+    ), pc{i + 1} AS (
+      SELECT blk, cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM (
+        SELECT blk, cid, list(round(s::DOUBLE / n, 6) ORDER BY pos) AS cv
+        FROM ps{i} GROUP BY blk, cid)
+    )"""
+        )
+    parts.append(
+        f""", codes AS (
+      SELECT vec_id, blk, cid AS code FROM (
+        SELECT v.vec_id, v.blk, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id, v.blk
+                 ORDER BY list_dot_product(v.ev, c.cv) / (v.nrm * c.cn) DESC, c.cid) AS rk
+        FROM pv v JOIN pc{n_iter} c ON v.blk = c.blk) WHERE rk = 1
+    ), lut AS (
+      SELECT q.vec_id AS query_id, q.blk, c.cid AS code,
+             round(list_dot_product(q.ev, c.cv), 7)::DECIMAL(18,7) AS dd
+      FROM pv q JOIN pc{n_iter} c ON q.blk = c.blk WHERE q.vec_id < 20
+    ), scored AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, sum(l.dd) AS score
+      FROM codes c JOIN lut l ON c.blk = l.blk AND c.code = l.code
+      WHERE c.vec_id != l.query_id
+      GROUP BY l.query_id, c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= {topk}"""
+    )
+    return "".join(parts)
+
+
+@_register("q_pq_topk", _pq_oracle_sql())
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC search): 4 blocks × 8-centroid
+    codebooks trained by distributed Lloyd's, corpus encoded as 4 small
+    codes per vector (16× compression), queries answered by summed LUT
+    lookups — never a full-vector dot product at search time.  Rank-exact
+    against the 4-chain spliced oracle."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.pq_topk(emb, queries, m=4, k=8, n_iter=1, topk=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 @_register("q_kmeans_assign", _kmeans_oracle_sql())
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (2 Lloyd rounds, k=8): map-side

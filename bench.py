@@ -70,6 +70,7 @@ HEADLINE = [
     "q_stream_interval_join",
     "q_boilerplate_flags",
     "q_doc_sample",
+    "q_pq_topk",
 ]
 
 
