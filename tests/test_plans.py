@@ -152,3 +152,39 @@ def test_register_fastq_tokenizer_not_inlined(spark):
     number of times — expression-inlining regressions multiply it."""
     plan = _plan(spark, "q_register_fastq")
     assert plan.count("regexp_extract") < 60
+
+
+def test_doc_sample_rank_cut_is_mapside(spark):
+    """deterministic_sample must plan WindowGroupLimit on BOTH sides of the
+    exchange — without the map-side cut, every row of every group travels
+    to the reducer just to be discarded."""
+    plan = _plan(spark, "q_doc_sample", "formatted")
+    assert plan.count("WindowGroupLimit") >= 2, "rank cut not pushed map-side"
+
+
+def test_boilerplate_topk_broadcasts(spark):
+    """The top-k gram table is k rows by construction: the membership probe
+    must be a broadcast join, never a shuffle of the exploded gram table."""
+    plan = _plan(spark, "q_boilerplate_flags", "formatted")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_lm_buckets_avoids_global_window(spark):
+    """The ntile must NOT plan a single-partition Window over the scored
+    corpus (the `Window.orderBy` trap).  The only single-partition pieces
+    allowed are the tiny partition-size offset table (<= n_parts rows) and
+    1-row stats gathers; the corpus-side rank partitions by the physical
+    range partition id."""
+    plan = _plan(spark, "q_lm_buckets", "formatted")
+    # (the range exchange itself is hidden behind global_row_number's
+    # localCheckpoint — the visible evidence is the window spec)
+    assert "windowspecdefinition(_pid" in plan, "corpus rank window is not keyed by the range partition id"
+
+
+def test_pq_search_joins_codes_not_vectors(spark):
+    """PQ/ADC search must join the code table against the broadcast LUT —
+    BroadcastHashJoin on (blk, code) — and never recompute full-vector dot
+    products corpus-side at search time (the LUT is the only place dots
+    happen, and it is queries × codebook sized)."""
+    plan = _plan(spark, "q_pq_topk", "formatted")
+    assert "BroadcastHashJoin" in plan
