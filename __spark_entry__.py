@@ -2179,6 +2179,58 @@ def _pq_oracle_sql(m: int = 4, k: int = 8, n_iter: int = 1, d: int = 16, topk: i
     return "".join(parts)
 
 
+@_register(
+    "q_pq_recall",
+    """
+    WITH pq AS ({Q_PQ}), brute AS ({Q_BRUTE}),
+    matched AS (
+      SELECT p.query_id, count(*) AS m
+      FROM pq p JOIN brute b
+        ON p.query_id = b.query_id AND p.neighbor_id = b.neighbor_id
+      GROUP BY p.query_id
+    )
+    SELECT q.query_id, round(coalesce(m, 0) / 5.0, 4) AS recall_at_5
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN matched ON q.query_id = matched.query_id
+    """,
+)
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@5 of the PQ/ADC compressed search
+    against the brute-force ground truth, per query — the number an
+    operator owner tunes (m, k) against, exactly as q_ivf_recall does for
+    the IVF path.  The brute truth is localCheckpointed once so its NLJ
+    is paid a single time.  NB the synthetic vectors are uniform random —
+    the no-structure worst case for quantization (measured ≈0.15 at
+    m=4, k=8 vs IVF's ≈0.85): the measurement being honest about that is
+    the point of the query."""
+    emb = _tp(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    pq = similarity.pq_topk(emb, queries, m=4, k=8, n_iter=1, topk=5).select(
+        "query_id", "neighbor_id"
+    )
+    brute = (
+        similarity.cosine_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    matched = pq.join(brute, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count("*").alias("m")
+    )
+    return (
+        brute.select("query_id")
+        .distinct()
+        .join(matched, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("m"), F.lit(0)) / 5.0, 4).alias("recall_at_5"),
+        )
+    )
+
+
+_ORACLES["q_pq_recall"] = _ORACLES["q_pq_recall"].replace("{Q_PQ}", _pq_oracle_sql())
+# {Q_BRUTE} is spliced next to q_ivf_recall's, after q_embedding_topk registers
+
+
 @_register("q_pq_topk", _pq_oracle_sql())
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ADC search): 4 blocks × 8-centroid
@@ -3467,6 +3519,9 @@ _ORACLES["q_ivf_recall"] = (
     _ORACLES["q_ivf_recall"]
     .replace("{Q_IVF}", _ORACLES["q_ivf_topk"])
     .replace("{Q_BRUTE}", _ORACLES["q_embedding_topk"])
+)
+_ORACLES["q_pq_recall"] = _ORACLES["q_pq_recall"].replace(
+    "{Q_BRUTE}", _ORACLES["q_embedding_topk"]
 )
 
 

@@ -71,6 +71,7 @@ HEADLINE = [
     "q_boilerplate_flags",
     "q_doc_sample",
     "q_pq_topk",
+    "q_pq_recall",
 ]
 
 

@@ -51,6 +51,7 @@ CROSS_JOINS_BY_DESIGN = {
     "q_ivf_trained",
     "q_semdedup",
     "q_pq_topk",  # per-query ADC LUT = queries × tiny codebook broadcast
+    "q_pq_recall",  # composes the brute-force ground truth + PQ above
     # 1-row corpus-stats attach (join_singleton), same as bm25/lm_score
     "q_dsir_weights",
     "q_lm_buckets",
