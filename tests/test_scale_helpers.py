@@ -234,3 +234,38 @@ def test_optimistic_upsert_interleaved_writers(spark, tmp_path):
     assert optimistic_upsert(spark, root, a_up, ["code"]) == 4
     again = {r.code: r.src for r in read_version(spark, root).collect()}
     assert again == final
+
+
+def test_optimistic_upsert_self_heals_and_bounds_retries(spark, tmp_path, monkeypatch):
+    """Two laws of the retry loop: (1) versions claimed by other writers
+    BEFORE an upsert starts just move the target — the upsert lands at
+    top+1 with nothing lost (self-healing, zero retries burned); (2) a
+    CAS that loses every attempt raises rather than spinning or silently
+    dropping the updates, and every failed attempt removes its staging
+    directory."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_scripts_spark.sinks import commit as commitmod
+    from etl_scripts_spark.sinks.files import staged_write
+
+    root = str(tmp_path / "contended")
+    base = spark.createDataFrame([("S1", "base")], "code string, src string")
+    assert commitmod.optimistic_upsert(spark, root, base, ["code"]) == 1
+
+    # (1) adversary pre-claims 2..4 with real snapshots: upsert lands at 5
+    adv = os.path.join(root, "data", "adversary")
+    staged_write(base, adv)
+    for v in (2, 3, 4):
+        assert commitmod.try_publish_version(root, v, adv) is True
+    up = spark.createDataFrame([("S2", "X")], "code string, src string")
+    assert commitmod.optimistic_upsert(spark, root, up, ["code"]) == 5
+    assert {r.code for r in commitmod.read_version(spark, root).collect()} == {"S1", "S2"}
+
+    # (2) a perpetually-losing CAS exhausts retries and cleans staging
+    before = set(os.listdir(os.path.join(root, "data")))
+    monkeypatch.setattr(commitmod, "try_publish_version", lambda *a, **k: False)
+    with _pytest.raises(RuntimeError, match="gave up"):
+        commitmod.optimistic_upsert(spark, root, up, ["code"], max_retries=3)
+    assert set(os.listdir(os.path.join(root, "data"))) == before
