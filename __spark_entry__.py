@@ -4049,6 +4049,68 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.top_ngrams(_tp(spark, sf_dir, "documents"), "text", n=5, top_k=20)
 
 
+def _bpe_oracle_sql(n_merges: int = 3) -> str:
+    """Unrolled BPE merge rounds: vocab (word, freq) once, then per round
+    pair counts → deterministic argmax → space-padded literal replace ×4
+    (leftmost-nonoverlapping replace needs a second pass for alternate
+    occurrences of self-overlapping runs; 4 reaches fixpoint for ≤8)."""
+    parts = [
+        f"""WITH vocab AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest({oracle.words_sql('text')}) AS word FROM documents)
+      GROUP BY word
+    ), seg0 AS (
+      SELECT word, freq,
+             array_to_string(regexp_extract_all(word, '.'), ' ') AS seg
+      FROM vocab
+    )"""
+    ]
+    for r in range(n_merges):
+        parts.append(
+            f""", pairs{r} AS (
+      SELECT syms[i] || ' ' || syms[i + 1] AS pair, sum(freq)::BIGINT AS pair_count
+      FROM (SELECT freq, string_split(seg, ' ') AS syms FROM seg{r}),
+           LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+      WHERE len(syms) > 1
+      GROUP BY pair
+    ), best{r} AS (
+      SELECT {r + 1}::BIGINT AS merge_rank, pair,
+             replace(pair, ' ', '') AS merged, pair_count
+      FROM pairs{r} ORDER BY pair_count DESC, pair ASC LIMIT 1
+    ), seg{r + 1} AS (
+      SELECT s.word, s.freq,
+             trim(replace(replace(replace(replace(
+               ' ' || s.seg || ' ',
+               ' ' || b.pair || ' ', ' ' || b.merged || ' '),
+               ' ' || b.pair || ' ', ' ' || b.merged || ' '),
+               ' ' || b.pair || ' ', ' ' || b.merged || ' '),
+               ' ' || b.pair || ' ', ' ' || b.merged || ' ')) AS seg
+      FROM seg{r} s, best{r} b
+    )"""
+        )
+    parts.append(
+        " "
+        + " UNION ALL ".join(
+            f"SELECT merge_rank, pair, merged, pair_count FROM best{r}"
+            for r in range(n_merges)
+        )
+    )
+    return "".join(parts)
+
+
+@_register("q_bpe_merges", _bpe_oracle_sql())
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the top-3 learned merge rules
+    (pair → merged symbol, frequency-weighted).  One corpus pass builds
+    the word-frequency vocabulary; every merge round then runs over types
+    not tokens — the scalable formulation every production BPE trainer
+    uses.  Integer counts + literal string ops ⇒ exact cross-engine
+    parity.  See corpus.bpe_merges."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.bpe_merges(_tp(spark, sf_dir, "documents"), "text", n_merges=3)
+
+
 @_register(
     "q_boilerplate_flags",
     # splice the q_top_ngrams oracle as the top-k CTE: the flag law is

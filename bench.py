@@ -72,6 +72,7 @@ HEADLINE = [
     "q_doc_sample",
     "q_pq_topk",
     "q_pq_recall",
+    "q_bpe_merges",
 ]
 
 

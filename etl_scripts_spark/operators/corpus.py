@@ -418,3 +418,97 @@ def boilerplate_flags(
     return df.select(F.col(id_col)).join(hit, id_col, "left").select(
         F.col(id_col), F.coalesce(F.col("_hit"), F.lit(False)).alias("is_boilerplate")
     )
+
+
+def bpe_merges(
+    df: DataFrame, text_col: str = "text", n_merges: int = 3
+) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the top `n_merges` merge
+    rules from the corpus.  Returns (merge_rank, pair, merged, pair_count)
+    — the merge table a BPE tokenizer is built from.
+
+    This is the scalable word-frequency formulation every production BPE
+    trainer uses: ONE corpus pass builds the (word, freq) vocabulary
+    table (map-side-combinable groupBy — the only corpus-sized shuffle);
+    every merge round then runs over the VOCABULARY (types, not tokens) —
+    at 100 TB that table is millions of rows where the corpus is
+    trillions, so the iterative part never touches the corpus again.
+
+    Round semantics (identical in the DuckDB oracle): words start as
+    space-separated characters; pair counts are adjacent-symbol counts
+    weighted by word frequency; the argmax pair (count desc, pair asc —
+    deterministic tie-break) merges via literal space-padded replace,
+    applied 4× because a single leftmost-nonoverlapping replace pass
+    skips alternate occurrences of self-overlapping runs ('a b a b': the
+    first match consumes the shared boundary space).  4 passes reach the
+    fixpoint for any run of ≤ 8 adjacent pair occurrences.  Integer
+    counts + literal string ops — no floats anywhere, so cross-engine
+    parity is exact.  The per-round vocab table localCheckpoints: the
+    segmentation column would otherwise nest 4 replaces per round
+    multiplicatively into one expression tree.
+    """
+    vocab = (
+        df.select(F.explode(words(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    seg_tbl = vocab.select(
+        "word",
+        "freq",
+        F.array_join(F.regexp_extract_all("word", F.lit("."), 0), " ").alias("seg"),
+    ).localCheckpoint(eager=True)
+
+    best_rows = []
+    for r in range(n_merges):
+        syms = seg_tbl.select("freq", F.split(F.col("seg"), " ").alias("_s"))
+        # single-symbol words contribute no pairs; guard the sequence —
+        # Spark's sequence(1, 0) would count DOWN, not return empty
+        idx = F.when(
+            F.size("_s") > 1, F.sequence(F.lit(1), F.size("_s") - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = syms.select(
+            "freq",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(F.col("_s"), i.cast("int")),
+                        F.element_at(F.col("_s"), (i + 1).cast("int")),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), F.col("pair").asc())
+            .limit(1)
+            .select(
+                F.lit(r + 1).cast("bigint").alias("merge_rank"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "pair_count",
+            )
+            .localCheckpoint(eager=True)
+        )
+        best_rows.append(best)
+        padded = F.concat(F.lit(" "), F.col("seg"), F.lit(" "))
+        search = F.concat(F.lit(" "), F.col("_bp"), F.lit(" "))
+        repl = F.concat(F.lit(" "), F.col("_bm"), F.lit(" "))
+        for _ in range(4):
+            padded = F.replace(padded, search, repl)
+        seg_tbl = (
+            seg_tbl.join(
+                F.broadcast(
+                    best.select(
+                        F.col("pair").alias("_bp"), F.col("merged").alias("_bm")
+                    )
+                )
+            )
+            .select("word", "freq", F.trim(padded).alias("seg"))
+            .localCheckpoint(eager=True)
+        )
+    out = best_rows[0]
+    for b in best_rows[1:]:
+        out = out.union(b)
+    return out

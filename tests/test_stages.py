@@ -310,3 +310,41 @@ def test_ntile_buckets_matches_builtin(spark):
             ).collect()
         }
         assert got == want, f"n={n} k={k}"
+
+
+def test_bpe_merges_matches_reference(spark):
+    """The distributed BPE trainer must equal a plain-Python reference of
+    the same round law (pair counts weighted by word freq, argmax with
+    (count desc, pair asc) tie-break, space-padded replace x4 — Python
+    str.replace has exactly the engines' leftmost-nonoverlapping
+    semantics).  The corpus includes a self-overlapping run ('aaaa') to
+    pin the multi-pass replace behavior."""
+    import collections
+
+    from etl_scripts_spark.operators.corpus import bpe_merges
+
+    texts = ["banana banana aaaa", "abab abab banana"]
+    freq = collections.Counter(w for t in texts for w in t.split())
+    seg = {w: " ".join(w) for w in freq}
+    expect = []
+    for r in range(3):
+        pc = collections.Counter()
+        for w, f in freq.items():
+            syms = seg[w].split(" ")
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[0]
+        expect.append((r + 1, f"{a} {b}", a + b, c))
+        pat, rep = f" {a} {b} ", f" {a + b} "
+        for w in seg:
+            s = f" {seg[w]} "
+            for _ in range(4):
+                s = s.replace(pat, rep)
+            seg[w] = s.strip()
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = [
+        (r.merge_rank, r.pair, r.merged, r.pair_count)
+        for r in bpe_merges(df).orderBy("merge_rank").collect()
+    ]
+    assert got == expect
