@@ -4172,6 +4172,153 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source_id", F.col("sample_rank").cast("bigint").alias("sample_rank"))
 
 
+@_register(
+    "q_dup_ngram_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {oracle.words_sql('text')} AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+    ), dup AS (
+      SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM dup)
+    ), marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                  <= 8 THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), islands AS (
+      SELECT doc_id, pos,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM marked
+    )
+    SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+           count(*) AS n_dup_grams
+    FROM islands GROUP BY doc_id, sid
+    """,
+)
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring dedup at 8-gram granularity (the
+    distributed formulation of Lee et al. 2022's suffix-array substring
+    dedup): maximal per-document spans whose every 8-gram also occurs in
+    another document.  Gram digests are a map-side projection; the
+    duplicate-gram table is one groupBy on md5-uniform keys; marking is an
+    equi-join back on those keys (NOT a broadcast — on crawl corpora the
+    duplicated-gram set is itself huge); island-merge is a per-doc window.
+    See dedup.dup_ngram_spans."""
+    return dedup.dup_ngram_spans(
+        _tp(spark, sf_dir, "documents"), "text", "doc_id", n=8, min_docs=2
+    )
+
+
+@_register(
+    "q_winnow_fingerprints",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {oracle.words_sql('text')} AS ws FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+3], ' ')) AS h
+      FROM w, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+    ), keyed AS (
+      SELECT doc_id, pos,
+             min(h || '|' || lpad(pos::VARCHAR, 9, '0')) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING
+             ) AS k,
+             count(*) OVER (PARTITION BY doc_id) AS g
+      FROM g
+    )
+    SELECT DISTINCT doc_id, substr(k, 1, 32) AS fp_hash,
+           substr(k, 34, 9)::BIGINT AS fp_pos
+    FROM keyed WHERE pos <= greatest(g - 4, 1)
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS): sliding-window minima over 4-gram
+    hashes, window 5 — the guaranteed-coverage alternative to MinHash for
+    local (substring-level) similarity.  See dedup.winnow_fingerprints for
+    the leftmost-min key encoding and scale shape."""
+    return dedup.winnow_fingerprints(
+        _tp(spark, sf_dir, "documents"), "text", "doc_id", n=4, w=5
+    )
+
+
+@_register(
+    "q_segment_dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {oracle.words_sql('text')} AS ws FROM documents
+    ), s AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(ws[(i-1)*3+1:(i-1)*3+3], ' ') AS seg
+      FROM w, unnest(generate_series(1, (len(ws) + 2) // 3)) AS t(i)
+    ), c AS (
+      SELECT md5(seg) AS h, count(*) AS cnt FROM s GROUP BY 1
+    ), j AS (
+      SELECT doc_id, seg_idx, seg, cnt <= 1 AS keep
+      FROM s JOIN c ON md5(seg) = h
+    )
+    SELECT doc_id, count(*) AS n_segments, sum(keep::BIGINT)::BIGINT AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep THEN seg END, ' '
+                                   ORDER BY seg_idx), '')) AS kept_md5
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style segment dedup: drop every 3-word segment whose exact
+    content repeats anywhere in the corpus, rebuild each document from the
+    survivors, digest the result.  The frequency table shuffles on
+    md5-uniform digests; the rebuild is one per-doc groupBy.  See
+    corpus.segment_dedup."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.segment_dedup(
+        _tp(spark, sf_dir, "documents"), "text", "doc_id", seg_len=3, max_count=1
+    )
+
+
+@_register(
+    "q_kmv_distinct",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({oracle.shingles_sql('text', 2)}) AS gram
+      FROM documents
+    ), d AS (
+      SELECT DISTINCT source, md5(gram) AS h FROM tok
+    ), r AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM d
+    ), a AS (
+      SELECT source, count(*) AS exact_distinct,
+             max(CASE WHEN rn <= 32 THEN h END) AS kth
+      FROM r GROUP BY source
+    )
+    SELECT source, exact_distinct,
+           CASE WHEN exact_distinct < 32 THEN exact_distinct::DOUBLE
+                ELSE round(8725724278030336.0
+                           / ('0x' || substr(kth, 1, 12))::BIGINT, 4)
+           END AS est_distinct
+    FROM a
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct 2-gram cardinality: exact count next to the KMV
+    bottom-32 sketch estimate ((k-1)/u_k over the md5 space).  The sketch
+    path ships ≤32 rows per group (WindowGroupLimit cuts below the
+    exchange); the exact column is the self-check.  See sketch.kmv_distinct
+    for mergeability and why KMV instead of HLL."""
+    from etl_scripts_spark.operators import sketch
+    from etl_scripts_spark.operators.dedup import word_shingles
+
+    docs = _tp(spark, sf_dir, "documents").select(
+        "source", F.explode(word_shingles(F.col("text"), 2)).alias("gram")
+    )
+    return sketch.kmv_distinct(docs, "source", "gram", k=32)
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4202,6 +4349,11 @@ _CHANGED_THIS_ROUND = (
     "q_source_mixing",
     "q_incoming_scan",
     "q_multimodal_pixel_stats",
+    # new in round 5 (never driver-green yet)
+    "q_dup_ngram_spans",
+    "q_winnow_fingerprints",
+    "q_segment_dedup",
+    "q_kmv_distinct",
 )
 
 

@@ -73,6 +73,11 @@ HEADLINE = [
     "q_pq_topk",
     "q_pq_recall",
     "q_bpe_merges",
+    # substring-level dedup + fingerprinting + sketches
+    "q_dup_ngram_spans",
+    "q_winnow_fingerprints",
+    "q_segment_dedup",
+    "q_kmv_distinct",
 ]
 
 

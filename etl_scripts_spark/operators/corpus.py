@@ -512,3 +512,64 @@ def bpe_merges(
     for b in best_rows[1:]:
         out = out.union(b)
     return out
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 3,
+    max_count: int = 1,
+) -> DataFrame:
+    """CCNet-style segment-level deduplication (Wenzek et al. 2020): split
+    each document into consecutive `seg_len`-word segments (the
+    paragraph/line analog for unstructured text), drop every segment whose
+    exact content occurs more than `max_count` times corpus-wide, and
+    report per document: (id, n_segments, n_kept, kept_md5) where kept_md5
+    digests the surviving segments re-joined in order.
+
+    Scale shape (100 TB): segmentation is a map-side explode of DISJOINT
+    slices (total copied bytes = corpus size, not corpus × seg_len); the
+    global frequency table is one groupBy on md5-uniform segment digests —
+    the only corpus-sized shuffle — and the mark-join is an equi-join on
+    the same uniform keys, never a broadcast (on crawl data the frequent-
+    segment table is huge: that is the point of the filter).  The per-doc
+    rebuild is a single groupBy(id) whose collect_list holds one document's
+    segments — bounded by max document size, the same invariant every
+    per-doc operator in this package relies on.
+    """
+    wdf = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    nseg = F.floor((F.size("_w") + F.lit(seg_len - 1)) / F.lit(seg_len)).cast("int")
+    segs = wdf.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), nseg),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("seg_idx"),
+                    F.concat_ws(
+                        " ",
+                        F.slice(
+                            F.col("_w"), (i - 1) * seg_len + 1, seg_len
+                        ),
+                    ).alias("seg"),
+                ),
+            )
+        ).alias("_s"),
+    ).select(id_col, "_s.seg_idx", "_s.seg", F.md5("_s.seg").alias("_h"))
+    freq = segs.groupBy("_h").agg(F.count("*").alias("_cnt"))
+    marked = segs.join(freq, "_h").select(
+        id_col, "seg_idx", "seg", (F.col("_cnt") <= max_count).alias("_keep")
+    )
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("_keep"), F.struct(F.col("seg_idx"), F.col("seg")))
+        )
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(kept_structs, lambda s: s["seg"]), " ")
+        ).alias("kept_md5"),
+    )

@@ -382,3 +382,148 @@ def jaccard_from_sets(sa: Column, sb: Column) -> Column:
     inter = F.size(F.array_intersect(sa, sb))
     union = F.size(sa) + F.size(sb) - inter
     return F.round(inter / F.greatest(union, F.lit(1)), 4)
+
+
+def positional_gram_hashes(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, pos, h): md5 of each FULL n-word-gram with its 1-based word
+    position.  Unlike :func:`shingles_from_words` there is no short-document
+    fallback — a document with fewer than `n` words yields no rows, because
+    span semantics need every gram to cover exactly `n` words.
+
+    Pure projection + explode: no shuffle, and the ~50-byte raw gram text
+    never leaves the mapper — only the fixed-width digest travels.
+    """
+    wdf = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    npos = F.size("_w") - F.lit(n - 1)
+    # guard: sequence(1, 0) counts DOWN in Spark, not empty
+    idx = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = wdf.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    i.cast("bigint").alias("pos"),
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at(F.col("_w"), i + j) for j in range(n)],
+                        )
+                    ).alias("h"),
+                ),
+            )
+        ).alias("_g"),
+    )
+    return gram.select(id_col, "_g.pos", "_g.h")
+
+
+def dup_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring detection at n-gram granularity (the
+    distributed approximation of suffix-array substring dedup from Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better").
+
+    A word position is *duplicated* when the n-gram starting there occurs in
+    at least `min_docs` distinct documents.  Overlapping / adjacent
+    duplicated grams merge into maximal spans; returns one row per span:
+    (id, span_start, span_end, n_dup_grams), positions 1-based inclusive in
+    words.
+
+    Scale shape (100 TB): grams are a map-side projection of digests; the
+    duplicate-gram table is ONE groupBy on md5-uniform keys (no skew by
+    construction); marking is an equi-join back on the same uniform keys —
+    never a broadcast, because the duplicated-gram set is data-dependent and
+    can itself be huge on crawl data.  Span merging is a per-document
+    window (lag + running sum = classic island detection), partitioned by
+    doc — no global sort.
+    """
+    from pyspark.sql import Window
+
+    grams = positional_gram_hashes(df, text_col, id_col, n)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "leftsemi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    marked = hits.select(
+        id_col,
+        "pos",
+        # gap > n starts a new island; first row (lag NULL) also starts one
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("_brk"),
+    )
+    islands = marked.select(
+        id_col,
+        "pos",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_sid"),
+    )
+    return (
+        islands.groupBy(id_col, "_sid")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_grams"),
+        )
+        .select(id_col, "span_start", "span_end", "n_dup_grams")
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    w: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003 —
+    the MOSS algorithm): slide a window of `w` consecutive n-gram hashes and
+    keep each window's minimum; the distinct selected (hash, pos) pairs are
+    the fingerprint set.  Guarantees every match of length ≥ w+n-1 words
+    shares a fingerprint, with ~2/(w+1) selection density.
+
+    Tie-break: the LEFTMOST minimal hash per window, encoded by taking the
+    string-min of  h || '|' || lpad(pos)  — one totally-ordered key both
+    engines compare identically, so no argmin/min_by construct is needed.
+    Documents with fewer than `w` grams contribute their single truncated
+    window (global minimum), matching MOSS's short-document behavior.
+
+    Scale: hashes are a map-side projection; the sliding min is a per-doc
+    row-frame window (one shuffle on doc id — or zero if the corpus is
+    already laid out by doc); selection drops ~ (w-1)/(w+1) of rows BEFORE
+    the distinct, so the only corpus-wide exchange moves the already-sparse
+    fingerprint set.
+    """
+    from pyspark.sql import Window
+
+    grams = positional_gram_hashes(df, text_col, id_col, n)
+    key = F.concat_ws("|", F.col("h"), F.lpad(F.col("pos").cast("string"), 9, "0"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    keyed = grams.select(
+        F.col(id_col),
+        "pos",
+        F.min(key).over(win.rowsBetween(0, w - 1)).alias("_k"),
+        F.count("*").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_g"),
+    )
+    picked = keyed.filter(
+        F.col("pos") <= F.greatest(F.col("_g") - F.lit(w - 1), F.lit(1))
+    )
+    return picked.select(
+        F.col(id_col),
+        F.substring("_k", 1, 32).alias("fp_hash"),
+        F.substring("_k", 34, 9).cast("bigint").alias("fp_pos"),
+    ).distinct()

@@ -1,0 +1,109 @@
+"""Semantic laws of the span/fingerprint/segment/sketch operators.
+
+Each operator is oracle-backed at the driver gate (value-exact vs DuckDB);
+these tests pin the *algorithmic guarantees* the oracle comparison alone
+cannot express: span maximality, the MOSS coverage law, CCNet rebuild
+semantics, and KMV's lossless-below-k / bounded-error-above-k behavior.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from etl_scripts_spark.operators.corpus import segment_dedup
+from etl_scripts_spark.operators.dedup import dup_ngram_spans, winnow_fingerprints
+from etl_scripts_spark.operators.sketch import kmv_distinct
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+
+def test_dup_ngram_spans_merges_to_maximal_span(spark):
+    """Two docs sharing a 10-word run at n=3: the 8 duplicated gram starts
+    merge into ONE maximal span covering exactly the shared words, in both
+    docs, at their respective offsets."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    texts = [
+        "aa bb cc " + shared + " dd ee",
+        shared + " zz yy xx ww vv uu tt",
+        "qq rr ss tt uu vv ww xx yy zz nn mm",  # unrelated filler
+    ]
+    rows = dup_ngram_spans(_docs(spark, texts), n=3).collect()
+    spans = {r.doc_id: (r.span_start, r.span_end, r.n_dup_grams) for r in rows}
+    assert spans[0] == (4, 13, 8)  # words 4..13 of doc 0
+    assert spans[1][0] == 1 and spans[1][1] >= 10
+
+
+def test_dup_ngram_spans_needs_cross_doc_duplication(spark):
+    """A gram repeated only WITHIN one document is not a duplicate at
+    min_docs=2, and docs shorter than n yield no grams at all."""
+    texts = ["p q r p q r p q r", "one two"]
+    rows = dup_ngram_spans(_docs(spark, texts), n=3, min_docs=2).collect()
+    assert rows == []
+
+
+def test_winnow_coverage_law(spark):
+    """MOSS guarantee: any shared run of ≥ w+n-1 words yields at least one
+    shared fingerprint; and selection density stays near 2/(w+1)."""
+    n, w = 4, 5
+    rng = random.Random(20260814)
+    vocab = [f"v{i:03d}" for i in range(500)]
+    shared = " ".join(rng.sample(vocab, w + n - 1))  # minimal guaranteed run
+    a = " ".join(rng.sample(vocab, 40)) + " " + shared
+    b = shared + " " + " ".join(rng.sample(vocab, 40))
+    fps = winnow_fingerprints(_docs(spark, [a, b]), n=n, w=w).collect()
+    by_doc = {0: set(), 1: set()}
+    for r in fps:
+        by_doc[r.doc_id].add(r.fp_hash)
+    assert by_doc[0] & by_doc[1], "guaranteed shared fingerprint missing"
+    # density: ~2/(w+1)=0.33 of gram positions selected; allow wide slack
+    n_grams = (40 + 1 + w + n - 1) - n + 1
+    assert len(by_doc[0]) <= 0.7 * n_grams
+
+
+def test_winnow_short_doc_single_fingerprint(spark):
+    """A doc with fewer than w grams contributes its global minimum once."""
+    rows = winnow_fingerprints(
+        _docs(spark, ["a b c d e"]), n=4, w=5
+    ).collect()  # 2 grams < w → one truncated window
+    assert len(rows) == 1
+
+
+def test_segment_dedup_drops_repeated_segment_and_rebuilds(spark):
+    """The duplicated 3-word segment is dropped from BOTH docs; kept_md5
+    digests the surviving segments joined in order."""
+    texts = [
+        "dup dup dup alpha beta gamma",
+        "dup dup dup delta epsilon zeta",
+    ]
+    rows = segment_dedup(_docs(spark, texts), seg_len=3, max_count=1).collect()
+    out = {r.doc_id: r for r in rows}
+    assert out[0].n_segments == 2 and out[0].n_kept == 1
+    assert out[0].kept_md5 == hashlib.md5(b"alpha beta gamma").hexdigest()
+    assert out[1].kept_md5 == hashlib.md5(b"delta epsilon zeta").hexdigest()
+
+
+def test_segment_dedup_unique_doc_untouched(spark):
+    text = "one two three four five six"
+    rows = segment_dedup(_docs(spark, [text]), seg_len=3).collect()
+    assert rows[0].n_kept == rows[0].n_segments == 2
+    assert rows[0].kept_md5 == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_kmv_lossless_below_k_and_bounded_above(spark):
+    """Groups with < k distinct values estimate exactly; a 2000-distinct
+    group at k=64 lands within 4 standard errors (4/sqrt(k) ≈ 50%)."""
+    rows = [("small", f"x{i}") for i in range(10)]
+    rows += [("big", f"y{i}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    out = {r.g: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert out["small"].est_distinct == 10.0
+    assert out["small"].exact_distinct == 10
+    assert abs(out["big"].est_distinct - 2000) / 2000 < 0.5
+    # determinism: a second run returns the identical estimate
+    again = {r.g: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert again["big"].est_distinct == out["big"].est_distinct

@@ -189,3 +189,60 @@ def test_pq_search_joins_codes_not_vectors(spark):
     happen, and it is queries × codebook sized)."""
     plan = _plan(spark, "q_pq_topk", "formatted")
     assert "BroadcastHashJoin" in plan
+
+
+def _plan_no_autobroadcast(spark, name: str) -> str:
+    """Plan with auto-broadcast off: at test SF the optimizer broadcasts
+    everything (correctly — the tables are tiny); disabling the threshold
+    exposes any HARD-CODED broadcast() hint, which is what the scale
+    claims below forbid.  A hint survives threshold=-1; cost-model
+    broadcasts do not."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        return _plan(spark, name, "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dup_span_mark_join_is_not_hinted_broadcast(spark):
+    """The duplicate-gram mark-join must NOT carry a broadcast hint — on
+    crawl corpora the duplicated-gram table is itself huge, so the plan
+    must degrade to a shuffled join on the md5-uniform digest when the
+    cost model says so.  (At test SF, AQE broadcasting it is fine and
+    expected.)  Window island-merge partitions by doc — no global sort."""
+    plan = _plan_no_autobroadcast(spark, "q_dup_ngram_spans")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan, "dup-gram table is hint-broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_winnow_selects_before_distinct(spark):
+    """Winnowing must filter to window-starts BEFORE the distinct — the
+    only corpus-wide exchange moves the ~2/(w+1)-density fingerprint set,
+    never the full gram table."""
+    plan = _plan(spark, "q_winnow_fingerprints", "extended")
+    # physical order: Filter (pos <= ...) must appear below the distinct's
+    # HashAggregate pair in the final plan
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.index("HashAggregate") < phys.index("Filter"), (
+        "distinct runs before the window-start filter"
+    )
+
+
+def test_segment_freq_join_is_not_hinted_broadcast(spark):
+    """Segment dedup's frequency mark-join must not be hint-broadcast: on
+    crawl data the frequent-segment table is huge (that is the point of
+    the filter), so the plan must fall back to a shuffled join on the
+    md5-uniform digest."""
+    plan = _plan_no_autobroadcast(spark, "q_segment_dedup")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan, "freq table is hint-broadcast"
+
+
+def test_kmv_rank_cut_is_mapside(spark):
+    """The sketch branch's bottom-k rank filter must plan WindowGroupLimit
+    on both sides of its exchange, so each map task ships at most k digests
+    per group — the property that makes KMV the 100 TB path."""
+    plan = _plan(spark, "q_kmv_distinct", "formatted")
+    assert plan.count("WindowGroupLimit") >= 2, "bottom-k cut not pushed map-side"
