@@ -4319,6 +4319,169 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketch.kmv_distinct(docs, "source", "gram", k=32)
 
 
+@_register(
+    "q_dup_span_removal",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {oracle.words_sql('text')} AS ws FROM documents
+    ), wp AS (
+      SELECT doc_id, i AS pos, ws[i] AS word
+      FROM w, unnest(generate_series(1, len(ws))) AS t(i)
+    ), g AS (
+      SELECT doc_id, i AS pos, md5(array_to_string(ws[i:i+7], ' ')) AS h
+      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+    ), dup AS (
+      SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos + j AS cpos
+      FROM g, unnest(generate_series(0, 7)) AS t(j)
+      WHERE h IN (SELECT h FROM dup)
+    )
+    SELECT wp.doc_id, count(*) AS n_words,
+           sum(CASE WHEN cov.cpos IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN cov.cpos IS NULL THEN word END,
+                                   ' ' ORDER BY wp.pos), '')) AS cleaned_md5
+    FROM wp LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.cpos
+    GROUP BY wp.doc_id
+    """,
+)
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of the Lee et al. 2022 substring-dedup pipeline
+    (q_dup_ngram_spans is detection): delete every word covered by an
+    8-gram occurring in ≥2 documents, rebuild each document from the
+    survivors, digest the result.  See dedup.dup_span_removal for the
+    scale shape (map-side digests, one uniform-key groupBy, equi-join
+    mark, bounded per-doc rebuild)."""
+    return dedup.dup_span_removal(
+        _tp(spark, sf_dir, "documents"), "text", "doc_id", n=8, min_docs=2
+    )
+
+
+@_register(
+    "q_source_overlap",
+    f"""
+    WITH g AS (
+      SELECT DISTINCT source AS src, md5(gram) AS h
+      FROM (SELECT source, unnest({oracle.shingles_sql('text', 3)}) AS gram
+            FROM documents)
+    ), sizes AS (
+      SELECT src, count(*) AS n_grams FROM g GROUP BY src
+    ), common AS (
+      SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_common
+      FROM g a JOIN g b ON a.h = b.h AND a.src < b.src
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           sa.n_grams AS n_grams_a, sb.n_grams AS n_grams_b, n_common,
+           round(n_common / (sa.n_grams + sb.n_grams - n_common), 4) AS jaccard,
+           round(n_common / least(sa.n_grams, sb.n_grams), 4) AS containment
+    FROM common
+    JOIN sizes sa ON sa.src = source_a
+    JOIN sizes sb ON sb.src = source_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise 3-gram overlap matrix between sources (Jaccard +
+    containment) — the cross-source redundancy profile consulted before
+    setting mixing weights.  See corpus.source_overlap: map-side
+    per-doc array_distinct, one uniform-key distinct, self equi-join
+    with fan-out bounded by n_sources, broadcast-eligible size join."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.source_overlap(
+        _tp(spark, sf_dir, "documents"), "text", "source", k=3
+    )
+
+
+@_register(
+    "q_cms_gram_counts",
+    f"""
+    WITH tok AS (
+      SELECT unnest({oracle.shingles_sql('text', 3)}) AS gram FROM documents
+    ), exact AS (
+      SELECT gram, count(*) AS exact_count FROM tok GROUP BY gram
+    ), top AS (
+      SELECT gram, exact_count FROM exact
+      ORDER BY exact_count DESC, gram LIMIT 20
+    ), rb AS (
+      SELECT r, ('0x' || substr(md5(r::VARCHAR || '|' || gram), 1, 8))::BIGINT
+                % 1024 AS b
+      FROM tok, unnest([0, 1, 2, 3]) AS t(r)
+    ), cms AS (
+      SELECT r, b, count(*) AS cnt FROM rb GROUP BY r, b
+    ), probe AS (
+      SELECT gram, exact_count, r,
+             ('0x' || substr(md5(r::VARCHAR || '|' || gram), 1, 8))::BIGINT
+             % 1024 AS b
+      FROM top, unnest([0, 1, 2, 3]) AS t(r)
+    )
+    SELECT p.gram, p.exact_count, min(c.cnt) AS cms_count
+    FROM probe p JOIN cms c ON c.r = p.r AND c.b = p.b
+    GROUP BY p.gram, p.exact_count
+    """,
+)
+def q_cms_gram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries next to exact counts for the top-20
+    3-grams (deterministic (count desc, gram) cut via TakeOrdered — no
+    single-task global window).  The sketch is ≤ 4×1024 rows at ANY corpus
+    size (partial aggregation collapses map-side), the probe join is
+    broadcast-eligible from either side, and CMS never underestimates —
+    the oracle proves estimate ≥ exact row by row.  See sketch.cms_build."""
+    from etl_scripts_spark.operators import sketch
+    from etl_scripts_spark.operators.dedup import shingles_from_words
+
+    docs = (
+        _tp(spark, sf_dir, "documents")
+        .select(text.words(F.col("text")).alias("_w"))
+        .select(F.explode(shingles_from_words(F.col("_w"), 3)).alias("gram"))
+    )
+    exact = docs.groupBy("gram").agg(F.count("*").alias("exact_count"))
+    top = exact.orderBy(F.desc("exact_count"), "gram").limit(20)
+    cms = sketch.cms_build(docs, "gram", d=4, w=1024)
+    est = sketch.cms_estimate(cms, top.select("gram"), "gram", d=4, w=1024)
+    return top.join(est, "gram").select("gram", "exact_count", "cms_count")
+
+
+@_register(
+    "q_hashed_quality",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {oracle.words_sql('text')} AS ws FROM documents
+    ), f AS (
+      SELECT doc_id,
+             ws || list_filter(
+               list_transform(ws, (t, i) -> t || '_' || ws[i + 1]),
+               g -> g IS NOT NULL) AS feats
+      FROM w
+    )
+    SELECT doc_id, len(feats)::BIGINT AS n_features,
+           round(list_sum(list_transform(feats,
+                   f -> ('0x' || substr(md5('qw|' || f), 1, 12))::BIGINT
+                        - 140737488355328))
+                 / (len(feats) * 140737488355328.0), 6) AS score,
+           score > 0 AS keep
+    FROM f
+    """,
+)
+def q_hashed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-kernel linear quality scorer (the fastText-classifier plan
+    shape): unigram+bigram features hashed through a fixed md5 random
+    projection, exact-integer dot product, mean-weight score in [-1, 1].
+    Pure projection — zero shuffles, zero UDFs; a trained model swaps the
+    projection for a broadcast weight table on the same feature hash.
+    See text.hashed_feature_score."""
+    docs = _tp(spark, sf_dir, "documents").select(
+        "doc_id", text.words(F.col("text")).alias("_w")
+    )
+    n_feats, score = text.hashed_feature_score(F.col("_w"))
+    return docs.select(
+        F.col("doc_id"),
+        n_feats.alias("n_features"),
+        score.alias("score"),
+        (score > 0).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4354,6 +4517,10 @@ _CHANGED_THIS_ROUND = (
     "q_winnow_fingerprints",
     "q_segment_dedup",
     "q_kmv_distinct",
+    "q_dup_span_removal",
+    "q_source_overlap",
+    "q_cms_gram_counts",
+    "q_hashed_quality",
 )
 
 

@@ -78,6 +78,10 @@ HEADLINE = [
     "q_winnow_fingerprints",
     "q_segment_dedup",
     "q_kmv_distinct",
+    "q_dup_span_removal",
+    "q_source_overlap",
+    "q_cms_gram_counts",
+    "q_hashed_quality",
 ]
 
 

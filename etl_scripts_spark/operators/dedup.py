@@ -527,3 +527,74 @@ def winnow_fingerprints(
         F.substring("_k", 1, 32).alias("fp_hash"),
         F.substring("_k", 34, 9).cast("bigint").alias("fp_pos"),
     ).distinct()
+
+
+def dup_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove duplicated substrings and rebuild each document — the second
+    half of the Lee et al. 2022 pipeline (:func:`dup_ngram_spans` is the
+    detection half): every word covered by ANY n-gram that occurs in at
+    least `min_docs` distinct documents is deleted, the survivors are
+    re-joined in order, and the result is digested.  Returns one row per
+    document: (id, n_words, n_kept, cleaned_md5) — including documents with
+    nothing removed (n_kept = n_words) and documents shorter than n words
+    (no grams, so nothing can be removed).
+
+    Scale shape (100 TB): identical to dup_ngram_spans up through the hit
+    set — map-side gram digests, ONE groupBy on md5-uniform keys, equi-join
+    mark (never broadcast).  Coverage expansion is a map-side n-fanout of
+    the (sparse) hit set followed by a distinct on (id, pos) — uniform
+    composite keys; the mark-back is a shuffled LEFT join on the same keys,
+    and the rebuild is the package's standard bounded per-doc groupBy (one
+    document's words, the same invariant as segment_dedup's rebuild).
+    """
+    wdf = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    # every word with its 1-based position; lambda(e, i) is the (element,
+    # index) HOF form, index 0-based
+    wpos = wdf.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.col("_w"),
+                lambda w, i: F.struct(
+                    (i + 1).cast("bigint").alias("pos"), w.alias("word")
+                ),
+            )
+        ).alias("_p"),
+    ).select(id_col, "_p.pos", "_p.word")
+    grams = positional_gram_hashes(df, text_col, id_col, n)
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    hits = grams.join(dup, "h", "leftsemi").select(id_col, "pos")
+    covered = hits.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias(
+            "cpos"
+        ),
+    ).distinct()
+    marked = wpos.join(
+        covered,
+        (wpos[id_col] == covered[id_col]) & (wpos["pos"] == covered["cpos"]),
+        "left",
+    ).select(wpos[id_col], wpos["pos"], wpos["word"], covered["cpos"].isNull().alias("_keep"))
+    kept_structs = F.array_sort(
+        F.collect_list(
+            F.when(F.col("_keep"), F.struct(F.col("pos"), F.col("word")))
+        )
+    )
+    return marked.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+        F.md5(
+            F.array_join(F.transform(kept_structs, lambda s: s["word"]), " ")
+        ).alias("cleaned_md5"),
+    )

@@ -84,3 +84,78 @@ def kmv_distinct(
     return exact.join(sk, group_col).select(
         group_col, "exact_distinct", est.alias("est_distinct")
     )
+
+
+def cms_build(df: DataFrame, value_col: str, d: int = 4, w: int = 1024) -> DataFrame:
+    """Count-min sketch of a value stream (Cormode & Muthukrishnan 2005):
+    d salted hash rows × w counters.  Returns (r, b, cnt) — at most d·w rows
+    regardless of input size, which is the whole point: the sketch is a
+    bounded-size, MERGEABLE (counters add) frequency summary of an unbounded
+    stream.
+
+    Scale shape: the explode is a map-side d-fanout, but partial aggregation
+    collapses each task's output to ≤ d·w rows before the exchange — the
+    shuffle moves kilobytes at any corpus size.  Bucket = first 32 bits of
+    md5(r|value) mod w: engine-portable, uniform per row-salt.
+    """
+    probes = [
+        F.struct(
+            F.lit(j).alias("r"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(str(j)), F.col(value_col))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % w
+            ).alias("b"),
+        )
+        for j in range(d)
+    ]
+    return (
+        df.select(F.explode(F.array(*probes)).alias("_rb"))
+        .select("_rb.r", "_rb.b")
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame, items: DataFrame, value_col: str, d: int = 4, w: int = 1024
+) -> DataFrame:
+    """Point-query the sketch: est(x) = min over rows of counter[r, b_r(x)].
+    Never underestimates; overestimates by collision mass with probability
+    shrinking exponentially in d.  `items` is a (small) candidate table —
+    the join against the ≤ d·w-row sketch is broadcast-eligible from either
+    side, so the probe is shuffle-free under the cost model.
+    """
+    probes = [
+        F.struct(
+            F.lit(j).alias("r"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(str(j)), F.col(value_col))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % w
+            ).alias("b"),
+        )
+        for j in range(d)
+    ]
+    probed = items.select(
+        F.col(value_col), F.explode(F.array(*probes)).alias("_rb")
+    ).select(value_col, "_rb.r", "_rb.b")
+    return (
+        probed.join(cms, ["r", "b"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias("cms_count"))
+    )

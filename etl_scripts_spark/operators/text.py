@@ -297,3 +297,50 @@ def simhash_near_dup_pairs(
     for p in per_band[1:]:
         out = out.union(p)
     return out.distinct()
+
+
+def hashed_feature_score(toks: Column, salt: str = "qw") -> tuple[Column, Column]:
+    """(n_features, score): hash-kernel linear scorer over unigram+bigram
+    features — the Spark shape of a fastText-style document quality
+    classifier (featurize with a hashing trick, dot the weight vector,
+    threshold).  Weights here are a fixed deterministic random projection:
+    w(f) = (first 48 bits of md5(salt|f)) - 2^47, an exact BIGINT in
+    [-2^47, 2^47); the score is the mean weight over the document's
+    features, scaled to [-1, 1] and rounded to 6 decimals.
+
+    The feature sum is exact integer arithmetic (order-independent — no
+    float-summation drift between engines or between partitionings); only
+    the final normalization divides in double, which both engines evaluate
+    identically (IEEE).  A trained classifier swaps the md5 projection for
+    a broadcast weight table joined on the same feature hash — identical
+    plan shape plus one broadcast join; everything stays map-side either
+    way: zero shuffles, no UDF.
+
+    `toks` must be a MATERIALIZED words-array column (see
+    shingles_from_words for why the tokenizer expression must not be
+    inlined into HOF lambdas).
+    """
+    # try_element_at: past-the-end is NULL (plain element_at throws under
+    # ANSI); concat (not concat_ws) lets that NULL poison the incomplete
+    # last pair, which the isNotNull filter then drops
+    bigrams = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.concat(t, F.lit("_"), F.try_element_at(toks, i + 2)),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    feats = F.concat(toks, bigrams)
+
+    def weight(f: Column) -> Column:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), f)), 1, 12), 16, 10
+        ).cast("bigint")
+        return h - F.lit(1 << 47).cast("bigint")
+
+    total = F.aggregate(
+        feats, F.lit(0).cast("bigint"), lambda acc, f: acc + weight(f)
+    )
+    n = F.greatest(F.size(feats), F.lit(1))
+    score = F.round(total / (n.cast("double") * F.lit(float(1 << 47))), 6)
+    return F.size(feats).cast("bigint"), score

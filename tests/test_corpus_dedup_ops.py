@@ -11,6 +11,8 @@ from __future__ import annotations
 import hashlib
 import random
 
+from pyspark.sql import functions as F
+
 from etl_scripts_spark.operators.corpus import segment_dedup
 from etl_scripts_spark.operators.dedup import dup_ngram_spans, winnow_fingerprints
 from etl_scripts_spark.operators.sketch import kmv_distinct
@@ -107,3 +109,92 @@ def test_kmv_lossless_below_k_and_bounded_above(spark):
     # determinism: a second run returns the identical estimate
     again = {r.g: r for r in kmv_distinct(df, "g", "v", k=64).collect()}
     assert again["big"].est_distinct == out["big"].est_distinct
+
+
+def test_dup_span_removal_rebuilds_survivors(spark):
+    """Words covered by a cross-doc duplicated 3-gram vanish from BOTH docs;
+    untouched docs keep everything (n_kept == n_words, digest of the
+    normalized text)."""
+    from etl_scripts_spark.operators.dedup import dup_span_removal
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    texts = [
+        "aa bb cc " + shared + " dd ee",
+        shared + " zz yy",
+        "totally unrelated words here only once",
+    ]
+    rows = dup_span_removal(_docs(spark, texts), n=3).collect()
+    out = {r.doc_id: r for r in rows}
+    # doc 0: 15 words, the 10 shared ones removed
+    assert out[0].n_words == 15 and out[0].n_kept == 5
+    assert out[0].cleaned_md5 == hashlib.md5(b"aa bb cc dd ee").hexdigest()
+    assert out[1].n_kept == 2
+    assert out[1].cleaned_md5 == hashlib.md5(b"zz yy").hexdigest()
+    # doc 2 untouched
+    assert out[2].n_kept == out[2].n_words == 6
+    assert out[2].cleaned_md5 == hashlib.md5(
+        b"totally unrelated words here only once"
+    ).hexdigest()
+
+
+def test_source_overlap_identical_and_disjoint(spark):
+    """Two sources with identical gram sets → jaccard = containment = 1;
+    disjoint sources produce NO row (no shared gram survives the join)."""
+    from etl_scripts_spark.operators.corpus import source_overlap
+
+    rows = spark.createDataFrame(
+        [
+            ("a", "one two three four"),
+            ("b", "one two three four"),
+            ("c", "five six seven eight"),
+        ],
+        "source string, text string",
+    )
+    out = source_overlap(rows, "text", "source", k=3).collect()
+    pairs = {(r.source_a, r.source_b): r for r in out}
+    assert set(pairs) == {("a", "b")}
+    ab = pairs[("a", "b")]
+    assert ab.jaccard == 1.0 and ab.containment == 1.0
+    assert ab.n_grams_a == ab.n_grams_b == ab.n_common == 2
+
+
+def test_cms_never_underestimates_and_is_deterministic(spark):
+    """CMS point estimates are >= exact counts for every probed value, equal
+    when no collision lands in all d rows, and bit-stable across runs."""
+    from etl_scripts_spark.operators.sketch import cms_build, cms_estimate
+
+    rows = [(f"v{i % 50}",) for i in range(1000)] + [("rare",)]
+    df = spark.createDataFrame(rows, "v string")
+    cms = cms_build(df, "v", d=4, w=1024)
+    items = df.distinct()
+    est = {r.v: r.cms_count for r in cms_estimate(cms, items, "v").collect()}
+    exact = {r.v: r["cnt"] for r in df.groupBy("v").agg(F.count("*").alias("cnt")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[v] >= exact[v] for v in exact)
+    # 51 distinct values into 1024 buckets x 4 rows: no full-collision chain
+    assert est["rare"] == 1
+    est2 = {r.v: r.cms_count for r in cms_estimate(cms, items, "v").collect()}
+    assert est2 == est
+
+
+def test_hashed_feature_score_matches_reference(spark):
+    """The score equals the hand-computed mean centered md5 weight over
+    unigrams + joined bigrams of the normalized text."""
+    from etl_scripts_spark.operators.text import hashed_feature_score, words as words_col
+    from pyspark.sql import functions as SF
+
+    text = "Alpha beta gamma delta"
+    toks = ["alpha", "beta", "gamma", "delta"]
+    feats = toks + ["alpha_beta", "beta_gamma", "gamma_delta"]
+    total = sum(
+        int(hashlib.md5(f"qw|{f}".encode()).hexdigest()[:12], 16) - (1 << 47)
+        for f in feats
+    )
+    want = round(total / (len(feats) * float(1 << 47)), 6)
+    df = spark.createDataFrame([(text,)], "text string").select(
+        words_col(SF.col("text")).alias("_w")
+    )
+    n, score = hashed_feature_score(SF.col("_w"))
+    row = df.select(n.alias("n"), score.alias("s")).collect()[0]
+    assert row.n == len(feats)
+    assert row.s == want

@@ -246,3 +246,42 @@ def test_kmv_rank_cut_is_mapside(spark):
     per group — the property that makes KMV the 100 TB path."""
     plan = _plan(spark, "q_kmv_distinct", "formatted")
     assert plan.count("WindowGroupLimit") >= 2, "bottom-k cut not pushed map-side"
+
+
+def test_span_removal_mark_join_is_not_hinted_broadcast(spark):
+    """Span removal's dup-gram mark and coverage mark must both survive
+    with shuffled joins when the cost model can't broadcast — the covered
+    set is data-dependent (could be most of a crawl corpus)."""
+    plan = _plan_no_autobroadcast(spark, "q_dup_span_removal")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_source_overlap_no_cartesian(spark):
+    """The pair intersection is an equi-join on the gram hash (fan-out
+    bounded by n_sources), never an all-pairs product."""
+    plan = _plan(spark, "q_source_overlap", "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_topk_is_take_ordered_not_global_sort(spark):
+    """The top-20 candidate cut must plan TakeOrderedAndProject (distributed
+    partial top-k) — a bare global Sort+Limit or a single-partition window
+    would collapse the gram table through one task."""
+    plan = _plan(spark, "q_cms_gram_counts", "formatted")
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_hashed_quality_is_shuffle_free(spark):
+    """The hash-kernel scorer is a pure projection: featurize, integer dot
+    product, normalize — all in one map stage.  No hash/range exchange (the
+    loader's round-robin repartition for local-mode parallelism is the only
+    allowed exchange — it carries no key, so it vanishes behind file splits
+    on a real cluster)."""
+    plan = _plan(spark, "q_hashed_quality", "formatted")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Join" not in plan and "HashAggregate" not in plan
