@@ -4111,6 +4111,42 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus.bpe_merges(_tp(spark, sf_dir, "documents"), "text", n_merges=3)
 
 
+def _bpe_encode_oracle_sql(n_merges: int = 3) -> str:
+    """The training rounds of _bpe_oracle_sql, then: apply the final
+    per-word segmentation to every word position and rebuild each
+    document's token stream in order."""
+    train = _bpe_oracle_sql(n_merges)
+    rounds = train[: train.rindex(")") + 1]  # drop the UNION ALL tail
+    return (
+        rounds
+        + f""", wp AS (
+      SELECT doc_id, i AS pos, ws[i] AS word
+      FROM (SELECT doc_id, {oracle.words_sql('text')} AS ws FROM documents) AS w,
+           unnest(generate_series(1, len(ws))) AS t(i)
+    )
+    SELECT wp.doc_id, count(*) AS n_words,
+           sum(len(string_split(s.seg, ' ')))::BIGINT AS n_tokens,
+           md5(string_agg(s.seg, ' ' ORDER BY wp.pos)) AS tokens_md5
+    FROM wp JOIN seg{n_merges} s ON wp.word = s.word
+    GROUP BY wp.doc_id
+    """
+    )
+
+
+@_register("q_bpe_encode", _bpe_encode_oracle_sql())
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the BPE model trained on it (train → encode
+    in one plan, the tokenizer analog of q_ivf_trained): per document the
+    token count and an order-exact digest of the token stream.  Encoding is
+    a vocabulary LOOKUP (merge rounds run over types, the corpus pays one
+    equi-join + bounded per-doc rebuild) — see corpus.bpe_encode."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.bpe_encode(
+        _tp(spark, sf_dir, "documents"), "text", "doc_id", n_merges=3
+    )
+
+
 @_register(
     "q_boilerplate_flags",
     # splice the q_top_ngrams oracle as the top-k CTE: the flag law is
@@ -4311,10 +4347,20 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange); the exact column is the self-check.  See sketch.kmv_distinct
     for mergeability and why KMV instead of HLL."""
     from etl_scripts_spark.operators import sketch
-    from etl_scripts_spark.operators.dedup import word_shingles
+    from etl_scripts_spark.operators.dedup import shingles_from_words
 
-    docs = _tp(spark, sf_dir, "documents").select(
-        "source", F.explode(word_shingles(F.col("text"), 2)).alias("gram")
+    # stage words() — inlining the tokenizer expression into the shingle
+    # HOF re-runs the regexp per element (the 40× pitfall); array_distinct
+    # collapses per-doc duplicates map-side before the explode
+    docs = (
+        _tp(spark, sf_dir, "documents")
+        .select("source", text.words(F.col("text")).alias("_w"))
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(shingles_from_words(F.col("_w"), 2))
+            ).alias("gram"),
+        )
     )
     return sketch.kmv_distinct(docs, "source", "gram", k=32)
 
@@ -4521,6 +4567,7 @@ _CHANGED_THIS_ROUND = (
     "q_source_overlap",
     "q_cms_gram_counts",
     "q_hashed_quality",
+    "q_bpe_encode",
 )
 
 

@@ -82,6 +82,7 @@ HEADLINE = [
     "q_source_overlap",
     "q_cms_gram_counts",
     "q_hashed_quality",
+    "q_bpe_encode",
 ]
 
 

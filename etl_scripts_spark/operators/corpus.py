@@ -447,6 +447,17 @@ def bpe_merges(
     segmentation column would otherwise nest 4 replaces per round
     multiplicatively into one expression tree.
     """
+    merges, _ = _bpe_train(df, text_col, n_merges)
+    return merges
+
+
+def _bpe_train(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE trainer: returns (merge table, final per-word
+    segmentation table (word, freq, seg)).  See bpe_merges for semantics
+    and the scale argument; bpe_encode reuses the segmentation table so
+    train→encode is one plan with no driver-side collect of the rules."""
     vocab = (
         df.select(F.explode(words(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -511,7 +522,54 @@ def bpe_merges(
     out = best_rows[0]
     for b in best_rows[1:]:
         out = out.union(b)
-    return out
+    return out, seg_tbl
+
+
+def bpe_encode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Tokenize the corpus with a BPE model trained on it — the encode half
+    of the tokenizer story (:func:`bpe_merges` is training).  Per document:
+    (id, n_words, n_tokens, tokens_md5) where the token stream is each
+    word's final segmentation in document order and tokens_md5 digests it.
+
+    Word-level BPE encoding is a LOOKUP, not a per-token loop: identical
+    words segment identically, so the merge rules are applied once to the
+    vocabulary (types — millions of rows at 100 TB) and the corpus is
+    encoded by one equi-join on the word.  The sequential part (merge
+    rounds) therefore never touches the corpus; the corpus-sized work is
+    the word-position explode, the join, and the bounded per-doc rebuild —
+    the same shapes as segment_dedup.  Single in-rank-order application,
+    matching how the rules were learned; no driver-side collect — each
+    round's rule is a broadcast 1-row join (see _bpe_train).
+    """
+    _, seg_tbl = _bpe_train(df, text_col, n_merges)
+    wdf = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    wp = wdf.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.col("_w"),
+                lambda w, i: F.struct(
+                    (i + 1).cast("bigint").alias("pos"), w.alias("word")
+                ),
+            )
+        ).alias("_p"),
+    ).select(id_col, "_p.pos", "_p.word")
+    joined = wp.join(seg_tbl.select("word", "seg"), "word")
+    seg_structs = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+    )
+    return joined.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.size(F.split("seg", " ")).cast("bigint")).alias("n_tokens"),
+        F.md5(
+            F.array_join(F.transform(seg_structs, lambda s: s["seg"]), " ")
+        ).alias("tokens_md5"),
+    )
 
 
 def segment_dedup(

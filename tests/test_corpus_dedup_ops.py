@@ -198,3 +198,19 @@ def test_hashed_feature_score_matches_reference(spark):
     row = df.select(n.alias("n"), score.alias("s")).collect()[0]
     assert row.n == len(feats)
     assert row.s == want
+
+
+def test_bpe_encode_known_merges(spark):
+    """Corpus ['aaab aaab', 'ab']: rounds learn (a a)->aa, (a b)->ab,
+    (aa ab)->aaab, so 'aaab' encodes to ONE token and 'ab' to one token
+    (never merged further — 'a b' was consumed inside aaab's path)."""
+    from etl_scripts_spark.operators.corpus import bpe_encode
+
+    rows = bpe_encode(
+        _docs(spark, ["aaab aaab", "ab"]), n_merges=3
+    ).collect()
+    out = {r.doc_id: r for r in rows}
+    assert out[0].n_words == 2 and out[0].n_tokens == 2
+    assert out[0].tokens_md5 == hashlib.md5(b"aaab aaab").hexdigest()
+    assert out[1].n_words == 1 and out[1].n_tokens == 1
+    assert out[1].tokens_md5 == hashlib.md5(b"ab").hexdigest()

@@ -88,6 +88,12 @@ def test_no_row_at_a_time_python(spark, name):
     if name not in CROSS_JOINS_BY_DESIGN:
         for marker in ("CartesianProduct", "BroadcastNestedLoopJoin"):
             assert marker not in plan, f"{name} has an undeclared cross join ({marker})"
+    # tokenizer-inlining guard: the words() chain feeding element_at means
+    # the regexp tokenizer re-runs per HOF element (40× observed; 24× on
+    # q_kmv_distinct before staging).  Stage words(text) in its own select.
+    assert "element_at(split(trim(regexp_replace" not in plan, (
+        f"{name} inlines the tokenizer expression into a HOF lambda"
+    )
 
 
 def test_pricing_summary_scan_is_minimal(spark):
