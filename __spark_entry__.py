@@ -4528,6 +4528,53 @@ def q_hashed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_hist_quantiles",
+    """
+    WITH h AS (
+      SELECT source,
+             least(127, greatest(0,
+               floor((n_chars::DOUBLE - 0.0) / 32.0)))::INT AS bin,
+             count(*) AS cnt
+      FROM documents GROUP BY 1, 2
+    ), c AS (
+      SELECT source, bin, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY source) AS tot
+      FROM h
+    ), f AS (
+      SELECT source, q, bin, cnt, cum, ceil(q * tot) AS target
+      FROM c, (SELECT unnest([0.5, 0.95]) AS q) AS qs
+      WHERE cum >= ceil(q * tot)
+    ), pick AS (
+      SELECT *, row_number() OVER (PARTITION BY source, q ORDER BY bin) AS rn
+      FROM f
+    )
+    SELECT source, q,
+           round(0.0 + (bin + (target - (cum - cnt)) / cnt) * 32.0, 4) AS est
+    FROM pick WHERE rn = 1
+    """,
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p95 of document length from a 128-bin histogram
+    sketch — the mergeable-quantile path (KMV = cardinality, CMS =
+    frequency, histogram = quantiles).  The sketch is ≤ groups × bins rows
+    at any corpus size (map-side partial agg); everything downstream is
+    O(groups × bins).  Caller-supplied [0, 4096) range keeps sketches
+    mergeable across batches.  See sketch.histogram_sketch/_quantile."""
+    from etl_scripts_spark.operators import sketch
+
+    docs = _tp(spark, sf_dir, "documents")
+    hist = sketch.histogram_sketch(docs, "source", "n_chars", 0.0, 4096.0, 128)
+    outs = []
+    for q in (0.5, 0.95):
+        outs.append(
+            sketch.histogram_quantile(hist, "source", q, 0.0, 4096.0, 128)
+            .select("source", F.lit(q).alias("q"), "est")
+        )
+    return outs[0].union(outs[1])
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4568,6 +4615,7 @@ _CHANGED_THIS_ROUND = (
     "q_cms_gram_counts",
     "q_hashed_quality",
     "q_bpe_encode",
+    "q_hist_quantiles",
 )
 
 

@@ -83,6 +83,7 @@ HEADLINE = [
     "q_cms_gram_counts",
     "q_hashed_quality",
     "q_bpe_encode",
+    "q_hist_quantiles",
 ]
 
 

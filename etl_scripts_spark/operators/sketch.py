@@ -159,3 +159,78 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min("cnt").alias("cms_count"))
     )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+) -> DataFrame:
+    """Per-group fixed-bin histogram: (group, bin, cnt), at most
+    groups × bins rows at any input size.  The third mergeable sketch in
+    this module (KMV = cardinality, CMS = frequency, histogram =
+    quantiles/distribution): counters add, so map-side partial aggregation
+    collapses each task to ≤ bins rows per group before the exchange.
+
+    [lo, hi) is a CALLER-SUPPLIED range (monitoring pipelines know their
+    metric ranges), which keeps the sketch deterministic and mergeable
+    across batches — a data-dependent min/max would make yesterday's
+    sketch un-mergeable with today's.  Values outside the range clamp to
+    the edge bins.  Bin math is floor over exact integer-scaled doubles —
+    both engines evaluate the identical expression tree.
+    """
+    width = (hi - lo) / bins
+    b = F.least(
+        F.lit(bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col(value_col).cast("double") - F.lit(lo)) / F.lit(width)).cast(
+                "int"
+            ),
+        ),
+    )
+    return (
+        df.select(F.col(group_col), b.alias("bin"))
+        .groupBy(group_col, "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame, group_col: str, q: float, lo: float, hi: float, bins: int = 128
+) -> DataFrame:
+    """Quantile estimate from a histogram sketch: the first bin where the
+    cumulative count reaches q·total, linearly interpolated within the bin
+    — (group, est).  The cumulative scan is a per-group window over ≤ bins
+    rows; everything downstream of the sketch is O(groups × bins),
+    independent of the original data size.
+    """
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    w = Window.partitionBy(group_col).orderBy("bin")
+    c = hist.select(
+        F.col(group_col),
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_cum"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("_tot"),
+    )
+    target = F.ceil(F.lit(q) * F.col("_tot"))
+    picked = c.filter(F.col("_cum") >= target).withColumn(
+        "_rn", F.row_number().over(w)
+    ).filter(F.col("_rn") == 1)
+    est = (
+        F.lit(lo)
+        + (
+            F.col("bin").cast("double")
+            + (target - (F.col("_cum") - F.col("cnt"))).cast("double") / F.col("cnt")
+        )
+        * F.lit(width)
+    )
+    return picked.select(F.col(group_col), F.round(est, 4).alias("est"))

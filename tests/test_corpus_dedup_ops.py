@@ -214,3 +214,29 @@ def test_bpe_encode_known_merges(spark):
     assert out[0].tokens_md5 == hashlib.md5(b"aaab aaab").hexdigest()
     assert out[1].n_words == 1 and out[1].n_tokens == 1
     assert out[1].tokens_md5 == hashlib.md5(b"ab").hexdigest()
+
+
+def test_histogram_sketch_merge_and_quantile_error(spark):
+    """Histogram sketches are mergeable (sum of two halves' counters ==
+    sketch of the union) and the quantile estimate lands within one bin
+    width of the exact quantile."""
+    from etl_scripts_spark.operators.sketch import histogram_quantile, histogram_sketch
+
+    vals = [(i % 3, float(v)) for i, v in enumerate(range(1000))]
+    df = spark.createDataFrame(vals, "g int, v double")
+    lo, hi, bins = 0.0, 1024.0, 64
+    whole = histogram_sketch(df, "g", "v", lo, hi, bins)
+    h1 = histogram_sketch(df.filter("v < 500"), "g", "v", lo, hi, bins)
+    h2 = histogram_sketch(df.filter("v >= 500"), "g", "v", lo, hi, bins)
+    merged = (
+        h1.union(h2)
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+    est = {r.g: r.est for r in histogram_quantile(whole, "g", 0.5, lo, hi, bins).collect()}
+    import statistics
+
+    for g in (0, 1, 2):
+        exact = statistics.median([v for gg, v in vals if gg == g])
+        assert abs(est[g] - exact) <= (hi - lo) / bins, (g, est[g], exact)
