@@ -163,3 +163,119 @@ def test_asof_join_sliced_matches_plain_under_skew(spark):
         key=lambda r: r.lid,
     )
     assert plain == sliced
+
+
+def _random_corpus(rng, n_docs=60, vocab=25, max_len=40):
+    """Small vocab → heavy cross-doc n-gram collisions (the adversarial
+    regime for span/fingerprint operators)."""
+    return [
+        " ".join(
+            f"w{rng.integers(0, vocab)}" for _ in range(int(rng.integers(1, max_len)))
+        )
+        for _ in range(n_docs)
+    ]
+
+
+def test_dup_ngram_spans_matches_python_reference(spark):
+    """Independent per-doc reference: mark positions whose n-gram occurs in
+    >=2 distinct docs, merge islands with gap <= n."""
+    rng = np.random.default_rng(7)
+    texts = _random_corpus(rng)
+    n = 3
+    toks = [t.split(" ") for t in texts]
+    gram_docs: dict[tuple, set] = {}
+    for d, ws in enumerate(toks):
+        for i in range(len(ws) - n + 1):
+            gram_docs.setdefault(tuple(ws[i : i + n]), set()).add(d)
+    want = set()
+    for d, ws in enumerate(toks):
+        hits = [
+            i + 1
+            for i in range(len(ws) - n + 1)
+            if len(gram_docs[tuple(ws[i : i + n])]) >= 2
+        ]
+        spans: list[list] = []
+        for p in hits:
+            if spans and p - spans[-1][1] <= n:
+                spans[-1][1] = p
+                spans[-1][2] += 1
+            else:
+                spans.append([p, p, 1])
+        for s, e, c in spans:
+            want.add((d, s, e + n - 1, c))
+
+    from etl_scripts_spark.operators.dedup import dup_ngram_spans
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_dup_grams)
+        for r in dup_ngram_spans(df, n=n).collect()
+    }
+    assert got == want
+
+
+def test_winnow_matches_python_reference(spark):
+    """Independent reference: md5 hashes, sliding-window minima with
+    leftmost tie-break, truncated single window for short docs."""
+    import hashlib
+
+    rng = np.random.default_rng(11)
+    texts = _random_corpus(rng, n_docs=40, vocab=10, max_len=20)
+    n, w = 3, 4
+    want = set()
+    for d, t in enumerate(texts):
+        ws = t.split(" ")
+        hs = [
+            hashlib.md5(" ".join(ws[i : i + n]).encode()).hexdigest()
+            for i in range(len(ws) - n + 1)
+        ]
+        if not hs:
+            continue
+        for start in range(max(len(hs) - w + 1, 1)):
+            window = hs[start : start + w]
+            m = min(window)
+            pos = start + window.index(m) + 1  # leftmost, 1-based
+            want.add((d, m, pos))
+
+    from etl_scripts_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fp_hash, r.fp_pos)
+        for r in winnow_fingerprints(df, n=n, w=w).collect()
+    }
+    assert got == want
+
+
+def test_segment_dedup_matches_python_reference(spark):
+    import hashlib
+    from collections import Counter
+
+    rng = np.random.default_rng(13)
+    texts = _random_corpus(rng, n_docs=50, vocab=8, max_len=15)
+    seg_len = 2
+    segs_per_doc = [
+        [
+            " ".join(t.split(" ")[i : i + seg_len])
+            for i in range(0, len(t.split(" ")), seg_len)
+        ]
+        for t in texts
+    ]
+    freq = Counter(s for segs in segs_per_doc for s in segs)
+    want = {}
+    for d, segs in enumerate(segs_per_doc):
+        kept = [s for s in segs if freq[s] <= 1]
+        want[d] = (
+            len(segs),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    from etl_scripts_spark.operators.corpus import segment_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_segments, r.n_kept, r.kept_md5)
+        for r in segment_dedup(df, seg_len=seg_len, max_count=1).collect()
+    }
+    assert got == want
