@@ -4575,6 +4575,70 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].union(outs[1])
 
 
+@_register(
+    "q_incremental_dedup",
+    f"""
+    WITH hist AS (
+      SELECT * FROM documents WHERE doc_id % 10 <> 0
+    ), batch AS (
+      SELECT * FROM documents WHERE doc_id % 10 = 0
+    ), hsig AS (
+      SELECT doc_id, {_MH[0]} AS mh0, {_MH[1]} AS mh1, {_MH[2]} AS mh2, {_MH[3]} AS mh3
+      FROM hist
+    ), bsig AS (
+      SELECT doc_id, {_MH[0]} AS mh0, {_MH[1]} AS mh1, {_MH[2]} AS mh2, {_MH[3]} AS mh3
+      FROM batch
+    ), hb AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0) AS band_hash FROM hsig
+      UNION ALL SELECT doc_id, 1, md5(mh1) FROM hsig
+      UNION ALL SELECT doc_id, 2, md5(mh2) FROM hsig
+      UNION ALL SELECT doc_id, 3, md5(mh3) FROM hsig
+    ), bb AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0) AS band_hash FROM bsig
+      UNION ALL SELECT doc_id, 1, md5(mh1) FROM bsig
+      UNION ALL SELECT doc_id, 2, md5(mh2) FROM bsig
+      UNION ALL SELECT doc_id, 3, md5(mh3) FROM bsig
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS bid, h.doc_id AS hid
+      FROM bb b JOIN hb h
+        ON b.band_id = h.band_id AND b.band_hash = h.band_hash
+    ), bsets AS (
+      SELECT doc_id, list_distinct({oracle.shingles_sql('text')}) AS sh FROM batch
+    ), hsets AS (
+      SELECT doc_id, list_distinct({oracle.shingles_sql('text')}) AS sh FROM hist
+    ), ver AS (
+      SELECT c.bid, c.hid,
+             round(len(list_intersect(a.sh, b.sh))
+                   / greatest(len(a.sh) + len(b.sh)
+                              - len(list_intersect(a.sh, b.sh)), 1), 4) AS jac
+      FROM cand c JOIN bsets a ON a.doc_id = c.bid
+                  JOIN hsets b ON b.doc_id = c.hid
+    ), best AS (
+      SELECT bid, hid, jac,
+             row_number() OVER (PARTITION BY bid ORDER BY jac DESC, hid ASC) AS rn
+      FROM ver
+    )
+    SELECT b.doc_id, coalesce(best.jac >= 0.5, FALSE) AS is_dup,
+           best.jac AS best_jaccard, best.hid AS best_match_id
+    FROM batch b LEFT JOIN (SELECT * FROM best WHERE rn = 1) best
+      ON best.bid = b.doc_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the mode dedup actually runs in at 100 TB: the
+    incoming batch (doc_id % 10 == 0 here) checks against the historical
+    corpus via its persisted band index, never re-deduping history.
+    O(batch + LSH collisions), not O(batch × corpus); best match per batch
+    doc with exact-Jaccard verification of candidates only.  See
+    dedup.incremental_near_dups."""
+    docs = _tp(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.incremental_near_dups(
+        hist, batch, "text", "doc_id", num_hashes=4, k=3, band_size=1, threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4616,6 +4680,7 @@ _CHANGED_THIS_ROUND = (
     "q_hashed_quality",
     "q_bpe_encode",
     "q_hist_quantiles",
+    "q_incremental_dedup",
 )
 
 

@@ -84,6 +84,7 @@ HEADLINE = [
     "q_hashed_quality",
     "q_bpe_encode",
     "q_hist_quantiles",
+    "q_incremental_dedup",
 ]
 
 

@@ -598,3 +598,100 @@ def dup_span_removal(
             F.array_join(F.transform(kept_structs, lambda s: s["word"]), " ")
         ).alias("cleaned_md5"),
     )
+
+
+def incremental_near_dups(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    k: int = 3,
+    band_size: int = 1,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Batch-vs-history near-dup detection — the operating mode dedup
+    actually runs in at 100 TB: each incoming batch is checked against the
+    accumulated corpus, and the corpus is NEVER re-deduped wholesale.
+    Returns one row per batch document: (id, is_dup, best_jaccard,
+    best_match_id) — best_* NULL when the batch doc shares no LSH band
+    with any historical doc.
+
+    Scale shape: the history side reduces to its band index (num_bands
+    fixed-width rows per doc — in production this index is what persists
+    between batches; the historical TEXT is only fetched for verified
+    candidates).  The candidate join is batch-bands × history-bands on
+    md5-uniform (band_id, band_hash) — O(batch + collisions), not
+    O(batch × corpus).  Jaccard verification joins shingle sets for
+    candidate ids only, and best-match selection is a window over the
+    candidate set (bounded by LSH collision counts, not corpus size).
+    """
+    from pyspark.sql import Window
+
+    hb = lsh_bands(
+        minhash_df(corpus, text_col, id_col, num_hashes, k),
+        id_col,
+        num_hashes,
+        band_size,
+    )
+    bb = lsh_bands(
+        minhash_df(batch, text_col, id_col, num_hashes, k),
+        id_col,
+        num_hashes,
+        band_size,
+    )
+    cand = (
+        bb.select("band_id", "band_hash", F.col(id_col).alias("_bid"))
+        .join(
+            hb.select(
+                F.col("band_id").alias("_hbband"),
+                F.col("band_hash").alias("_hbhash"),
+                F.col(id_col).alias("_hid"),
+            ),
+            (F.col("band_id") == F.col("_hbband"))
+            & (F.col("band_hash") == F.col("_hbhash")),
+        )
+        .select("_bid", "_hid")
+        .distinct()
+    )
+
+    def _sets(df: DataFrame, out: str) -> DataFrame:
+        staged = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+        return staged.select(
+            F.col(id_col),
+            F.array_distinct(shingles_from_words(F.col("_w"), k)).alias(out),
+        )
+
+    ver = (
+        cand.join(
+            _sets(batch, "_shb").withColumnRenamed(id_col, "_bid2"),
+            F.col("_bid") == F.col("_bid2"),
+        )
+        .join(
+            _sets(corpus, "_shh").withColumnRenamed(id_col, "_hid2"),
+            F.col("_hid") == F.col("_hid2"),
+        )
+        .select(
+            "_bid",
+            "_hid",
+            jaccard_from_sets(F.col("_shb"), F.col("_shh")).alias("_jac"),
+        )
+    )
+    w = Window.partitionBy("_bid").orderBy(F.desc("_jac"), F.asc("_hid"))
+    best = (
+        ver.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_bid", "_hid", "_jac")
+    )
+    return (
+        batch.select(F.col(id_col))
+        .join(best, F.col(id_col) == F.col("_bid"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_jac") >= F.lit(threshold), F.lit(False)).alias(
+                "is_dup"
+            ),
+            F.col("_jac").alias("best_jaccard"),
+            F.col("_hid").alias("best_match_id"),
+        )
+    )

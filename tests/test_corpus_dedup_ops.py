@@ -240,3 +240,26 @@ def test_histogram_sketch_merge_and_quantile_error(spark):
     for g in (0, 1, 2):
         exact = statistics.median([v for gg, v in vals if gg == g])
         assert abs(est[g] - exact) <= (hi - lo) / bins, (g, est[g], exact)
+
+
+def test_incremental_near_dups_flags_copies_not_novel(spark):
+    """A batch doc copying a historical doc is flagged with jaccard 1.0 and
+    the right match id; a novel batch doc gets (False, NULL, NULL)."""
+    from etl_scripts_spark.operators.dedup import incremental_near_dups
+
+    hist = _docs(spark, [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different historical content about other things",
+    ])
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog again and again"),
+            (101, "novel text sharing nothing with history qq ww ee rr tt yy"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in incremental_near_dups(hist, batch).collect()}
+    assert rows[100].is_dup and rows[100].best_jaccard == 1.0
+    assert rows[100].best_match_id == 0
+    assert not rows[101].is_dup
+    assert rows[101].best_jaccard is None and rows[101].best_match_id is None
