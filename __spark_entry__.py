@@ -4078,14 +4078,16 @@ def _bpe_oracle_sql(n_merges: int = 3) -> str:
              replace(pair, ' ', '') AS merged, pair_count
       FROM pairs{r} ORDER BY pair_count DESC, pair ASC LIMIT 1
     ), seg{r + 1} AS (
+      -- LEFT JOIN ON TRUE + coalesce: an empty best{r} (no learnable pair
+      -- left) keeps the segmentation unchanged instead of emptying it
       SELECT s.word, s.freq,
-             trim(replace(replace(replace(replace(
+             coalesce(trim(replace(replace(replace(replace(
                ' ' || s.seg || ' ',
                ' ' || b.pair || ' ', ' ' || b.merged || ' '),
                ' ' || b.pair || ' ', ' ' || b.merged || ' '),
                ' ' || b.pair || ' ', ' ' || b.merged || ' '),
-               ' ' || b.pair || ' ', ' ' || b.merged || ' ')) AS seg
-      FROM seg{r} s, best{r} b
+               ' ' || b.pair || ' ', ' ' || b.merged || ' ')), s.seg) AS seg
+      FROM seg{r} s LEFT JOIN best{r} b ON TRUE
     )"""
         )
     parts.append(
@@ -4342,10 +4344,11 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distinct 2-gram cardinality: exact count next to the KMV
-    bottom-32 sketch estimate ((k-1)/u_k over the md5 space).  The sketch
-    path ships ≤32 rows per group (WindowGroupLimit cuts below the
-    exchange); the exact column is the self-check.  See sketch.kmv_distinct
-    for mergeability and why KMV instead of HLL."""
+    bottom-32 sketch estimate ((k-1)/u_k over the md5 space).  The rank cut
+    ships ≤32 rows per group into its stage (WindowGroupLimit below the
+    exchange); the exact column is the self-check.  KMV's real 100 TB win
+    is the persisted mergeable summary — see sketch.py's module docstring
+    for the honest cost accounting, and kmv_distinct for why KMV not HLL."""
     from etl_scripts_spark.operators import sketch
     from etl_scripts_spark.operators.dedup import shingles_from_words
 

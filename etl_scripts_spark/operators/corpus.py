@@ -508,15 +508,25 @@ def _bpe_train(
         repl = F.concat(F.lit(" "), F.col("_bm"), F.lit(" "))
         for _ in range(4):
             padded = F.replace(padded, search, repl)
+        # LEFT join on TRUE + coalesce: a round with NO learnable pair
+        # (best is empty — e.g. every word is a single symbol already)
+        # leaves the segmentation UNCHANGED instead of emptying the table
+        # through an inner cross-join with zero rows
         seg_tbl = (
             seg_tbl.join(
                 F.broadcast(
                     best.select(
                         F.col("pair").alias("_bp"), F.col("merged").alias("_bm")
                     )
-                )
+                ),
+                F.lit(True),
+                "left",
             )
-            .select("word", "freq", F.trim(padded).alias("seg"))
+            .select(
+                "word",
+                "freq",
+                F.coalesce(F.trim(padded), F.col("seg")).alias("seg"),
+            )
             .localCheckpoint(eager=True)
         )
     out = best_rows[0]

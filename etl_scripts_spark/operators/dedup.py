@@ -640,6 +640,8 @@ def incremental_near_dups(
         num_hashes,
         band_size,
     )
+    # checkpoint: cand feeds three consumers (two semi-joins + the verify
+    # join) — without it each would recompute the whole signature pipeline
     cand = (
         bb.select("band_id", "band_hash", F.col(id_col).alias("_bid"))
         .join(
@@ -653,10 +655,15 @@ def incremental_near_dups(
         )
         .select("_bid", "_hid")
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
-    def _sets(df: DataFrame, out: str) -> DataFrame:
-        staged = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    def _sets(df: DataFrame, keep: DataFrame, out: str) -> DataFrame:
+        # semi-join FIRST: shingle sets are built for candidate ids only —
+        # the history side must never be re-tokenized wholesale per batch
+        staged = df.join(
+            keep.withColumnRenamed(keep.columns[0], id_col), id_col, "leftsemi"
+        ).select(F.col(id_col), words(F.col(text_col)).alias("_w"))
         return staged.select(
             F.col(id_col),
             F.array_distinct(shingles_from_words(F.col("_w"), k)).alias(out),
@@ -664,11 +671,15 @@ def incremental_near_dups(
 
     ver = (
         cand.join(
-            _sets(batch, "_shb").withColumnRenamed(id_col, "_bid2"),
+            _sets(batch, cand.select("_bid").distinct(), "_shb").withColumnRenamed(
+                id_col, "_bid2"
+            ),
             F.col("_bid") == F.col("_bid2"),
         )
         .join(
-            _sets(corpus, "_shh").withColumnRenamed(id_col, "_hid2"),
+            _sets(corpus, cand.select("_hid").distinct(), "_shh").withColumnRenamed(
+                id_col, "_hid2"
+            ),
             F.col("_hid") == F.col("_hid2"),
         )
         .select(

@@ -16,9 +16,16 @@ the k smallest — an algebraic aggregate, so map-side partial aggregation
 works), and *auditable* (the sketch IS the k hashes; the DuckDB oracle
 recomputes it bit-identically, which no HLL register layout allows).
 
-Scale shape: the bottom-k per group is a rank-filter window — Spark's
-WindowGroupLimit pushes `row_number() <= k` below the exchange, so each map
-task ships at most k rows per group instead of its whole distinct set.
+Scale shape, honestly stated: building the sketch from raw data pays one
+distinct-style shuffle (partial aggregation dedups map-side, but each task
+still ships its per-task distinct set — the same first stage exact
+counting pays).  What the sketch buys is everything AFTER that: the
+persisted summary is k rows per group instead of the full distinct set, it
+merges across batches/days without re-scanning them (union the hashes,
+re-take the k smallest), and the rank-filter cut itself is map-side
+(WindowGroupLimit below the second exchange).  At 100 TB the win is the
+standing index: yesterday's sketch + today's batch = today's estimate,
+with no second corpus scan.
 """
 
 from __future__ import annotations
@@ -38,10 +45,12 @@ def kmv_sketch(
     `value_col` must be a materialized string column (one value per row —
     explode arrays first).  The rank filter is an explicit
     `row_number() <= k` Filter, so Spark plans WindowGroupLimit on BOTH
-    sides of the exchange — each map task ships at most k digests per
-    group, which is the whole reason a sketch beats `count(distinct)`
-    at 100 TB.  Merging sketches = union the hash sets, re-take the k
-    smallest (algebraic, so partial aggregation composes).
+    sides of the rank exchange — each task ships at most k digests per
+    group into that stage.  NB the upstream distinct is still a
+    distinct-value shuffle (see the module docstring for what the sketch
+    does and does not save); merging sketches = union the hash sets,
+    re-take the k smallest (algebraic, so partial aggregation composes) —
+    re-estimation across batches never re-scans the data.
     """
     from pyspark.sql import Window
 

@@ -99,20 +99,31 @@ def table_version(root: str) -> int:
 
 
 def try_publish_version(root: str, version: int, data_path: str) -> bool:
-    """Compare-and-swap: atomically create `_versions/v{version}.json`.
+    """Compare-and-swap: atomically publish `_versions/v{version}.json`.
     Returns False (no side effects on the chain) if another writer already
-    owns that version — O_CREAT|O_EXCL is the atomic arbiter, unlike
-    os.rename which silently overwrites on POSIX."""
+    owns that version.
+
+    The manifest is fully written to a writer-private temp file FIRST and
+    published via os.link, which fails with EEXIST exactly like
+    O_CREAT|O_EXCL — so the version file either does not exist or is
+    complete; a concurrent reader can never observe an empty/partial
+    manifest between creation and json.dump.  (os.rename is unsuitable as
+    the arbiter: it silently overwrites on POSIX.)"""
     vdir = _versions_dir(root)
     os.makedirs(vdir, exist_ok=True)
     path = os.path.join(vdir, f"v{version}.json")
+    tmp = os.path.join(vdir, f".v{version}.{os.getpid()}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"version": version, "data": data_path, "committed_at": time.time()}, fh
+        )
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
+        return True
     except FileExistsError:
         return False
-    with os.fdopen(fd, "w") as fh:
-        json.dump({"version": version, "data": data_path, "committed_at": time.time()}, fh)
-    return True
+    finally:
+        os.unlink(tmp)
 
 
 def read_version(spark, root: str, version: int | None = None):

@@ -263,3 +263,18 @@ def test_incremental_near_dups_flags_copies_not_novel(spark):
     assert rows[100].best_match_id == 0
     assert not rows[101].is_dup
     assert rows[101].best_jaccard is None and rows[101].best_match_id is None
+
+
+def test_bpe_rounds_beyond_learnable_merges_keep_segmentation(spark):
+    """A merge round with NO remaining pair (every word fully merged) must
+    leave the segmentation unchanged, not empty the vocabulary table: with
+    corpus ['ab'] only one merge is learnable, yet n_merges=3 still encodes
+    every document."""
+    from etl_scripts_spark.operators.corpus import bpe_encode, bpe_merges
+
+    rows = bpe_encode(_docs(spark, ["ab"]), n_merges=3).collect()
+    assert len(rows) == 1
+    assert rows[0].n_words == 1 and rows[0].n_tokens == 1
+    assert rows[0].tokens_md5 == hashlib.md5(b"ab").hexdigest()
+    merges = bpe_merges(_docs(spark, ["ab"]), n_merges=3).collect()
+    assert [(m.merge_rank, m.pair, m.merged) for m in merges] == [(1, "a b", "ab")]

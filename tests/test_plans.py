@@ -248,8 +248,10 @@ def test_segment_freq_join_is_not_hinted_broadcast(spark):
 
 def test_kmv_rank_cut_is_mapside(spark):
     """The sketch branch's bottom-k rank filter must plan WindowGroupLimit
-    on both sides of its exchange, so each map task ships at most k digests
-    per group — the property that makes KMV the 100 TB path."""
+    on both sides of its exchange, so each task ships at most k digests per
+    group into the rank stage.  (The upstream distinct remains a
+    distinct-value shuffle — KMV's 100 TB win is the persisted mergeable
+    summary, not that first scan; see sketch.py's module docstring.)"""
     plan = _plan(spark, "q_kmv_distinct", "formatted")
     assert plan.count("WindowGroupLimit") >= 2, "bottom-k cut not pushed map-side"
 

@@ -269,3 +269,24 @@ def test_optimistic_upsert_self_heals_and_bounds_retries(spark, tmp_path, monkey
     with _pytest.raises(RuntimeError, match="gave up"):
         commitmod.optimistic_upsert(spark, root, up, ["code"], max_retries=3)
     assert set(os.listdir(os.path.join(root, "data"))) == before
+
+
+def test_publish_version_is_complete_or_absent(tmp_path):
+    """The CAS publish must never expose a partially-written manifest: the
+    version file, once visible, parses completely; the loser's attempt
+    leaves no temp debris and does not clobber the winner's content."""
+    import json
+    import os
+
+    from etl_scripts_spark.sinks.commit import try_publish_version
+
+    root = str(tmp_path)
+    assert try_publish_version(root, 1, "data/a")
+    vpath = os.path.join(root, "_versions", "v1.json")
+    assert json.load(open(vpath))["data"] == "data/a"
+    # conflicting writer: returns False, winner's manifest intact
+    assert not try_publish_version(root, 1, "data/b")
+    assert json.load(open(vpath))["data"] == "data/a"
+    # no temp files left behind by either attempt
+    leftovers = [f for f in os.listdir(os.path.join(root, "_versions")) if f != "v1.json"]
+    assert leftovers == []
