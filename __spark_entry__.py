@@ -3155,6 +3155,41 @@ def q_stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_stream_kmv",
+    """
+    WITH d AS (
+      SELECT DISTINCT event_type, md5(user_id::VARCHAR) AS h
+      FROM events WHERE user_id IS NOT NULL
+    ), r AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    ), a AS (
+      SELECT event_type, least(count(*), 32)::BIGINT AS sketch_n,
+             max(CASE WHEN rn <= 32 THEN h END) AS kth
+      FROM r GROUP BY event_type
+    )
+    SELECT event_type, sketch_n,
+           CASE WHEN sketch_n < 32 THEN sketch_n::DOUBLE
+                ELSE round(8725724278030336.0
+                           / ('0x' || substr(kth, 1, 12))::BIGINT, 4)
+           END AS est_distinct
+    FROM a
+    """,
+)
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV sketch maintenance: the per-event-type distinct-user
+    sketch lives in the state store (k hashes per key — state stays bounded
+    at any stream volume) and every micro-batch merges in algebraically.
+    After the AvailableNow drain the state equals the batch KMV over all
+    events — the oracle recomputes exactly that.  The standing-index story
+    of operators/sketch.py, run live.  See streaming/stateful.py."""
+    from etl_scripts_spark.streaming.stateful import stateful_kmv_available_now
+
+    return stateful_kmv_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+@_register(
     "q_stream_dedup",
     """
     SELECT user_id, event_type,
@@ -4684,6 +4719,7 @@ _CHANGED_THIS_ROUND = (
     "q_bpe_encode",
     "q_hist_quantiles",
     "q_incremental_dedup",
+    "q_stream_kmv",
 )
 
 

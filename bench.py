@@ -85,6 +85,7 @@ HEADLINE = [
     "q_bpe_encode",
     "q_hist_quantiles",
     "q_incremental_dedup",
+    "q_stream_kmv",
 ]
 
 

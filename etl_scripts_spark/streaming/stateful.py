@@ -192,3 +192,89 @@ def stateful_user_totals_available_now(
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max_by("sum_cents", "n_events").alias("sum_cents")
     )
+
+
+KMV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("sketch_n", T.LongType()),
+        T.StructField("kth_hash", T.StringType()),
+    ]
+)
+
+_KMV_STATE = T.StructType([T.StructField("hashes", T.StringType())])
+
+_KMV_K = 32
+
+
+def _kmv_fn(key: Tuple[Any, ...], pdfs: Iterator, state: GroupState) -> Iterator:
+    """Merge each micro-batch's md5(user_id) digests into the bottom-k
+    state (union → keep the k smallest: the algebraic KMV merge), emit the
+    current (sketch_n, kth)."""
+    import hashlib
+
+    import pandas as pd
+
+    hashes = set(state.get[0].split(",")) if state.exists and state.get[0] else set()
+    for pdf in pdfs:
+        for u in pdf["user_id"]:
+            hashes.add(hashlib.md5(str(int(u)).encode()).hexdigest())
+    bottom = sorted(hashes)[:_KMV_K]
+    state.update((",".join(bottom),))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "sketch_n": [len(bottom)], "kth_hash": [bottom[-1]]}
+    )
+
+
+def stateful_kmv_available_now(
+    spark: SparkSession, events_parquet: str, approx_keys: int = 8
+) -> DataFrame:
+    """Streaming KMV sketch maintenance: the per-event-type distinct-user
+    sketch lives IN the state store and each micro-batch merges its digests
+    in (bounded state: k hashes per key, regardless of stream volume) —
+    the standing-index story of operators/sketch.py run live.  After the
+    AvailableNow drain, the final state equals the batch KMV over all
+    events, which is what the oracle checks.  Returns
+    (event_type, sketch_n, est_distinct): est = sketch_n when the sketch
+    is lossless (< k distinct), else (k-1)/u_k.
+    """
+    from ..catalog import normalize_events
+    from .tuning import state_shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_parquet).schema
+    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
+    stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
+    sketches = (
+        stream.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            _kmv_fn,
+            outputStructType=KMV_SCHEMA,
+            stateStructType=_KMV_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"etl_stateful_out_{next(_name_counter)}"
+    with state_shuffle_partitions(spark, approx_keys):
+        query = (
+            sketches.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    out = spark.table(name)
+    # update mode may emit per micro-batch; the sketch only grows (sketch_n
+    # up, kth down), so the final state is (max sketch_n, min kth).
+    final = out.groupBy("event_type").agg(
+        F.max("sketch_n").alias("sketch_n"), F.min("kth_hash").alias("kth_hash")
+    )
+    kth48 = F.conv(F.substring("kth_hash", 1, 12), 16, 10).cast("bigint")
+    est = F.when(
+        F.col("sketch_n") < _KMV_K, F.col("sketch_n").cast("double")
+    ).otherwise(F.round(F.lit(float(_KMV_K - 1) * (1 << 48)) / kth48, 4))
+    return final.select("event_type", "sketch_n", est.alias("est_distinct"))

@@ -64,6 +64,7 @@ STREAMING = {
     "q_stream_sessionize",
     "q_stream_enriched",
     "q_stream_interval_join",
+    "q_stream_kmv",
 }
 
 
