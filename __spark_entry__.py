@@ -146,6 +146,91 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_shipping_priority",
+    """
+    SELECT l_orderkey,
+           sum(l_extendedprice::DECIMAL(18,2)
+               * (1 - l_discount::DECIMAL(3,2)))::DOUBLE AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority, o_orderpriority standing in for
+    the schema's missing o_shippriority): segment-filtered customers ⋈
+    date-filtered orders ⋈ lineitem, decimal-exact revenue per unshipped
+    order, deterministic top-10 via TakeOrderedAndProject (revenue desc,
+    orderkey tie-break — no single-task global sort).  Both date filters
+    and the segment filter push to the parquet scans."""
+    cutoff = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q_large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey AS bok,
+             sum(l_quantity::DECIMAL(18,2)) AS tq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity::DECIMAL(18,2)) > 250
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           tq::DOUBLE AS total_qty
+    FROM big
+    JOIN orders ON o_orderkey = bok
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): the HAVING-filtered aggregate
+    over the fact table reduces lineitem to ~1 % of orders BEFORE any join
+    — the joins then run on the small derived table (broadcast-eligible at
+    any scale where the filter is selective; SMJ on the uniform orderkey
+    otherwise).  Decimal-exact quantity sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("bok"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_tq"))
+        .filter(F.col("_tq") > 250)
+    )
+    return (
+        big.join(orders, F.col("o_orderkey") == F.col("bok"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_tq").cast("double").alias("total_qty"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reports / aggregations (SURVEY §2.3, §3.2)
 # ---------------------------------------------------------------------------
@@ -4720,6 +4805,8 @@ _CHANGED_THIS_ROUND = (
     "q_hist_quantiles",
     "q_incremental_dedup",
     "q_stream_kmv",
+    "q_shipping_priority",
+    "q_large_orders",
 )
 
 

@@ -86,6 +86,8 @@ HEADLINE = [
     "q_hist_quantiles",
     "q_incremental_dedup",
     "q_stream_kmv",
+    "q_shipping_priority",
+    "q_large_orders",
 ]
 
 

@@ -294,3 +294,35 @@ def test_hashed_quality_is_shuffle_free(spark):
     assert "hashpartitioning" not in plan
     assert "rangepartitioning" not in plan
     assert "Join" not in plan and "HashAggregate" not in plan
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    """Q3 shape: segment + both date predicates reach the parquet scans
+    (PushedFilters), and the top-10 cut is TakeOrderedAndProject — never a
+    single-task global sort."""
+    plan = _plan(spark, "q_shipping_priority", "formatted")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("PushedFilters: [IsNotNull") >= 3
+    assert "c_mktsegment" in plan.split("PushedFilters")[1].split("]")[0] or (
+        "EqualTo(c_mktsegment,BUILDING)" in plan
+    )
+
+
+def test_large_orders_aggregates_before_joining(spark):
+    """Q18 shape: the HAVING-filtered quantity aggregate runs on lineitem
+    BEFORE any join (partial_sum under the only hash exchange, keyed on
+    l_orderkey), the lineitem scan reads exactly its 2 referenced columns,
+    and both lookups against the reduced table are broadcast joins — the
+    fact table is never shuffled for a join."""
+    plan = _plan(spark, "q_large_orders", "formatted")
+    assert "partial_sum" in plan, "quantity aggregate not map-side partial"
+    assert "hashpartitioning(l_orderkey" in plan
+    # formatted mode prints each operator in the tree AND its detail block
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    li_schema = next(
+        l for l in plan.splitlines() if l.startswith("ReadSchema") and "l_quantity" in l
+    )
+    assert li_schema.endswith("struct<l_orderkey:bigint,l_quantity:double>"), (
+        f"lineitem scan over-reads: {li_schema}"
+    )
