@@ -133,15 +133,15 @@ def main() -> None:
                 print(f"# {name}: FAILED after {round(time.time() - t0, 3)}s: "
                       f"{errors[name]}", file=sys.stderr, flush=True)
                 break
-        # a query is either timed or errored, never both — a run-2 failure
-        # keeps its run-1 raw for diagnosis but stays out of the headline
-        if raws and name not in errors:
+        if raws:
             runs[name] = raws
+        # a query is either timed or errored, never both — a run-2 failure
+        # keeps its run-1 raw (in runs) for diagnosis but stays out of the
+        # headline total
+        if raws and name not in errors:
             timings[name] = min(raws)
             print(f"# {name}: {rows} rows in {timings[name]}s (runs: {raws})",
                   file=sys.stderr, flush=True)
-        elif raws:
-            runs[name] = raws
 
     total = round(sum(timings.values()), 3)
     result = {

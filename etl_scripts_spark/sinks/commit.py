@@ -103,25 +103,44 @@ def try_publish_version(root: str, version: int, data_path: str) -> bool:
     Returns False (no side effects on the chain) if another writer already
     owns that version.
 
-    The manifest is fully written to a writer-private temp file FIRST and
+    The manifest is fully written to a writer-private temp file FIRST
+    (named by pid + uuid, so same-process threads never share one) and
     published via os.link, which fails with EEXIST exactly like
     O_CREAT|O_EXCL — so the version file either does not exist or is
     complete; a concurrent reader can never observe an empty/partial
     manifest between creation and json.dump.  (os.rename is unsuitable as
-    the arbiter: it silently overwrites on POSIX.)"""
+    the arbiter: it silently overwrites on POSIX.)  On filesystems without
+    hard links the publish falls back to O_CREAT|O_EXCL + copy — the same
+    atomic arbiter, with a (documented) partial-visibility window that the
+    link path does not have."""
+    import errno
+    import uuid
+
     vdir = _versions_dir(root)
     os.makedirs(vdir, exist_ok=True)
     path = os.path.join(vdir, f"v{version}.json")
-    tmp = os.path.join(vdir, f".v{version}.{os.getpid()}.tmp")
+    tmp = os.path.join(vdir, f".v{version}.{os.getpid()}.{uuid.uuid4().hex}.tmp")
+    payload = json.dumps(
+        {"version": version, "data": data_path, "committed_at": time.time()}
+    )
     with open(tmp, "w") as fh:
-        json.dump(
-            {"version": version, "data": data_path, "committed_at": time.time()}, fh
-        )
+        fh.write(payload)
     try:
         os.link(tmp, path)
         return True
     except FileExistsError:
         return False
+    except OSError as exc:
+        if exc.errno not in (errno.EPERM, errno.EOPNOTSUPP, errno.ENOTSUP):
+            raise
+        # no-hard-link filesystem: O_EXCL is still the atomic arbiter
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return True
     finally:
         os.unlink(tmp)
 

@@ -103,6 +103,33 @@ def _first_seen_fn(key, pdfs, state: GroupState):
     )
 
 
+def _drain_events(spark: SparkSession, events_parquet: str, build, approx_keys: int) -> DataFrame:
+    """Shared AvailableNow drain harness for the stateful operators: read
+    the events stream (schema from the batch footer, glob for the file
+    source, NTZ/nanos normalization), let `build(stream)` attach the
+    stateful transformation, drain once into a memory sink with the state
+    shard count sized to the key cardinality, and return the sink table."""
+    from ..catalog import normalize_events
+    from .tuning import state_shuffle_partitions
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_parquet).schema
+    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
+    stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
+    out = build(stream)
+    name = f"etl_stateful_out_{next(_name_counter)}"
+    with state_shuffle_partitions(spark, approx_keys):
+        query = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name)
+
+
 def stateful_first_seen_available_now(
     spark: SparkSession, events_parquet: str, approx_keys: int = 7500
 ) -> DataFrame:
@@ -111,35 +138,21 @@ def stateful_first_seen_available_now(
     (user_id, event_type), keeping the first arrival and counting dropped
     duplicates.  The state store IS the registered-set; a restart resumes
     from the checkpoint instead of re-registering."""
-    from ..catalog import normalize_events
-    from .tuning import state_shuffle_partitions
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_parquet).schema
-    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
-    stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
-    firsts = (
-        stream.select("user_id", "event_type", "event_id", "ts")
-        .groupBy("user_id", "event_type")
-        .applyInPandasWithState(
-            _first_seen_fn,
-            outputStructType=FIRST_SEEN_SCHEMA,
-            stateStructType=_FIRST_SEEN_STATE,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    def build(stream):
+        return (
+            stream.select("user_id", "event_type", "event_id", "ts")
+            .groupBy("user_id", "event_type")
+            .applyInPandasWithState(
+                _first_seen_fn,
+                outputStructType=FIRST_SEEN_SCHEMA,
+                stateStructType=_FIRST_SEEN_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
         )
-    )
-    name = f"etl_stateful_out_{next(_name_counter)}"
-    with state_shuffle_partitions(spark, approx_keys):
-        query = (
-            firsts.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    out = spark.table(name)
+
+    out = _drain_events(spark, events_parquet, build, approx_keys)
     # update mode may emit per micro-batch; the final state row has max n.
     return out.groupBy("user_id", "event_type").agg(
         F.max_by("first_event_id", "n_duplicates").alias("first_event_id"),
@@ -159,36 +172,22 @@ def stateful_user_totals_available_now(
     :mod:`.tuning`) — the catalog's events table has ~1.5 k distinct users
     per sf; at production key counts pass the table-statistics estimate.
     """
-    from ..catalog import normalize_events
-    from .tuning import state_shuffle_partitions
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_parquet).schema
-    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
-    stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
-    totals = (
-        stream.select("user_id", "value")
-        .groupBy("user_id")
-        .applyInPandasWithState(
-            _user_totals_fn,
-            outputStructType=USER_TOTALS_SCHEMA,
-            stateStructType=_STATE_SCHEMA,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+    def build(stream):
+        return (
+            stream.select("user_id", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _user_totals_fn,
+                outputStructType=USER_TOTALS_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
         )
-    )
-    name = f"etl_stateful_out_{next(_name_counter)}"
-    with state_shuffle_partitions(spark, approx_keys):
-        query = (
-            totals.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+
+    out = _drain_events(spark, events_parquet, build, approx_keys)
     # update mode may emit a row per micro-batch per key; keep the last.
-    out = spark.table(name)
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max_by("sum_cents", "n_events").alias("sum_cents")
     )
@@ -217,7 +216,9 @@ def _kmv_fn(key: Tuple[Any, ...], pdfs: Iterator, state: GroupState) -> Iterator
 
     hashes = set(state.get[0].split(",")) if state.exists and state.get[0] else set()
     for pdf in pdfs:
-        for u in pdf["user_id"]:
+        # dedupe BEFORE hashing: md5 cost scales with user cardinality,
+        # not event volume
+        for u in pdf["user_id"].unique():
             hashes.add(hashlib.md5(str(int(u)).encode()).hexdigest())
     bottom = sorted(hashes)[:_KMV_K]
     state.update((",".join(bottom),))
@@ -238,43 +239,52 @@ def stateful_kmv_available_now(
     (event_type, sketch_n, est_distinct): est = sketch_n when the sketch
     is lossless (< k distinct), else (k-1)/u_k.
     """
-    from ..catalog import normalize_events
-    from .tuning import state_shuffle_partitions
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_parquet).schema
-    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
-    stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
-    sketches = (
-        stream.filter(F.col("user_id").isNotNull())
-        .select("event_type", "user_id")
+    def build(stream):
+        return (
+            stream.filter(F.col("user_id").isNotNull())
+            .select("event_type", "user_id")
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _kmv_fn,
+                outputStructType=KMV_SCHEMA,
+                stateStructType=_KMV_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    out = _drain_events(spark, events_parquet, build, approx_keys)
+    return _kmv_finalize(out)
+
+
+def _kmv_finalize(out: DataFrame) -> DataFrame:
+    """Reduce the per-micro-batch KMV emissions to the final estimate.
+
+    The LAST state per key is the emission with max sketch_n, then (once
+    saturated) min kth.  NB min(kth) alone would be wrong: while the sketch
+    is UNSATURATED, kth is the max of the growing set, so an early emission
+    can hold a SMALLER kth than the final saturated state — the struct-max
+    on (sketch_n, -kth48) gets both phases right.
+    """
+    row48 = F.conv(F.substring("kth_hash", 1, 12), 16, 10).cast("bigint")
+    final = (
+        out.select("event_type", "sketch_n", row48.alias("_k48"))
         .groupBy("event_type")
-        .applyInPandasWithState(
-            _kmv_fn,
-            outputStructType=KMV_SCHEMA,
-            stateStructType=_KMV_STATE,
-            outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+        .agg(
+            F.max(
+                F.struct(F.col("sketch_n"), (-F.col("_k48")).alias("_nk"))
+            ).alias("_s")
+        )
+        .select(
+            "event_type",
+            F.col("_s.sketch_n").alias("sketch_n"),
+            (-F.col("_s._nk")).alias("_k48"),
         )
     )
-    name = f"etl_stateful_out_{next(_name_counter)}"
-    with state_shuffle_partitions(spark, approx_keys):
-        query = (
-            sketches.writeStream.outputMode("update")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    out = spark.table(name)
-    # update mode may emit per micro-batch; the sketch only grows (sketch_n
-    # up, kth down), so the final state is (max sketch_n, min kth).
-    final = out.groupBy("event_type").agg(
-        F.max("sketch_n").alias("sketch_n"), F.min("kth_hash").alias("kth_hash")
-    )
-    kth48 = F.conv(F.substring("kth_hash", 1, 12), 16, 10).cast("bigint")
     est = F.when(
         F.col("sketch_n") < _KMV_K, F.col("sketch_n").cast("double")
-    ).otherwise(F.round(F.lit(float(_KMV_K - 1) * (1 << 48)) / kth48, 4))
+    ).otherwise(
+        F.round(F.lit(float(_KMV_K - 1) * (1 << 48)) / F.col("_k48"), 4)
+    )
     return final.select("event_type", "sketch_n", est.alias("est_distinct"))
