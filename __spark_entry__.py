@@ -4762,6 +4762,170 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_kmv_overlap",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({oracle.shingles_sql('text', 3)}) AS gram
+      FROM documents
+    ), d AS (
+      SELECT DISTINCT source, md5(gram) AS h FROM tok
+    ), r AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM d
+    ), sk AS (
+      SELECT source, list_sort(list(h)) AS ks FROM r WHERE rn <= 128
+      GROUP BY source
+    ), pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             a.ks AS ka, b.ks AS kb,
+             list_sort(list_distinct(a.ks || b.ks))[1:128] AS uk
+      FROM sk a JOIN sk b ON a.source < b.source
+    )
+    SELECT source_a, source_b,
+           len(uk)::BIGINT AS union_sketch_n,
+           len(list_intersect(uk, list_intersect(ka, kb)))::BIGINT AS n_in_both,
+           round(len(list_intersect(uk, list_intersect(ka, kb)))
+                 / len(uk), 4) AS est_jaccard
+    FROM pairs
+    """,
+)
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source Jaccard ESTIMATED from KMV sketches alone (Beyer et al.
+    2007 set-operation estimator) — the sketch-composed twin of
+    q_source_overlap: no gram self-join, no corpus-sized pair shuffle; the
+    union sketch and intersection fraction are pure array arithmetic over
+    the ≤128-hash summaries, so the comparison runs on persisted sketches
+    without touching the corpus.  See sketch.kmv_bottoms/kmv_overlap."""
+    from etl_scripts_spark.operators import sketch
+    from etl_scripts_spark.operators.dedup import shingles_from_words
+
+    grams = (
+        _tp(spark, sf_dir, "documents")
+        .select("source", text.words(F.col("text")).alias("_w"))
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(shingles_from_words(F.col("_w"), 3))
+            ).alias("gram"),
+        )
+    )
+    sketches = sketch.kmv_bottoms(grams, "source", "gram", k=128)
+    return sketch.kmv_overlap(sketches, "source", k=128)
+
+
+@_register(
+    "q_sketch_accuracy",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest({oracle.shingles_sql('text', 3)}) AS gram
+      FROM documents
+    ), d AS (
+      SELECT DISTINCT source, md5(gram) AS h FROM tok
+    ), sizes AS (
+      SELECT source, count(*) AS n FROM d GROUP BY source
+    ), exact AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      FROM d
+    ), sk AS (
+      SELECT source, list_sort(list(h)) AS ks FROM r WHERE rn <= 128
+      GROUP BY source
+    ), est AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             round(len(list_intersect(
+                     list_sort(list_distinct(a.ks || b.ks))[1:128],
+                     list_intersect(a.ks, b.ks)))
+                   / len(list_sort(list_distinct(a.ks || b.ks))[1:128]),
+                   4) AS est_jaccard
+      FROM sk a JOIN sk b ON a.source < b.source
+    )
+    SELECT e.source_a, e.source_b,
+           round(coalesce(x.n_common, 0)
+                 / (sa.n + sb.n - coalesce(x.n_common, 0)), 4) AS exact_jaccard,
+           e.est_jaccard,
+           round(abs(e.est_jaccard
+                     - coalesce(x.n_common, 0)
+                       / (sa.n + sb.n - coalesce(x.n_common, 0))), 4) AS abs_err
+    FROM est e
+    LEFT JOIN exact x ON x.source_a = e.source_a AND x.source_b = e.source_b
+    JOIN sizes sa ON sa.source = e.source_a
+    JOIN sizes sb ON sb.source = e.source_b
+    """,
+)
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-vs-truth measurement (the cardinality analog of
+    q_ivf_recall/q_pq_recall): per source pair, the KMV-estimated Jaccard
+    next to the exact gram-level Jaccard and the absolute error.  The
+    exact side is the declared ground-truth cost paid once for the
+    measurement; production uses the sketch path alone."""
+    from etl_scripts_spark.operators import sketch
+    from etl_scripts_spark.operators.dedup import shingles_from_words
+
+    grams = (
+        _tp(spark, sf_dir, "documents")
+        .select("source", text.words(F.col("text")).alias("_w"))
+        .select(
+            "source",
+            F.explode(
+                F.array_distinct(shingles_from_words(F.col("_w"), 3))
+            ).alias("gram"),
+        )
+    )
+    d = grams.select("source", F.md5("gram").alias("_h")).distinct().localCheckpoint(
+        eager=True
+    )
+    sizes = d.groupBy("source").agg(F.count("*").alias("_n"))
+    exact = (
+        d.select(F.col("source").alias("source_a"), "_h")
+        .join(
+            d.select(F.col("source").alias("source_b"), F.col("_h").alias("_hb")),
+            (F.col("_h") == F.col("_hb")) & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("_nc"))
+    )
+    # bottom-k straight from the shared distinct-digest table (NOT via
+    # kmv_bottoms, which would md5 the already-hashed values a second time
+    # and diverge from the oracle)
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy("source").orderBy("_h"))
+    sk = (
+        d.select("source", "_h", rn.alias("_rn"))
+        .filter(F.col("_rn") <= 128)
+        .groupBy("source")
+        .agg(F.array_sort(F.collect_list("_h")).alias("ks"))
+    )
+    est = sketch.kmv_overlap(sk, "source", k=128).select(
+        "source_a", "source_b", "est_jaccard"
+    )
+    ej = F.coalesce(F.col("_nc"), F.lit(0)) / (
+        F.col("_na") + F.col("_nb") - F.coalesce(F.col("_nc"), F.lit(0))
+    )
+    return (
+        est.join(exact, ["source_a", "source_b"], "left")
+        .join(
+            sizes.withColumnsRenamed({"source": "source_a", "_n": "_na"}), "source_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"source": "source_b", "_n": "_nb"}), "source_b"
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.round(ej, 4).alias("exact_jaccard"),
+            "est_jaccard",
+            F.round(F.abs(F.col("est_jaccard") - ej), 4).alias("abs_err"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -4807,6 +4971,8 @@ _CHANGED_THIS_ROUND = (
     "q_stream_kmv",
     "q_shipping_priority",
     "q_large_orders",
+    "q_kmv_overlap",
+    "q_sketch_accuracy",
 )
 
 

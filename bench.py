@@ -5,6 +5,7 @@ on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -88,6 +89,8 @@ HEADLINE = [
     "q_stream_kmv",
     "q_shipping_priority",
     "q_large_orders",
+    "q_kmv_overlap",
+    "q_sketch_accuracy",
 ]
 
 
@@ -120,6 +123,12 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
+        # free the previous query's localCheckpoint blocks: the iterative
+        # operators (k-means, CC, BPE) eagerly checkpoint per round, and 60
+        # queries of retained blocks in one JVM turn into GC pressure that
+        # showed up as a 4x slowdown on late suite entries (8.1 s vs 2.1 s
+        # standalone for q_kmeans_assign)
+        gc.collect()
         raws: list[float] = []
         rows = -1
         for _ in range(2):

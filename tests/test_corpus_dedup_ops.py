@@ -303,3 +303,25 @@ def test_kmv_finalize_across_micro_batches(spark):
     want_a = round(31.0 * (1 << 48) / int(later_kth[:12], 16), 4)
     assert got["A"].sketch_n == _KMV_K and got["A"].est_distinct == want_a
     assert got["B"].sketch_n == 5 and got["B"].est_distinct == 5.0
+
+
+def test_kmv_overlap_estimates_jaccard(spark):
+    """Identical value sets estimate Jaccard 1.0, disjoint sets 0.0 (the
+    pair row still exists — unlike exact overlap, sketches compare every
+    pair), and a constructed 1/3-Jaccard pair lands within 4 standard
+    errors (4/sqrt(k) ≈ 0.35 at k=128)."""
+    from etl_scripts_spark.operators.sketch import kmv_bottoms, kmv_overlap
+
+    rows = []
+    for i in range(900):
+        rows.append(("a", f"x{i}"))                 # a = x0..x899
+        rows.append(("b", f"x{i + 450}"))           # b = x450..x1349, |∩|/|∪| = 1/3
+        rows.append(("c", f"x{i}"))                 # c == a
+        rows.append(("d", f"z{i}"))                 # disjoint from all
+    df = spark.createDataFrame(rows, "g string, v string")
+    sk = kmv_bottoms(df, "g", "v", k=128)
+    out = {(r.source_a, r.source_b): r for r in kmv_overlap(sk, "g", k=128).collect()}
+    assert out[("a", "c")].est_jaccard == 1.0
+    assert out[("a", "d")].est_jaccard == 0.0
+    assert abs(out[("a", "b")].est_jaccard - 1 / 3) < 0.35
+    assert len(out) == 6  # every unordered pair compared
