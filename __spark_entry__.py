@@ -4890,18 +4890,9 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("_nc"))
     )
-    # bottom-k straight from the shared distinct-digest table (NOT via
-    # kmv_bottoms, which would md5 the already-hashed values a second time
-    # and diverge from the oracle)
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(Window.partitionBy("source").orderBy("_h"))
-    sk = (
-        d.select("source", "_h", rn.alias("_rn"))
-        .filter(F.col("_rn") <= 128)
-        .groupBy("source")
-        .agg(F.array_sort(F.collect_list("_h")).alias("ks"))
-    )
+    # pre_hashed: the shared distinct-digest table also feeds the exact
+    # branch — re-hashing the digests would diverge from the oracle
+    sk = sketch.kmv_bottoms(d, "source", "_h", k=128, pre_hashed=True)
     est = sketch.kmv_overlap(sk, "source", k=128).select(
         "source_a", "source_b", "est_jaccard"
     )

@@ -37,26 +37,41 @@ from pyspark.sql import functions as F
 _HASH_SPACE = float(1 << 48)
 
 
+def bottom_k_hashes(hashed: DataFrame, group_col: str, k: int) -> DataFrame:
+    """(group, _h) rows of the k smallest digests per group, from an
+    ALREADY-HASHED-AND-DISTINCT (group, _h) table.  The single shared
+    bottom-k kernel behind kmv_sketch / kmv_bottoms / the accuracy query:
+    an explicit `row_number() <= k` Filter, which Spark plans as
+    WindowGroupLimit on BOTH sides of the rank exchange — each task ships
+    at most k digests per group into that stage."""
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(Window.partitionBy(group_col).orderBy("_h"))
+    return (
+        hashed.select(group_col, "_h", rn.alias("_rn"))
+        .filter(F.col("_rn") <= k)
+        .select(group_col, "_h")
+    )
+
+
+def _hashed_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    return df.select(group_col, F.md5(F.col(value_col)).alias("_h")).distinct()
+
+
 def kmv_sketch(
     df: DataFrame, group_col: str, value_col: str, k: int = 32
 ) -> DataFrame:
     """Per-group bottom-k sketch: (group, kth_hash, sketch_n).
 
     `value_col` must be a materialized string column (one value per row —
-    explode arrays first).  The rank filter is an explicit
-    `row_number() <= k` Filter, so Spark plans WindowGroupLimit on BOTH
-    sides of the rank exchange — each task ships at most k digests per
-    group into that stage.  NB the upstream distinct is still a
-    distinct-value shuffle (see the module docstring for what the sketch
-    does and does not save); merging sketches = union the hash sets,
-    re-take the k smallest (algebraic, so partial aggregation composes) —
-    re-estimation across batches never re-scans the data.
+    explode arrays first).  See :func:`bottom_k_hashes` for the map-side
+    rank cut.  NB the upstream distinct is still a distinct-value shuffle
+    (see the module docstring for what the sketch does and does not
+    save); merging sketches = union the hash sets, re-take the k smallest
+    (algebraic, so partial aggregation composes) — re-estimation across
+    batches never re-scans the data.
     """
-    from pyspark.sql import Window
-
-    d = df.select(group_col, F.md5(F.col(value_col)).alias("_h")).distinct()
-    rn = F.row_number().over(Window.partitionBy(group_col).orderBy("_h"))
-    bottom = d.select(group_col, "_h", rn.alias("_rn")).filter(F.col("_rn") <= k)
+    bottom = bottom_k_hashes(_hashed_distinct(df, group_col, value_col), group_col, k)
     return bottom.groupBy(group_col).agg(
         F.max("_h").alias("kth_hash"),
         F.count("*").alias("sketch_n"),
@@ -245,15 +260,24 @@ def histogram_quantile(
     return picked.select(F.col(group_col), F.round(est, 4).alias("est"))
 
 
-def kmv_bottoms(df: DataFrame, group_col: str, value_col: str, k: int = 128) -> DataFrame:
+def kmv_bottoms(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 128,
+    pre_hashed: bool = False,
+) -> DataFrame:
     """Per-group bottom-k digest SET as an array column: (group, ks) with
     ks sorted ascending, |ks| ≤ k.  The materialized form of the KMV sketch
-    that set-operation estimators compose over (see kmv_overlap)."""
-    from pyspark.sql import Window
-
-    d = df.select(group_col, F.md5(F.col(value_col)).alias("_h")).distinct()
-    rn = F.row_number().over(Window.partitionBy(group_col).orderBy("_h"))
-    bottom = d.select(group_col, "_h", rn.alias("_rn")).filter(F.col("_rn") <= k)
+    that set-operation estimators compose over (see kmv_overlap).  Pass
+    pre_hashed=True when `value_col` already holds md5 digests (e.g. a
+    shared distinct-digest table also feeding an exact branch) — hashing a
+    digest again would place it elsewhere in the hash space."""
+    if pre_hashed:
+        d = df.select(group_col, F.col(value_col).alias("_h")).distinct()
+    else:
+        d = _hashed_distinct(df, group_col, value_col)
+    bottom = bottom_k_hashes(d, group_col, k)
     return bottom.groupBy(group_col).agg(F.array_sort(F.collect_list("_h")).alias("ks"))
 
 

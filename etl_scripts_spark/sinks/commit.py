@@ -111,10 +111,11 @@ def try_publish_version(root: str, version: int, data_path: str) -> bool:
     manifest between creation and json.dump.  (os.rename is unsuitable as
     the arbiter: it silently overwrites on POSIX.)  On filesystems without
     hard links the publish falls back to O_CREAT|O_EXCL + copy — the same
-    atomic arbiter, with a (documented) partial-visibility window that the
-    link path does not have."""
+    atomic arbiter, with a partial-visibility window the link path does
+    not have; `read_version` tolerates that window (and a writer crashing
+    inside it) by skipping unparseable manifests, so an aborted commit is
+    recovered from, never wedging the chain (see read_version)."""
     import errno
-    import uuid
 
     vdir = _versions_dir(root)
     os.makedirs(vdir, exist_ok=True)
@@ -134,8 +135,9 @@ def try_publish_version(root: str, version: int, data_path: str) -> bool:
         if exc.errno not in (errno.EPERM, errno.EOPNOTSUPP, errno.ENOTSUP):
             raise
         # no-hard-link filesystem: O_EXCL is still the atomic arbiter
+        # (mode matches the link path's regular-file bits)
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         except FileExistsError:
             return False
         with os.fdopen(fd, "w") as fh:
@@ -147,12 +149,30 @@ def try_publish_version(root: str, version: int, data_path: str) -> bool:
 
 def read_version(spark, root: str, version: int | None = None):
     """DataFrame of the given (default: latest) committed snapshot, or None
-    for version 0."""
+    for version 0.
+
+    Crash tolerance: a writer that dies between claiming a version (the
+    O_EXCL fallback path of try_publish_version) and finishing its payload
+    leaves an empty/partial manifest.  When asked for the LATEST version,
+    such manifests are skipped downward — the aborted commit is simply not
+    part of the readable chain (its updates were never acknowledged), and
+    the next writer allocates past the claimed number, so one torn file
+    can never wedge the table.  An EXPLICITLY requested version still
+    raises on a torn manifest: the caller named a version that does not
+    hold a committed snapshot."""
+    explicit = version is not None
     version = table_version(root) if version is None else version
-    if version == 0:
-        return None
-    with open(os.path.join(_versions_dir(root), f"v{version}.json")) as fh:
-        return spark.read.parquet(json.load(fh)["data"])
+    while version > 0:
+        with open(os.path.join(_versions_dir(root), f"v{version}.json")) as fh:
+            try:
+                manifest = json.load(fh)
+            except ValueError:
+                if explicit:
+                    raise
+                version -= 1
+                continue
+        return spark.read.parquet(manifest["data"])
+    return None
 
 
 def optimistic_upsert(spark, root: str, updates: DataFrame, keys: list[str], max_retries: int = 5) -> int:

@@ -290,3 +290,51 @@ def test_publish_version_is_complete_or_absent(tmp_path):
     # no temp files left behind by either attempt
     leftovers = [f for f in os.listdir(os.path.join(root, "_versions")) if f != "v1.json"]
     assert leftovers == []
+
+
+def test_publish_version_no_hardlink_fallback(tmp_path, monkeypatch):
+    """On filesystems without hard links (os.link -> EPERM), publish falls
+    back to the O_CREAT|O_EXCL arbiter: winner publishes the full payload,
+    loser returns False, no temp debris, and permissions match."""
+    import errno
+    import json
+    import os
+
+    from etl_scripts_spark.sinks import commit as commitmod
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    monkeypatch.setattr(commitmod.os, "link", no_link)
+    root = str(tmp_path)
+    assert commitmod.try_publish_version(root, 1, "data/a")
+    vpath = os.path.join(root, "_versions", "v1.json")
+    assert json.load(open(vpath))["data"] == "data/a"
+    assert not commitmod.try_publish_version(root, 1, "data/b")
+    assert json.load(open(vpath))["data"] == "data/a"
+    leftovers = [f for f in os.listdir(os.path.join(root, "_versions")) if f != "v1.json"]
+    assert leftovers == []
+    assert (os.stat(vpath).st_mode & 0o777) <= 0o644
+
+
+def test_read_version_skips_torn_manifest(spark, tmp_path):
+    """A writer that died after claiming a version but before writing its
+    payload (the fallback path's window) must not wedge the chain: latest
+    reads skip the torn manifest downward; an explicit request raises."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from etl_scripts_spark.sinks.commit import read_version, table_version, try_publish_version
+
+    root = str(tmp_path)
+    data1 = os.path.join(root, "d1")
+    spark.range(3).write.parquet(data1)
+    assert try_publish_version(root, 1, data1)
+    # simulate the crash: v2 exists but is empty
+    open(os.path.join(root, "_versions", "v2.json"), "w").close()
+    assert table_version(root) == 2  # the claim still consumes the number
+    assert read_version(spark, root).count() == 3  # latest falls back to v1
+    with _pytest.raises(ValueError):
+        read_version(spark, root, version=2)
