@@ -91,6 +91,8 @@ HEADLINE = [
     "q_large_orders",
     "q_kmv_overlap",
     "q_sketch_accuracy",
+    "q_funnel_conversion",
+    "q_triangle_count",
 ]
 
 

@@ -60,6 +60,8 @@ CROSS_JOINS_BY_DESIGN = {
     # sketches instead of corpora); BNLJ on bounded inputs by design
     "q_kmv_overlap",
     "q_sketch_accuracy",
+    # three 1-row scalar aggregates stitched by 1-row cross joins
+    "q_triangle_count",
 }
 
 STREAMING = {
