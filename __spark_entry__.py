@@ -5085,6 +5085,102 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_nodes.join(n_edges).join(n_tri)
 
 
+@_register(
+    "q_nation_trade",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           sum(volume)::DOUBLE AS revenue, count(*) AS n_items
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice::DECIMAL(18,2)
+               * (1 - l_discount::DECIMAL(3,2)) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+         OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations): fact ⋈ two
+    dimension chains with BOTH nation filters pushed through the broadcast
+    dims so the fact rows that survive are pre-filtered by supplier AND
+    customer nation before the aggregate; decimal-exact revenue per
+    directed pair per ship-year."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nations = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_0", "NATION_1")
+    )
+    n1 = nations.select(
+        F.col("n_nationkey").alias("_nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nations.select(
+        F.col("n_nationkey").alias("_nk2"), F.col("n_name").alias("cust_nation")
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(3,2)")
+    return (
+        supp.join(F.broadcast(n1), F.col("s_nationkey") == F.col("_nk1"))
+        .join(li, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_nk2"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.sum(price * (F.lit(1) - disc)).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "q_parts_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier diversity per part group) with lineitem
+    standing in for the schema's missing partsupp: distinct
+    (part, supplier) pairs, brand/type exclusion filters pushed to the
+    part scan, and the complaint-supplier NOT IN planned as a broadcast
+    null-aware anti-join — the relationship table is never shuffled for
+    the exclusion."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (~F.col("p_type").startswith("PROMO"))
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        ps.join(F.broadcast(bad), ps["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5134,6 +5230,8 @@ _CHANGED_THIS_ROUND = (
     "q_sketch_accuracy",
     "q_funnel_conversion",
     "q_triangle_count",
+    "q_nation_trade",
+    "q_parts_supplier_count",
 )
 
 

@@ -93,6 +93,8 @@ HEADLINE = [
     "q_sketch_accuracy",
     "q_funnel_conversion",
     "q_triangle_count",
+    "q_nation_trade",
+    "q_parts_supplier_count",
 ]
 
 

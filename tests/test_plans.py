@@ -333,3 +333,22 @@ def test_large_orders_aggregates_before_joining(spark):
     assert li_schema.endswith("struct<l_orderkey:bigint,l_quantity:double>"), (
         f"lineitem scan over-reads: {li_schema}"
     )
+
+
+def test_nation_trade_prefilters_through_broadcast_dims(spark):
+    """Q7 shape: both nation filters reach the broadcast dimension scans
+    (PushedFilters In(n_name...)), all joins on the fact chain stay
+    hash joins, no cartesian."""
+    plan = _plan(spark, "q_nation_trade", "formatted")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "In(n_name" in plan or "n_name#" in plan
+
+
+def test_parts_supplier_exclusion_is_broadcast_anti(spark):
+    """Q16 shape: the complaint-supplier exclusion must be a broadcast
+    LeftAnti — the distinct (part,supplier) relation is never shuffled for
+    the exclusion — and the brand/type predicates reach the part scan."""
+    plan = _plan(spark, "q_parts_supplier_count", "formatted")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "Not(EqualTo(p_brand,Brand#1))" in plan
