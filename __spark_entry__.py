@@ -1822,11 +1822,7 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs (band equi-join, no O(n²))."""
-    sigs = dedup.minhash_df(_tp(spark, sf_dir, "documents"), "text", "doc_id", num_hashes=4)
-    bands = dedup.lsh_bands(sigs, "doc_id", num_hashes=4, band_size=1)
-    return dedup.lsh_candidate_pairs(bands, "doc_id").select(
-        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
-    )
+    return _lsh_candidate_pairs_df(_tp(spark, sf_dir, "documents"))
 
 
 #: near-dup clustering CTE chain (shared by q_near_dup_clusters and the
@@ -1862,16 +1858,26 @@ _NEARDUP_CTES = f"""sigs AS (
     )"""
 
 
+def _lsh_candidate_pairs_df(docs: DataFrame) -> DataFrame:
+    """MinHash(4) → 1-hash bands → candidate pairs, ids as bigint — the
+    single definition of the near-dup candidate graph shared by
+    q_minhash_lsh_pairs, _near_dup_clusters_df, and q_triangle_count (the
+    oracle CTE chain _NEARDUP_CTES is its SQL twin; keep parameters in
+    lockstep)."""
+    sigs = dedup.minhash_df(docs, "text", "doc_id", num_hashes=4)
+    bands = dedup.lsh_bands(sigs, "doc_id", num_hashes=4, band_size=1)
+    return dedup.lsh_candidate_pairs(bands, "doc_id").select(
+        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
+    )
+
+
 def _near_dup_clusters_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component_id, is_canonical) — shared by q_near_dup_clusters
     and the corpus-curation funnel."""
     docs = _tp(spark, sf_dir, "documents")
-    sigs = dedup.minhash_df(docs, "text", "doc_id", num_hashes=4)
-    bands = dedup.lsh_bands(sigs, "doc_id", num_hashes=4, band_size=1)
-    pairs = dedup.lsh_candidate_pairs(bands, "doc_id").select(
-        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
+    return dedup.near_dup_clusters(
+        _lsh_candidate_pairs_df(docs), docs, "text", "doc_id", threshold=0.5
     )
-    return dedup.near_dup_clusters(pairs, docs, "text", "doc_id", threshold=0.5)
 
 
 @_register(
@@ -5056,14 +5062,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     id keys.  The edge set is checkpointed once and reused by all three
     measures."""
     docs = _tp(spark, sf_dir, "documents")
-    sigs = dedup.minhash_df(docs, "text", "doc_id", num_hashes=4)
-    bands = dedup.lsh_bands(sigs, "doc_id", num_hashes=4, band_size=1)
-    pairs = dedup.lsh_candidate_pairs(bands, "doc_id").select(
-        F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint")
-    )
-    e = dedup.verified_pairs(pairs, docs, "text", "doc_id", threshold=0.5).select(
-        "id_a", "id_b"
-    ).localCheckpoint(eager=True)
+    e = dedup.verified_pairs(
+        _lsh_candidate_pairs_df(docs), docs, "text", "doc_id", threshold=0.5
+    ).select("id_a", "id_b").localCheckpoint(eager=True)
     n_nodes = (
         e.select(F.col("id_a").alias("id"))
         .union(e.select(F.col("id_b").alias("id")))
@@ -5153,8 +5154,8 @@ def q_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                            WHERE s_acctbal < 0)
+      AND NOT EXISTS (SELECT 1 FROM supplier
+                      WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
     GROUP BY p_brand, p_type, p_size
     """,
 )
@@ -5162,9 +5163,12 @@ def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape (supplier diversity per part group) with lineitem
     standing in for the schema's missing partsupp: distinct
     (part, supplier) pairs, brand/type exclusion filters pushed to the
-    part scan, and the complaint-supplier NOT IN planned as a broadcast
-    null-aware anti-join — the relationship table is never shuffled for
-    the exclusion."""
+    part scan, and the complaint-supplier exclusion as a broadcast
+    LeftAnti with NOT-EXISTS semantics (the oracle says NOT EXISTS too —
+    NOT IN's null-propagating variant is deliberately avoided; keys here
+    are non-null so they coincide, but the two must be declared the
+    same).  The relationship table is never shuffled for the
+    exclusion."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1") & (~F.col("p_type").startswith("PROMO"))

@@ -270,11 +270,14 @@ def kmv_bottoms(
     """Per-group bottom-k digest SET as an array column: (group, ks) with
     ks sorted ascending, |ks| ≤ k.  The materialized form of the KMV sketch
     that set-operation estimators compose over (see kmv_overlap).  Pass
-    pre_hashed=True when `value_col` already holds md5 digests (e.g. a
-    shared distinct-digest table also feeding an exact branch) — hashing a
-    digest again would place it elsewhere in the hash space."""
+    pre_hashed=True when `value_col` already holds DISTINCT md5 digests
+    per group (e.g. a shared distinct-digest table also feeding an exact
+    branch): hashing again would move the digests in the hash space, and
+    re-distincting would add a full shuffle the caller already paid —
+    checkpointed inputs hide their distinctness from the optimizer, so the
+    contract is the caller's to uphold."""
     if pre_hashed:
-        d = df.select(group_col, F.col(value_col).alias("_h")).distinct()
+        d = df.select(group_col, F.col(value_col).alias("_h"))
     else:
         d = _hashed_distinct(df, group_col, value_col)
     bottom = bottom_k_hashes(d, group_col, k)

@@ -147,6 +147,21 @@ def try_publish_version(root: str, version: int, data_path: str) -> bool:
         os.unlink(tmp)
 
 
+def latest_committed_version(root: str) -> int:
+    """Highest version whose manifest parses — walks down past torn
+    manifests left by writers that crashed inside the no-hardlink
+    fallback's claim window.  0 = nothing committed."""
+    v = table_version(root)
+    while v > 0:
+        try:
+            with open(os.path.join(_versions_dir(root), f"v{v}.json")) as fh:
+                json.load(fh)
+            return v
+        except (ValueError, FileNotFoundError):
+            v -= 1
+    return 0
+
+
 def read_version(spark, root: str, version: int | None = None):
     """DataFrame of the given (default: latest) committed snapshot, or None
     for version 0.
@@ -190,8 +205,18 @@ def optimistic_upsert(spark, root: str, updates: DataFrame, keys: list[str], max
     from .merge import merge_upsert
 
     for _ in range(max_retries):
+        # allocate past every CLAIMED number (torn manifests included) but
+        # merge from the last COMMITTED snapshot: a torn manifest means an
+        # aborted writer whose updates were never acknowledged.  A LIVE
+        # fallback-path writer can look momentarily torn, so a mismatch
+        # gets one short grace re-check before being treated as aborted.
         v = table_version(root)
-        current = read_version(spark, root, v)
+        v_read = latest_committed_version(root)
+        if v_read != v:
+            time.sleep(0.05)
+            v = table_version(root)
+            v_read = latest_committed_version(root)
+        current = read_version(spark, root, v_read) if v_read else None
         merged = updates if current is None else merge_upsert(current, updates, keys)
         dest = os.path.join(root, "data", f"v{v + 1}-{uuid.uuid4().hex}")
         os.makedirs(os.path.dirname(dest), exist_ok=True)

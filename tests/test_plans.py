@@ -342,7 +342,8 @@ def test_nation_trade_prefilters_through_broadcast_dims(spark):
     plan = _plan(spark, "q_nation_trade", "formatted")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 2
-    assert "In(n_name" in plan or "n_name#" in plan
+    # BOTH nation dimension scans carry the pushed In filter
+    assert plan.count("In(n_name, [NATION_0,NATION_1])") >= 2
 
 
 def test_parts_supplier_exclusion_is_broadcast_anti(spark):

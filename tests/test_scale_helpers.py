@@ -338,3 +338,31 @@ def test_read_version_skips_torn_manifest(spark, tmp_path):
     assert read_version(spark, root).count() == 3  # latest falls back to v1
     with _pytest.raises(ValueError):
         read_version(spark, root, version=2)
+
+
+def test_optimistic_upsert_recovers_past_torn_manifest(spark, tmp_path):
+    """A torn (empty) latest manifest — a writer crashed inside the
+    fallback claim window — must not wedge future upserts: the next writer
+    merges from the last COMMITTED snapshot and allocates past the claim."""
+    import os
+
+    from etl_scripts_spark.sinks.commit import (
+        latest_committed_version,
+        optimistic_upsert,
+        read_version,
+        table_version,
+    )
+
+    root = str(tmp_path)
+    v1 = optimistic_upsert(
+        spark, root, spark.createDataFrame([(1, "a")], "k long, v string"), ["k"]
+    )
+    assert v1 == 1
+    open(os.path.join(root, "_versions", "v2.json"), "w").close()  # torn claim
+    assert table_version(root) == 2 and latest_committed_version(root) == 1
+    v3 = optimistic_upsert(
+        spark, root, spark.createDataFrame([(2, "b")], "k long, v string"), ["k"]
+    )
+    assert v3 == 3  # allocated past the torn claim
+    rows = {r.k: r.v for r in read_version(spark, root).collect()}
+    assert rows == {1: "a", 2: "b"}  # v1's row survived the recovery
