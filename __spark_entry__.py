@@ -5185,6 +5185,82 @@ def q_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_retention_cohorts",
+    """
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_us FROM events
+      GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id,
+             f.first_us // 604800000000 AS cohort_week,
+             (epoch_us(e.ts) - f.first_us) // 604800000000 AS week_offset
+      FROM events e JOIN f ON e.user_id = f.user_id
+    )
+    SELECT cohort_week::BIGINT AS cohort_week,
+           week_offset::BIGINT AS week_offset,
+           count(*) AS n_users
+    FROM act GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by the week of their first
+    event, counted per week-offset of later activity — the classic cohort
+    triangle.  One groupBy builds the per-user first-event table, one
+    equi-join on the (uniform) user key tags every event with its cohort
+    and offset, and the distinct collapses to user-week granularity before
+    the final count.  All integer microsecond arithmetic (epoch_us //
+    week), never float date math."""
+    ev = _t(spark, sf_dir, "events")
+    week_us = 604_800_000_000
+    f = ev.groupBy("user_id").agg(F.min(F.unix_micros("ts")).alias("_first_us"))
+    act = (
+        ev.select("user_id", F.unix_micros("ts").alias("_us"))
+        .join(f, "user_id")
+        .select(
+            "user_id",
+            (F.col("_first_us") - F.col("_first_us") % week_us).alias("_cw_us"),
+            ((F.col("_us") - F.col("_first_us")) - (F.col("_us") - F.col("_first_us")) % week_us).alias("_wo_us"),
+        )
+        .select(
+            "user_id",
+            (F.col("_cw_us") / week_us).cast("bigint").alias("cohort_week"),
+            (F.col("_wo_us") / week_us).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+@_register(
+    "q_component_sizes",
+    f"""
+    WITH RECURSIVE {_NEARDUP_CTES}, comp AS (
+      SELECT id, min(lbl) AS component_id FROM lp GROUP BY id
+    ), sized AS (
+      SELECT component_id, count(*) AS sz FROM comp GROUP BY component_id
+    )
+    SELECT sz AS component_size, count(*) AS n_components
+    FROM sized GROUP BY sz
+    """,
+)
+def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size distribution of the near-dup graph — with the triangle
+    census, the second structural diagnostic a dedup run reports: a heavy
+    tail of giant components signals an over-aggressive threshold (or a
+    boilerplate epidemic) before any document is dropped.  Two tiny
+    aggregations over the component assignment (already computed by the
+    shared clustering pipeline); nothing here scales with corpus size
+    beyond the clustering itself."""
+    comp = _near_dup_clusters_df(spark, sf_dir)
+    sized = comp.groupBy("component_id").agg(F.count("*").alias("_sz"))
+    return sized.groupBy(F.col("_sz").alias("component_size")).agg(
+        F.count("*").alias("n_components")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5236,6 +5312,8 @@ _CHANGED_THIS_ROUND = (
     "q_triangle_count",
     "q_nation_trade",
     "q_parts_supplier_count",
+    "q_retention_cohorts",
+    "q_component_sizes",
 )
 
 

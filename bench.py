@@ -95,6 +95,8 @@ HEADLINE = [
     "q_triangle_count",
     "q_nation_trade",
     "q_parts_supplier_count",
+    "q_retention_cohorts",
+    "q_component_sizes",
 ]
 
 
