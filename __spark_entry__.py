@@ -5261,6 +5261,53 @@ def q_component_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_bigram_lm",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {oracle.words_sql('text')} AS ws FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(ws) AS term FROM w
+    ), vocab AS (
+      SELECT term, count(*) AS cu FROM toks GROUP BY term
+    ), stats AS (
+      SELECT count(*) AS v, sum(cu) AS n_tok FROM vocab
+    ), pairs AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ), big AS (
+      SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, sum(c2) AS c1 FROM big GROUP BY w1
+    ), scored AS (
+      SELECT p.doc_id,
+             round(ln(0.75 * b.c2 / x.c1
+                      + 0.25 * (vb.cu + 1) / (s.n_tok + s.v)),
+                   8)::DECIMAL(18,8) AS logp
+      FROM pairs p
+      JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+      JOIN ctx x ON x.w1 = p.w1
+      JOIN vocab vb ON vb.term = p.w2, stats s
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(sum(logp)::DOUBLE / count(*), 4) AS avg_logp2
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM fluency score (0.75·bigram + 0.25·add-one
+    unigram backoff), mean log-likelihood per document — one notch up from
+    q_lm_score: scrambled-word documents score low here while a unigram
+    model calls them fluent.  Same float discipline (8 dp per-pair rounds,
+    DECIMAL-exact order-independent sums) and the same uniform-key
+    equi-join shapes.  See corpus.bigram_lm_scores."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.bigram_lm_scores(
+        _tp(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5314,6 +5361,7 @@ _CHANGED_THIS_ROUND = (
     "q_parts_supplier_count",
     "q_retention_cohorts",
     "q_component_sizes",
+    "q_bigram_lm",
 )
 
 

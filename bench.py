@@ -97,6 +97,7 @@ HEADLINE = [
     "q_parts_supplier_count",
     "q_retention_cohorts",
     "q_component_sizes",
+    "q_bigram_lm",
 ]
 
 

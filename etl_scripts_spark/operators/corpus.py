@@ -698,3 +698,65 @@ def source_overlap(
             ),
         )
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document interpolated bigram-LM mean log-likelihood:
+    p(w2|w1) = 0.75·c(w1,w2)/c(w1·) + 0.25·p_uni(w2) with add-one unigram
+    backoff — one notch up from :func:`lm_scores` on the fluency axis
+    (catches scrambled-word documents a unigram model scores as fluent).
+    Returns (id, n_bigrams, avg_logp2) over documents with ≥2 words.
+
+    Scale shape: bigram and context counts are two map-side-combinable
+    groupBys over the pair table; scoring is explode → three equi-joins on
+    uniform token keys (broadcast-eligible while the vocab fits, plain
+    shuffle joins beyond).  Float discipline as in lm_scores: per-pair
+    log-probs round to 8 dp and sum as DECIMAL(18,8) — exact,
+    order-independent; interpolation weights 0.75/0.25 are exact binary.
+    """
+    wdf = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    toks = wdf.select(F.col(id_col), F.explode("_w").alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("cu"))
+    stats = vocab.agg(
+        F.count("*").alias("v"), F.sum("cu").alias("n_tok")
+    )
+    npos = F.size("_w") - F.lit(1)
+    idx = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = wdf.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("_w"), i).alias("w1"),
+                    F.element_at(F.col("_w"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("_p"),
+    ).select(id_col, "_p.w1", "_p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = join_singleton(
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(vocab.withColumnRenamed("term", "w2"), "w2"),
+        stats,
+    )
+    p = F.lit(0.75) * F.col("c2") / F.col("c1") + F.lit(0.25) * (
+        (F.col("cu") + F.lit(1)) / (F.col("n_tok") + F.col("v"))
+    )
+    logp = F.round(F.log(p), 8).cast("decimal(18,8)")
+    per_doc = scored.groupBy(id_col).agg(
+        F.sum(logp).alias("_ll"), F.count(F.lit(1)).alias("n_bigrams")
+    )
+    return per_doc.select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.round(F.col("_ll").cast("double") / F.col("n_bigrams"), 4).alias(
+            "avg_logp2"
+        ),
+    )

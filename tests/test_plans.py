@@ -55,6 +55,7 @@ CROSS_JOINS_BY_DESIGN = {
     # 1-row corpus-stats attach (join_singleton), same as bm25/lm_score
     "q_dsir_weights",
     "q_lm_buckets",
+    "q_bigram_lm",
     # sketch-pair comparison: inequality join over the per-source sketch
     # tables (≤ n_sources rows EACH side — the whole point of comparing
     # sketches instead of corpora); BNLJ on bounded inputs by design
