@@ -134,17 +134,29 @@ def try_publish_version(root: str, version: int, data_path: str) -> bool:
     except OSError as exc:
         if exc.errno not in (errno.EPERM, errno.EOPNOTSUPP, errno.ENOTSUP):
             raise
-        # no-hard-link filesystem: O_EXCL is still the atomic arbiter
-        # (mode matches the link path's regular-file bits)
+        # no-hard-link filesystem: O_EXCL on the target is still the
+        # atomic arbiter; the payload is ALREADY fully written to tmp, so
+        # the winner immediately renames it over its own claimed path —
+        # rename-replace of a path this writer exclusively claimed is
+        # safe, and the torn-looking window shrinks to the two adjacent
+        # syscalls (no data-dependent work between claim and publish).
+        # Residual, documented: a writer suspended inside that window
+        # longer than optimistic_upsert's grace re-check can be
+        # misclassified as crashed and superseded — acceptable for this
+        # EMULATION; a real lakehouse's commit protocol replaces this
+        # file dance entirely.
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as fh:
-            fh.write(payload)
+        os.close(fd)
+        os.rename(tmp, path)
         return True
     finally:
-        os.unlink(tmp)
+        try:
+            os.unlink(tmp)
+        except FileNotFoundError:
+            pass  # the fallback's rename already consumed tmp
 
 
 def latest_committed_version(root: str) -> int:
@@ -175,19 +187,13 @@ def read_version(spark, root: str, version: int | None = None):
     can never wedge the table.  An EXPLICITLY requested version still
     raises on a torn manifest: the caller named a version that does not
     hold a committed snapshot."""
-    explicit = version is not None
-    version = table_version(root) if version is None else version
-    while version > 0:
-        with open(os.path.join(_versions_dir(root), f"v{version}.json")) as fh:
-            try:
-                manifest = json.load(fh)
-            except ValueError:
-                if explicit:
-                    raise
-                version -= 1
-                continue
-        return spark.read.parquet(manifest["data"])
-    return None
+    # the default-latest path delegates to the ONE torn-skip walk-down
+    # (latest_committed_version) rather than re-implementing it
+    version = latest_committed_version(root) if version is None else version
+    if version == 0:
+        return None
+    with open(os.path.join(_versions_dir(root), f"v{version}.json")) as fh:
+        return spark.read.parquet(json.load(fh)["data"])
 
 
 def optimistic_upsert(spark, root: str, updates: DataFrame, keys: list[str], max_retries: int = 5) -> int:
