@@ -325,3 +325,36 @@ def test_kmv_overlap_estimates_jaccard(spark):
     assert out[("a", "d")].est_jaccard == 0.0
     assert abs(out[("a", "b")].est_jaccard - 1 / 3) < 0.35
     assert len(out) == 6  # every unordered pair compared
+
+
+def test_retention_cohort_law(spark):
+    """A user's events land in their first-event cohort at the correct
+    week offsets, and each (cohort, offset) counts a user once regardless
+    of how many events fall in that week."""
+    from __spark_entry__ import q_retention_cohorts
+    import pyspark.sql.functions as SF
+
+    rows = [
+        # user 1: first event week w, events at +0, +0, +2 weeks
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-02 00:00:00", "click"),
+        (1, "2024-01-15 00:00:00", "view"),
+        # user 2: same cohort week, only week 0
+        (2, "2024-01-03 00:00:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, event_id string")
+    df = df.select(
+        "user_id", SF.col("ts").cast("timestamp").alias("ts"),
+        SF.monotonically_increasing_id().alias("event_id"),
+        SF.col("event_id").alias("event_type"),
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in q_retention_cohorts(spark, d).collect()}
+    offsets = sorted(k[1] for k in out)
+    assert offsets == [0, 2], out          # +0 dedup'd, +2 present
+    assert all(v in (1, 2) for v in out.values())
+    week0 = [v for (c, o), v in out.items() if o == 0]
+    assert week0 == [2]                     # both users active in week 0
