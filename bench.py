@@ -158,6 +158,18 @@ def main() -> None:
             timings[name] = min(raws)
             print(f"# {name}: {rows} rows in {timings[name]}s (runs: {raws})",
                   file=sys.stderr, flush=True)
+        # Truncation self-defense: the driver's capture can clip the tail
+        # of the output (BENCH_r05 lost the final JSON's head, i.e. 14
+        # queries + the total).  Emit the cumulative per-query map after
+        # EVERY query on stderr, so wherever the clip lands, the last
+        # surviving "#partial" line still carries a complete map of all
+        # timings up to that point.  stdout keeps the ONE-JSON-line
+        # contract untouched.
+        print("#partial " + json.dumps(
+            {"done": len(timings) + len(errors), "of": len(HEADLINE),
+             "sum": round(sum(timings.values()), 3), "queries": timings,
+             **({"errors": errors} if errors else {})}),
+            file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     result = {

@@ -178,25 +178,34 @@ def decode_png_pixels(payload: bytes):
         prev = np.zeros(stride, dtype=np.uint8)
         for y in range(h):
             ftype = raw[y * (stride + 1)]
-            row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-            if ftype == 1:  # Sub
-                for i in range(ch, stride):
-                    row[i] = (row[i] + row[i - ch]) & 0xFF
-            elif ftype == 2:  # Up
-                for i in range(stride):
-                    row[i] = (row[i] + prev[i]) & 0xFF
-            elif ftype == 3:  # Average
+            arow = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            )
+            if ftype == 0:  # None
+                out[y] = arow
+            elif ftype == 1:  # Sub — per-channel prefix sum; uint8 cumsum
+                # wraps mod 256, which IS the spec's & 0xFF accumulate
+                out[y] = np.cumsum(
+                    arow.reshape(-1, ch), axis=0, dtype=np.uint8
+                ).reshape(stride)
+            elif ftype == 2:  # Up — uint8 add wraps mod 256
+                out[y] = arow + prev
+            elif ftype == 3:  # Average — left-neighbor dependence is
+                # sequential; only the prev-row half vectorizes
+                row = bytearray(arow.tobytes())
                 for i in range(stride):
                     left = row[i - ch] if i >= ch else 0
                     row[i] = (row[i] + (left + int(prev[i])) // 2) & 0xFF
-            elif ftype == 4:  # Paeth
+                out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+            elif ftype == 4:  # Paeth — inherently sequential along the row
+                row = bytearray(arow.tobytes())
                 for i in range(stride):
                     left = row[i - ch] if i >= ch else 0
                     ul = int(prev[i - ch]) if i >= ch else 0
                     row[i] = (row[i] + _paeth(left, int(prev[i]), ul)) & 0xFF
-            elif ftype != 0:
+                out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
+            else:
                 return None
-            out[y] = np.frombuffer(bytes(row), dtype=np.uint8)
             prev = out[y]
         return out.reshape(h, w, ch)
     except Exception:

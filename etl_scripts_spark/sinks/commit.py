@@ -151,6 +151,29 @@ def try_publish_version(root: str, version: int, data_path: str) -> bool:
             return False
         os.close(fd)
         os.rename(tmp, path)
+        # Post-publish verification: if a concurrent writer sampled this
+        # manifest while it was torn (between O_EXCL and rename), decided
+        # we had crashed, and already claimed a HIGHER version, our rows
+        # are excluded from that version's merge base — report False so
+        # the caller retries onto the winner's state instead of
+        # acknowledging a superseded commit.  A superseder that claims
+        # AFTER this check read our completed manifest (rename is atomic),
+        # so it merged our rows; the unclosable sliver is a superseder
+        # that decided pre-rename but claims post-check — narrower than
+        # one syscall round-trip, and scoped in optimistic_upsert's
+        # docstring.
+        if table_version(root) > version:
+            # withdraw the manifest before reporting the conflict: the
+            # caller deletes its staged data on False, and a published
+            # manifest must never dangle.  Any writer that DID merge from
+            # this manifest already carries its rows in its own snapshot;
+            # latest_committed_version tolerates the resulting hole in
+            # the version chain (FileNotFoundError walks down).
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
+            return False
         return True
     finally:
         try:
@@ -202,8 +225,16 @@ def optimistic_upsert(spark, root: str, updates: DataFrame, keys: list[str], max
     new latest on conflict.  Returns the committed version number.
 
     Idempotent (re-running the same updates converges to the same rows)
-    and lost-update-free (a conflicting writer's committed rows are always
-    part of the state the retry merges onto).  Snapshots are whole-table
+    and lost-update-free on hardlink-capable filesystems (a conflicting
+    writer's committed rows are always part of the state the retry merges
+    onto; the os.link arbiter publishes complete manifests atomically).
+    On the no-hardlink O_EXCL fallback the guarantee is
+    lost-update-*detected*: a writer suspended inside the claim→rename
+    window can be classified as crashed and superseded, but its own
+    post-publish verification (try_publish_version) then reports the
+    conflict instead of acknowledging — the residual unreported sliver is
+    a superseder that sampled pre-rename and claimed post-verification,
+    narrower than one syscall round-trip.  Snapshots are whole-table
     copy-on-write — the honest emulation cost; a real lakehouse replaces
     the snapshot with a delta log without changing this control flow.
     """

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 import pytest
 
@@ -237,10 +238,22 @@ def test_winnow_selects_before_distinct(spark):
     only corpus-wide exchange moves the ~2/(w+1)-density fingerprint set,
     never the full gram table."""
     plan = _plan(spark, "q_winnow_fingerprints", "extended")
-    # physical order: Filter (pos <= ...) must appear below the distinct's
-    # HashAggregate pair in the final plan
+    # anchor to the SPECIFIC operators (not first string occurrences,
+    # which unrelated Filters/HashAggregates could shift): the distinct's
+    # HashAggregate is the one keyed on fp_hash/fp_pos, and the selection
+    # Filter is the one carrying the (pos <= greatest(...)) predicate
     phys = plan.split("== Physical Plan ==")[-1]
-    assert phys.index("HashAggregate") < phys.index("Filter"), (
+    distinct_aggs = [
+        m.start()
+        for m in re.finditer(r"HashAggregate\s*\([^)]*keys=\[[^\]]*fp_hash", phys)
+    ]
+    select_filters = [
+        m.start()
+        for m in re.finditer(r"Filter .*\(pos#\d+L? <= greatest", phys)
+    ]
+    assert distinct_aggs, "no HashAggregate keyed on fp_hash in plan"
+    assert select_filters, "no window-start (pos <= greatest) Filter in plan"
+    assert min(distinct_aggs) < min(select_filters), (
         "distinct runs before the window-start filter"
     )
 

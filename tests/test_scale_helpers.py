@@ -366,3 +366,46 @@ def test_optimistic_upsert_recovers_past_torn_manifest(spark, tmp_path):
     assert v3 == 3  # allocated past the torn claim
     rows = {r.k: r.v for r in read_version(spark, root).collect()}
     assert rows == {1: "a", 2: "b"}  # v1's row survived the recovery
+
+
+def test_fallback_publish_withdraws_when_superseded(tmp_path, monkeypatch):
+    """ADVICE r5: a fallback-path writer suspended between its O_EXCL claim
+    and rename can be classified as crashed and superseded by a concurrent
+    writer.  The publish must then report the conflict (False) instead of
+    acknowledging a commit excluded from the merge lineage — and must
+    withdraw its manifest so the caller's staging cleanup leaves nothing
+    dangling.  Simulated by having the rename land AFTER a higher version
+    already exists."""
+    import errno
+    import json
+    import os
+
+    from etl_scripts_spark.sinks import commit as commitmod
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "hard links not supported")
+
+    monkeypatch.setattr(commitmod.os, "link", no_link)
+    root = str(tmp_path)
+    assert commitmod.try_publish_version(root, 1, "data/base")
+
+    real_rename = os.rename
+
+    def supersede_then_rename(src, dst):
+        # the concurrent writer saw our torn v2 claim, decided we crashed,
+        # and committed v3 (merging from v1, WITHOUT our rows) before our
+        # rename lands
+        real_rename(src, dst)
+        if dst.endswith("v2.json"):
+            with open(os.path.join(root, "_versions", "v3.json"), "w") as fh:
+                json.dump({"version": 3, "data": "data/winner"}, fh)
+
+    monkeypatch.setattr(commitmod.os, "rename", supersede_then_rename)
+    assert commitmod.try_publish_version(root, 2, "data/ours") is False
+    # our manifest was withdrawn: the chain is v1 -> (hole) -> v3, readable
+    assert not os.path.exists(os.path.join(root, "_versions", "v2.json"))
+    assert commitmod.table_version(root) == 3
+    assert commitmod.latest_committed_version(root) == 3
+    # the unsuperseded case still acknowledges: v4 publishes cleanly
+    monkeypatch.setattr(commitmod.os, "rename", real_rename)
+    assert commitmod.try_publish_version(root, 4, "data/later") is True
