@@ -5309,6 +5309,253 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL / domain-layer curation (round 6) — see operators/web.py
+# ---------------------------------------------------------------------------
+
+#: Deterministic messy-URL fixture law, derived from doc_id arithmetic so
+#: the DuckDB oracle rebuilds byte-identical input.  doc_id % 40 picks the
+#: LOGICAL page (so ~n/40 docs share a resource through different mess);
+#: the mess dimensions — scheme/host case, WWW., explicit default port,
+#: trailing slash, tracking params, fragment — depend on doc_id itself.
+_URL_SQL = """
+      CASE WHEN doc_id % 4 < 2
+           THEN upper(CASE WHEN (doc_id % 40) % 2 = 0 THEN 'http' ELSE 'https' END)
+           ELSE CASE WHEN (doc_id % 40) % 2 = 0 THEN 'http' ELSE 'https' END END
+      || '://'
+      || CASE WHEN doc_id % 5 = 0
+              THEN upper(CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                         || 'site' || ((doc_id % 40) % 7) || '.example.com')
+              ELSE CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+                   || 'site' || ((doc_id % 40) % 7) || '.example.com' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN CASE WHEN (doc_id % 40) % 2 = 0 THEN ':80' ELSE ':443' END
+              ELSE '' END
+      || '/p/' || (doc_id % 40)
+      || CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END
+      || '?'
+      || CASE WHEN doc_id % 3 = 1 THEN 'utm_source=bench&id=' || (doc_id % 40)
+              WHEN doc_id % 3 = 2 THEN 'id=' || (doc_id % 40) || '&utm_campaign=x'
+              ELSE 'id=' || (doc_id % 40) END
+      || CASE WHEN doc_id % 7 = 0 THEN '#sec' || (doc_id % 3) ELSE '' END
+"""
+
+#: the oracle's canonicalization twin of web.canonicalize_url — the SAME
+#: rule set applied with DuckDB regex/list functions (not a shortcut
+#: recomputation from doc_id, so the oracle genuinely exercises the rules)
+_URL_CANON_SQL = f"""
+    u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    pieces AS (
+      SELECT doc_id,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+             lower(regexp_extract(url, '://([^/?#]+)', 1)) AS hostport,
+             regexp_replace(regexp_extract(url, '://[^/?#]*([^?#]*)', 1), '/+$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM u
+    ),
+    canon AS (
+      SELECT doc_id,
+             scheme || '://'
+             || regexp_replace(
+                  CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                       WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                       ELSE hostport END,
+                  '^www\\.', '')
+             || path
+             || CASE WHEN cq <> '' THEN '?' || cq ELSE '' END AS canonical_url
+      FROM (
+        SELECT doc_id, scheme, hostport, path,
+               array_to_string(
+                 list_sort(list_filter(string_split(q, '&'),
+                   p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid)($|=)'))),
+                 '&') AS cq
+        FROM pieces)
+    )
+"""
+
+
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the messy-URL fixture column (Spark twin of _URL_SQL)."""
+    d = F.col("doc_id")
+    page = d % 40
+    scheme = F.when(page % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    scheme_raw = F.when(d % 4 < 2, F.upper(scheme)).otherwise(scheme)
+    host = F.concat(
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("site"), (page % 7).cast("string"), F.lit(".example.com"),
+    )
+    host_raw = F.when(d % 5 == 0, F.upper(host)).otherwise(host)
+    port = F.when(
+        d % 4 == 0, F.when(page % 2 == 0, F.lit(":80")).otherwise(F.lit(":443"))
+    ).otherwise(F.lit(""))
+    pg = page.cast("string")
+    path = F.concat(
+        F.lit("/p/"), pg, F.when(d % 2 == 1, F.lit("/")).otherwise(F.lit(""))
+    )
+    q = (
+        F.when(d % 3 == 1, F.concat(F.lit("utm_source=bench&id="), pg))
+        .when(d % 3 == 2, F.concat(F.lit("id="), pg, F.lit("&utm_campaign=x")))
+        .otherwise(F.concat(F.lit("id="), pg))
+    )
+    frag = F.when(
+        d % 7 == 0, F.concat(F.lit("#sec"), (d % 3).cast("string"))
+    ).otherwise(F.lit(""))
+    return _t(spark, sf_dir, "documents").withColumn(
+        "url", F.concat(scheme_raw, F.lit("://"), host_raw, port, path, F.lit("?"), q, frag)
+    )
+
+
+@_register(
+    "q_url_canonical_dedup",
+    f"""
+    WITH {_URL_CANON_SQL}
+    SELECT canonical_url, count(*)::BIGINT AS n_variants,
+           min(doc_id) AS keep_doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level exact dedup after canonicalization (C4/CCNet-style crawl
+    rules: case, www., default ports, tracking params, fragments,
+    trailing slashes).  Pure Catalyst: the canonicalization is a
+    scan-fused projection and the dedup is ONE shuffle on the uniform
+    canonical-string keyspace.  See web.canonicalize_url/url_dedup."""
+    from etl_scripts_spark.operators import web
+
+    return web.url_dedup(_docs_with_urls(spark, sf_dir))
+
+
+@_register(
+    "q_domain_quality_rollup",
+    f"""
+    WITH {_URL_CANON_SQL},
+    qual AS ({{Q_QUALITY}}),
+    toks AS (SELECT doc_id, len({{_W}}) AS n_tokens FROM documents),
+    perdoc AS (
+      SELECT regexp_extract(canonical_url, '://([^/?#]+)', 1) AS domain,
+             canonical_url, n_tokens, quality
+      FROM canon JOIN qual USING (doc_id) JOIN toks USING (doc_id)
+    )
+    SELECT domain, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+           round(sum(quality::DECIMAL(18,4))::DOUBLE / count(*), 4) AS mean_quality,
+           round(1.0 - count(DISTINCT canonical_url)::DOUBLE / count(*), 4) AS dup_rate
+    FROM perdoc
+    WHERE domain NOT IN ('site0.example.com', 'site3.example.com')
+    GROUP BY domain
+    """,
+)
+def q_domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation rollup (doc count, token count, mean quality,
+    URL-dup rate) minus a broadcast domain blocklist — the keep/drop
+    layer a crawl corpus applies before any text-level dedup.  ONE
+    corpus shuffle on domain (map-side partials; the distinct-URL count
+    partial-dedups map-side); the blocklist anti-join is plan-asserted
+    broadcast.  See web.domain_rollup/drop_blocklisted_domains."""
+    from etl_scripts_spark.operators import web
+
+    rollup = web.domain_rollup(_docs_with_urls(spark, sf_dir))
+    block = spark.createDataFrame(
+        [("site0.example.com",), ("site3.example.com",)], "domain string"
+    )
+    return web.drop_blocklisted_domains(rollup, block)
+
+
+_ORACLES["q_domain_quality_rollup"] = (
+    _ORACLES["q_domain_quality_rollup"]
+    .replace("{Q_QUALITY}", _ORACLES["q_quality_scores"])
+    .replace("{_W}", _W)
+)
+
+
+@_register(
+    "q_span_dup_clusters",
+    f"""
+    WITH RECURSIVE w AS (
+      SELECT doc_id, {oracle.words_sql('text')} AS ws FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(ws[i:i+7], ' ')) AS h
+      FROM w, unnest(generate_series(1, len(ws) - 7)) AS t(i)
+    ), per_doc AS (
+      SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id
+    ), capped AS (
+      SELECT h FROM g GROUP BY h HAVING count(*) BETWEEN 2 AND 8
+    ), hits AS (
+      SELECT doc_id, h FROM g WHERE h IN (SELECT h FROM capped)
+    ), shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS sh
+      FROM hits a JOIN hits b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), e0 AS (
+      SELECT id_a, id_b FROM shared
+      JOIN per_doc pa ON pa.doc_id = id_a
+      JOIN per_doc pb ON pb.doc_id = id_b
+      WHERE sh / least(pa.ng, pb.ng) >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM e0
+      UNION ALL SELECT id_b, id_a FROM e0
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), lp(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, lp.lbl FROM lp, edges e WHERE lp.id = e.src
+    )
+    SELECT id AS doc_id, min(lbl) AS component_id,
+           (min(lbl) = id) AS is_canonical
+    FROM lp GROUP BY id
+    """,
+)
+def q_span_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document clusters from exact shared substrings (Lee et al. 2022 end
+    state): pairs whose shared duplicated-8-gram coverage ≥ 0.5 of the
+    smaller doc's gram set → edges → connected components → min-id
+    canonical keeper.  Gram frequency is capped (≤8 docs) before pair
+    generation so boilerplate can never go quadratic — see
+    dedup.span_dup_clusters; the oracle is the same recursive-CTE
+    reachability closure used by q_near_dup_clusters."""
+    return dedup.span_dup_clusters(
+        _tp(spark, sf_dir, "documents"), "text", "doc_id",
+        n=8, max_freq=8, threshold=0.5,
+    )
+
+
+@_register(
+    "q_hist_merge",
+    # the oracle sketches the FULL corpus in one pass (same SQL as
+    # q_hist_quantiles) — merge(sketch(A), sketch(B)) must equal
+    # sketch(A ∪ B) bin-exactly, so the re-estimated quantiles are
+    # value-identical, not merely close
+    _ORACLES["q_hist_quantiles"],
+)
+def q_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch law as a query: histogram-sketch two disjoint
+    halves of the corpus separately (the incremental-batch situation),
+    merge by adding per-bin counters, and re-estimate p50/p95.  The
+    oracle sketches the full corpus directly — counter addition is exact,
+    so the estimates must match to the digit.  See
+    sketch.histogram_sketch; the merge is ONE union + groupBy over
+    ≤ 2 × groups × bins rows, independent of corpus size."""
+    from etl_scripts_spark.operators import sketch
+
+    docs = _t(spark, sf_dir, "documents")
+    halves = [
+        sketch.histogram_sketch(
+            docs.filter(F.col("doc_id") % 2 == r), "source", "n_chars",
+            0.0, 4096.0, 128,
+        )
+        for r in (0, 1)
+    ]
+    merged = (
+        halves[0].union(halves[1]).groupBy("source", "bin").agg(F.sum("cnt").alias("cnt"))
+    )
+    outs = [
+        sketch.histogram_quantile(merged, "source", q, 0.0, 4096.0, 128)
+        .select("source", F.lit(q).alias("q"), "est")
+        for q in (0.5, 0.95)
+    ]
+    return outs[0].union(outs[1])
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

@@ -481,6 +481,71 @@ def dup_ngram_spans(
     )
 
 
+def span_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_freq: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Document-level clustering from exact shared substrings — the
+    published end state of Lee et al. 2022's suffix-array pipeline:
+    document pairs whose shared duplicated-gram coverage exceeds
+    `threshold` become edges; connected components give the cluster; the
+    min-id member is the canonical keeper.
+
+    Coverage for a pair = distinct shared n-grams / the SMALLER doc's
+    distinct-gram count, so a small doc wholly contained in a large one
+    scores 1.0 (the containment case substring dedup exists to catch).
+
+    Scale shape (100 TB): the pair generation self-joins gram digests on
+    md5-uniform keys, but a gram occurring in k docs yields k² pairs — so
+    grams above `max_freq` docs are EXCLUDED from edge generation (the
+    standard frequency cap: boilerplate shared by thousands of docs is
+    span-REMOVAL territory, see dup_span_removal, not evidence two
+    specific docs duplicate each other).  With the cap, pair fan-out is
+    bounded by max_freq² per gram; everything else is uniform-key
+    groupBy/join plus the near-dup CC fixpoint already used by
+    near_dup_clusters.
+    """
+    grams = (
+        positional_gram_hashes(df, text_col, id_col, n)
+        .select(id_col, "h")
+        .distinct()
+    )
+    per_doc = grams.groupBy(id_col).agg(F.count("*").alias("_ng"))
+    capped = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("_nd"))
+        .filter((F.col("_nd") >= 2) & (F.col("_nd") <= max_freq))
+        .select("h")
+    )
+    hits = grams.join(capped, "h", "leftsemi")
+    a = hits.select("h", F.col(id_col).alias("id_a"))
+    b = hits.select("h", F.col(id_col).alias("id_b"))
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_shared"))
+    )
+    na = per_doc.select(F.col(id_col).alias("id_a"), F.col("_ng").alias("_na"))
+    nb = per_doc.select(F.col(id_col).alias("id_b"), F.col("_ng").alias("_nb"))
+    edges = (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("_shared") / F.least("_na", "_nb") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("component_id"),
+        (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",

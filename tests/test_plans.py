@@ -367,3 +367,22 @@ def test_parts_supplier_exclusion_is_broadcast_anti(spark):
     plan = _plan(spark, "q_parts_supplier_count", "formatted")
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "Not(EqualTo(p_brand,Brand#1))" in plan
+
+
+def test_domain_blocklist_join_is_broadcast_anti(spark):
+    """The domain blocklist must hit the rollup as a BROADCAST anti-join:
+    blocklists are bounded-small by construction, so the corpus-sized
+    left side must never shuffle for it."""
+    plan = _plan(spark, "q_domain_quality_rollup", "formatted")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, (
+        "blocklist anti-join is not broadcast"
+    )
+
+
+def test_url_canonicalize_is_scan_fused(spark):
+    """URL canonicalization + dedup must plan as projection -> ONE
+    exchange -> final aggregate: no Python stage, no extra shuffle."""
+    plan = _plan(spark, "q_url_canonical_dedup", "formatted")
+    assert "Exchange" in plan
+    assert plan.count("Exchange") <= 2, "url dedup shuffles more than once (+AQE read)"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
