@@ -98,6 +98,14 @@ HEADLINE = [
     "q_retention_cohorts",
     "q_component_sizes",
     "q_bigram_lm",
+    # round-6 additions: URL/domain curation layer, span-based doc
+    # clustering, sketch-merge law, MS-conversion registration pipeline
+    "q_url_canonical_dedup",
+    "q_domain_quality_rollup",
+    "q_span_dup_clusters",
+    "q_hist_merge",
+    "q_register_ms_batch",
+    "q_ms_instrument_conflicts",
 ]
 
 

@@ -386,3 +386,27 @@ def test_url_canonicalize_is_scan_fused(spark):
     assert "Exchange" in plan
     assert plan.count("Exchange") <= 2, "url dedup shuffles more than once (+AQE read)"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ms_register_windows_share_one_exchange(spark):
+    """Both MS allocators (conflict-experiment numbering, per-sample run
+    numbering) must run off ONE project-keyed exchange — hash(project)
+    satisfies the (project, barcode) clustering, so the second window
+    re-sorts instead of re-shuffling.  The samples dim must broadcast."""
+    plan = _plan(spark, "q_register_ms_batch", "formatted")
+    assert "BroadcastHashJoin" in plan, "samples dim not broadcast"
+    assert plan.count("Window") >= 2
+    # ABOVE the samples join (node ids grow toward the root in formatted
+    # output) there must be exactly ONE exchange feeding both windows —
+    # a second one means the allocators stopped sharing.  Exchanges below
+    # the join (the persisted manifest's shuffle, whose node ids shift
+    # with cross-test cache state) are out of scope.
+    join_id = min(
+        int(m.group(1)) for m in re.finditer(r"^\((\d+)\) BroadcastHashJoin", plan, re.M)
+    )
+    above = [
+        int(m.group(1))
+        for m in re.finditer(r"^\((\d+)\) Exchange", plan, re.M)
+        if int(m.group(1)) > join_id
+    ]
+    assert len(above) == 1, f"window allocators re-shuffle: exchanges at {above}"

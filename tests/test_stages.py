@@ -348,3 +348,65 @@ def test_bpe_merges_matches_reference(spark):
         for r in bpe_merges(df).orderBy("merge_rank").collect()
     ]
     assert got == expect
+
+
+def test_ms_route_precedence(spark):
+    """Routing fork (etl_msconvert.py:822-833): immuno wins over qc wins
+    over standard — an immuno-origin BSA run must route immuno."""
+    from etl_scripts_spark.pipelines.ms_convert import route_incoming
+
+    rows = [
+        (1, "BSA1_Run_9.raw", "qeana18-immuno", "MS:1000"),   # immuno by origin
+        (2, "MS42_QABCD001AX.raw", "plain", "MS:1000"),       # immuno by prefix
+        (3, "BSA2_Run_1.raw", "plain", "MS:1000"),            # qc
+        (4, "Blank3_x.raw", "plain", "MS:1000"),              # qc
+        (5, "QABCD001AX.raw", "plain", "MS:1000"),            # standard
+    ]
+    df = spark.createDataFrame(
+        rows, "arrival_id long, incoming_name string, source_dropbox string, instrument_accession string"
+    )
+    got = {r.arrival_id: r.route for r in route_incoming(df).collect()}
+    assert got == {1: "immuno", 2: "immuno", 3: "qc", 4: "qc", 5: "standard"}
+
+
+def test_ms_conflict_fork_allocates_similar_experiments(spark):
+    """Instrument-conflict fork: mismatching accessions get E9<n> similar
+    experiments numbered 1..k per project in arrival order; matching rows
+    keep the default experiment and emit a property-update outbox row."""
+    from etl_scripts_spark.pipelines.ms_convert import register_ms_batch
+    from etl_scripts_spark.expressions import barcode_checksum_char
+    from pyspark.sql import functions as F
+
+    # build two valid barcodes for one project
+    base = spark.createDataFrame([("QTESA001A",), ("QTESA002B",)], "c9 string")
+    codes = [
+        r.code
+        for r in base.select(
+            F.concat(F.col("c9"), barcode_checksum_char(F.col("c9"))).alias("code")
+        ).collect()
+    ]
+    samples = spark.createDataFrame(
+        [(c, "QTESA", "SPACE_1") for c in codes], "code string, project string, space string"
+    )
+    # registry accession for project QTESA = 'MS:100' + chr('T')%3
+    reg = f"MS:100{ord('T') % 3}"
+    other = "MS:1009"
+    incoming = spark.createDataFrame(
+        [
+            (1, f"{codes[0]}.raw", "plain", reg),     # match
+            (2, f"{codes[0]}.raw", "plain", other),   # conflict 1
+            (3, f"{codes[1]}.raw", "plain", other),   # conflict 2
+        ],
+        "arrival_id long, incoming_name string, source_dropbox string, instrument_accession string",
+    )
+    out = register_ms_batch(incoming, samples)
+    runs = {r.arrival_id: r for r in out["runs"].collect()}
+    assert runs[1].conflict is False and runs[1].experiment_id.endswith("E1")
+    assert runs[2].experiment_id.endswith("E91")
+    assert runs[3].experiment_id.endswith("E92")
+    # run numbering is per sample: arrivals 1,2 share a barcode
+    assert (runs[1].run_code, runs[2].run_code) == (f"{codes[0]}_1", f"{codes[0]}_2")
+    assert runs[3].run_code == f"{codes[1]}_1"
+    services = [r.service for r in out["outbox"].collect()]
+    assert services.count("SAMPLE_TRACKER") == 3
+    assert services.count("PROPERTY_UPDATE") == 1
