@@ -5728,6 +5728,53 @@ def q_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return outs[0].union(outs[1])
 
 
+@_register(
+    "q_gopher_repetition",
+    f"""
+    WITH w AS (
+      SELECT doc_id, length(text) AS nch, {oracle.words_sql('text')} AS ws FROM documents
+    ), seg AS (
+      SELECT doc_id, array_to_string(ws[(i - 1) * 3 + 1 : (i - 1) * 3 + 3], ' ') AS seg
+      FROM w, unnest(generate_series(1, ((len(ws) + 2) // 3))) AS t(i)
+    ), segc AS (
+      SELECT doc_id, seg, count(*) AS cnt FROM seg GROUP BY doc_id, seg
+    ), segstats AS (
+      SELECT doc_id,
+             round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)::DOUBLE / sum(cnt), 4)
+               AS dup_seg_frac,
+             round(sum(CASE WHEN cnt > 1 THEN cnt * length(seg) ELSE 0 END)::DOUBLE
+                   / greatest(sum(cnt * length(seg)), 1), 4) AS dup_seg_char_frac
+      FROM segc GROUP BY doc_id
+    ), big AS (
+      SELECT doc_id, nch, ws[i] || ' ' || ws[i + 1] AS g
+      FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+    ), bigc AS (
+      SELECT doc_id, nch, g, count(*) AS cnt FROM big GROUP BY doc_id, nch, g
+    ), picked AS (
+      SELECT doc_id, nch, g, cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+      FROM bigc
+    )
+    SELECT s.doc_id, s.dup_seg_frac, s.dup_seg_char_frac,
+           round(p.cnt * length(p.g)::DOUBLE / greatest(p.nch, 1), 4)
+             AS top_bigram_char_frac
+    FROM segstats s JOIN picked p ON p.doc_id = s.doc_id AND p.rn = 1
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher repetition filter battery (Rae et al. 2021): per-doc
+    duplicate-segment fraction, duplicate-segment character fraction, and
+    top-bigram character coverage — the WITHIN-document repetition laws
+    (q_repetition_ratio is the token-distinct ratio; segment_dedup is the
+    cross-document variant).  All per-doc math on uniform id keys.  See
+    corpus.gopher_repetition."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.gopher_repetition(
+        _tp(spark, sf_dir, "documents"), "text", "doc_id", seg_len=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5763,6 +5810,7 @@ _CHANGED_THIS_ROUND = (
     "q_register_ms_batch",
     "q_ms_routing",
     "q_ms_instrument_conflicts",
+    "q_gopher_repetition",
 )
 
 

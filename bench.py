@@ -106,6 +106,7 @@ HEADLINE = [
     "q_hist_merge",
     "q_register_ms_batch",
     "q_ms_instrument_conflicts",
+    "q_gopher_repetition",
 ]
 
 

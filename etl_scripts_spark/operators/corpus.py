@@ -643,6 +643,97 @@ def segment_dedup(
     )
 
 
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_len: int = 3,
+) -> DataFrame:
+    """The Gopher repetition filters (Rae et al. 2021, Table A1) per
+    document: duplicate-line fraction, duplicate-line CHARACTER fraction,
+    and top-bigram character fraction.  "Lines" are consecutive
+    `seg_len`-word segments — the same line analog for unstructured text
+    as segment_dedup (CCNet); the metric laws are the paper's.
+
+    - dup_seg_frac: fraction of segment instances whose content occurs
+      more than once WITHIN the document.
+    - dup_seg_char_frac: fraction of segment characters in such segments.
+    - top_bigram_char_frac: characters covered by the document's most
+      frequent word bigram (count × gram length / doc length); ties break
+      to the lexicographically smallest gram so both engines pick one row.
+
+    Scale shape: everything is per-document — segment/bigram explode is
+    map-side, the count tables group on (id, content) whose cardinality
+    is bounded by document size, and the per-doc aggregates shuffle on
+    uniform ids.  No corpus-wide frequency table at all (contrast
+    segment_dedup, which is the cross-document variant).
+    """
+    from pyspark.sql.window import Window
+
+    wdf = df.select(
+        F.col(id_col), F.length(text_col).alias("_nch"), words(F.col(text_col)).alias("_w")
+    )
+    nseg = F.floor((F.size("_w") + F.lit(seg_len - 1)) / F.lit(seg_len)).cast("int")
+    seg_idx = F.when(nseg >= 1, F.sequence(F.lit(1), nseg)).otherwise(
+        F.array().cast("array<int>")
+    )
+    segs = wdf.select(
+        id_col,
+        F.explode(
+            F.transform(
+                seg_idx,
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("_w"), (i - 1) * seg_len + 1, seg_len)
+                ),
+            )
+        ).alias("seg"),
+    )
+    segc = segs.groupBy(id_col, "seg").agg(F.count("*").alias("_cnt"))
+    segstats = segc.groupBy(id_col).agg(
+        F.round(
+            F.sum(F.when(F.col("_cnt") > 1, F.col("_cnt")).otherwise(0))
+            / F.sum("_cnt"),
+            4,
+        ).alias("dup_seg_frac"),
+        F.round(
+            F.sum(
+                F.when(F.col("_cnt") > 1, F.col("_cnt") * F.length("seg")).otherwise(0)
+            )
+            / F.greatest(F.sum(F.col("_cnt") * F.length("seg")), F.lit(1)),
+            4,
+        ).alias("dup_seg_char_frac"),
+    )
+    npair = F.size("_w") - 1
+    pair_idx = F.when(npair >= 1, F.sequence(F.lit(1), npair)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = wdf.select(
+        id_col,
+        "_nch",
+        F.explode(
+            F.transform(
+                pair_idx,
+                lambda i: F.concat(
+                    F.element_at("_w", i), F.lit(" "), F.try_element_at("_w", i + 1)
+                ),
+            )
+        ).alias("g"),
+    )
+    bigc = bigrams.groupBy(id_col, "_nch", "g").agg(F.count("*").alias("_cnt"))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cnt").desc(), F.col("g"))
+    top = (
+        bigc.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            id_col,
+            F.round(
+                F.col("_cnt") * F.length("g") / F.greatest("_nch", F.lit(1)), 4
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+    return segstats.join(top, id_col)
+
+
 def source_overlap(
     df: DataFrame,
     text_col: str = "text",
