@@ -5637,27 +5637,13 @@ def q_register_ms_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "q_ms_routing",
+    # reuses _MS_INCOMING_CTE verbatim (its ms_routed CTE computes the
+    # route) so the fixture law and routing precedence exist in exactly
+    # ONE oracle copy; DuckDB inlines CTEs, unreferenced ones cost nothing
     oracle.with_entities(
-        ", " + """
-ms_incoming AS (
-  SELECT o_orderkey AS arrival_id,
-         CASE WHEN o_orderkey % 13 = 0
-                THEN 'BSA1_Run_' || o_orderkey::VARCHAR || '.raw'
-              WHEN o_orderkey % 13 = 1
-                THEN 'MS101_' || {BARCODE} || '.raw'
-              WHEN o_orderkey % 13 = 2
-                THEN 'NOBARCODE_' || o_orderkey::VARCHAR || '.raw'
-              ELSE {BARCODE} || '.raw' END AS incoming_name,
-         CASE WHEN o_orderkey % 17 = 0 THEN 'qeana18-immuno'
-              ELSE 'ms-vendor-dropbox' END AS source_dropbox
-  FROM orders
-)
-SELECT CASE WHEN source_dropbox LIKE '%immuno%'
-                 OR regexp_matches(incoming_name, '^MS[0-9]+_') THEN 'immuno'
-            WHEN regexp_matches(incoming_name, '^(BSA[0-9]*|Blank[0-9]*)_') THEN 'qc'
-            ELSE 'standard' END AS route,
-       count(*)::BIGINT AS n
-FROM ms_incoming GROUP BY route
+        ", " + _MS_INCOMING_CTE.strip().rstrip(",") + """
+    SELECT route, count(*)::BIGINT AS n
+    FROM ms_routed GROUP BY route
     """
     ),
 )
@@ -5666,11 +5652,6 @@ def q_ms_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     immuno > qc > standard) — route counts over the whole batch."""
     routed = _ms_batch(spark, sf_dir)["routed"]
     return routed.groupBy("route").agg(F.count("*").alias("n"))
-
-
-_ORACLES["q_ms_routing"] = _ORACLES["q_ms_routing"].replace(
-    "{BARCODE}", oracle.sample_barcode_sql("o_custkey")
-)
 
 
 @_register(
@@ -5756,9 +5737,9 @@ def q_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bigc
     )
     SELECT s.doc_id, s.dup_seg_frac, s.dup_seg_char_frac,
-           round(p.cnt * length(p.g)::DOUBLE / greatest(p.nch, 1), 4)
+           coalesce(round(p.cnt * length(p.g)::DOUBLE / greatest(p.nch, 1), 4), 0.0)
              AS top_bigram_char_frac
-    FROM segstats s JOIN picked p ON p.doc_id = s.doc_id AND p.rn = 1
+    FROM segstats s LEFT JOIN picked p ON p.doc_id = s.doc_id AND p.rn = 1
     """,
 )
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5796,8 +5777,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: resize decode through it) and the hardened no-hardlink CAS publish
 #: (merge_upsert commits through sinks/commit.py).  Round 6 deliberately
 #: caps NEW registrations (r5 verdict item 1) so the 50-slot driver window
-#: reaches every query last checked in rounds 1-2 — 10 head entries leave
-#: 40 slots for the 36-query staleness backlog.
+#: reaches every query last checked in rounds 1-2 — 11 head entries leave
+#: 39 slots for the 36-query staleness backlog.
 _CHANGED_THIS_ROUND = (
     "q_multimodal_pixel_stats",
     "q_multimodal_resize",

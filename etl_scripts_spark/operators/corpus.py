@@ -670,9 +670,12 @@ def gopher_repetition(
     """
     from pyspark.sql.window import Window
 
+    # materialized ONCE: the segment branch and the bigram branch both read
+    # the tokenized projection — without this the normalize+split tokenizer
+    # runs twice over the full corpus (same device as dedup.lsh_bands)
     wdf = df.select(
         F.col(id_col), F.length(text_col).alias("_nch"), words(F.col(text_col)).alias("_w")
-    )
+    ).localCheckpoint(eager=True)
     nseg = F.floor((F.size("_w") + F.lit(seg_len - 1)) / F.lit(seg_len)).cast("int")
     seg_idx = F.when(nseg >= 1, F.sequence(F.lit(1), nseg)).otherwise(
         F.array().cast("array<int>")
@@ -731,7 +734,11 @@ def gopher_repetition(
             ).alias("top_bigram_char_frac"),
         )
     )
-    return segstats.join(top, id_col)
+    # LEFT join: a 1-word document has segments but no bigram — it must
+    # still be scored (top-bigram coverage 0.0), not silently dropped
+    return segstats.join(top, id_col, "left").withColumn(
+        "top_bigram_char_frac", F.coalesce("top_bigram_char_frac", F.lit(0.0))
+    )
 
 
 def source_overlap(

@@ -98,10 +98,16 @@ def table_version(root: str) -> int:
     return max(versions, default=0)
 
 
-def try_publish_version(root: str, version: int, data_path: str) -> bool:
+def try_publish_version(
+    root: str, version: int, data_path: str, base: int | None = None
+) -> bool:
     """Compare-and-swap: atomically publish `_versions/v{version}.json`.
     Returns False (no side effects on the chain) if another writer already
     owns that version.
+
+    `base` records the committed version this snapshot was merged FROM —
+    optimistic_upsert uses it to detect (after the fact) whether a
+    concurrent writer superseded a commit without merging it.
 
     The manifest is fully written to a writer-private temp file FIRST
     (named by pid + uuid, so same-process threads never share one) and
@@ -121,9 +127,10 @@ def try_publish_version(root: str, version: int, data_path: str) -> bool:
     os.makedirs(vdir, exist_ok=True)
     path = os.path.join(vdir, f"v{version}.json")
     tmp = os.path.join(vdir, f".v{version}.{os.getpid()}.{uuid.uuid4().hex}.tmp")
-    payload = json.dumps(
-        {"version": version, "data": data_path, "committed_at": time.time()}
-    )
+    record = {"version": version, "data": data_path, "committed_at": time.time()}
+    if base is not None:
+        record["base"] = base
+    payload = json.dumps(record)
     with open(tmp, "w") as fh:
         fh.write(payload)
     try:
@@ -140,40 +147,17 @@ def try_publish_version(root: str, version: int, data_path: str) -> bool:
         # rename-replace of a path this writer exclusively claimed is
         # safe, and the torn-looking window shrinks to the two adjacent
         # syscalls (no data-dependent work between claim and publish).
-        # Residual, documented: a writer suspended inside that window
-        # longer than optimistic_upsert's grace re-check can be
-        # misclassified as crashed and superseded — acceptable for this
-        # EMULATION; a real lakehouse's commit protocol replaces this
-        # file dance entirely.
+        # A writer suspended inside that window longer than
+        # optimistic_upsert's grace re-check can be misclassified as
+        # crashed and superseded WITHOUT being merged — optimistic_upsert
+        # detects that after the fact via the manifest `base` chain and
+        # withdraws/retries instead of acknowledging (see its docstring).
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
         except FileExistsError:
             return False
         os.close(fd)
         os.rename(tmp, path)
-        # Post-publish verification: if a concurrent writer sampled this
-        # manifest while it was torn (between O_EXCL and rename), decided
-        # we had crashed, and already claimed a HIGHER version, our rows
-        # are excluded from that version's merge base — report False so
-        # the caller retries onto the winner's state instead of
-        # acknowledging a superseded commit.  A superseder that claims
-        # AFTER this check read our completed manifest (rename is atomic),
-        # so it merged our rows; the unclosable sliver is a superseder
-        # that decided pre-rename but claims post-check — narrower than
-        # one syscall round-trip, and scoped in optimistic_upsert's
-        # docstring.
-        if table_version(root) > version:
-            # withdraw the manifest before reporting the conflict: the
-            # caller deletes its staged data on False, and a published
-            # manifest must never dangle.  Any writer that DID merge from
-            # this manifest already carries its rows in its own snapshot;
-            # latest_committed_version tolerates the resulting hole in
-            # the version chain (FileNotFoundError walks down).
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
-            return False
         return True
     finally:
         try:
@@ -230,13 +214,22 @@ def optimistic_upsert(spark, root: str, updates: DataFrame, keys: list[str], max
     onto; the os.link arbiter publishes complete manifests atomically).
     On the no-hardlink O_EXCL fallback the guarantee is
     lost-update-*detected*: a writer suspended inside the claim→rename
-    window can be classified as crashed and superseded, but its own
-    post-publish verification (try_publish_version) then reports the
-    conflict instead of acknowledging — the residual unreported sliver is
-    a superseder that sampled pre-rename and claimed post-verification,
-    narrower than one syscall round-trip.  Snapshots are whole-table
-    copy-on-write — the honest emulation cost; a real lakehouse replaces
-    the snapshot with a delta log without changing this control flow.
+    window can be classified as crashed and superseded without being
+    merged.  Each manifest records its merge `base`, so after publishing
+    this writer checks every LATER manifest: if one committed from a base
+    below this version, this commit was excluded from the lineage — the
+    manifest is withdrawn (never acknowledged) and the loop retries onto
+    the winner's state.  A later manifest whose base >= this version
+    merged from this commit, so it is acknowledged normally — a benign
+    fast successor never triggers withdrawal (and withdrawn commits leave
+    their DATA directory in place: a concurrent writer that read the
+    manifest pre-withdrawal may still be scanning it; orphaned snapshots
+    are a GC-with-retention concern, exactly as in Delta/Iceberg).  The
+    residual unreported sliver is a superseder that sampled this manifest
+    torn and whose own manifest is not yet readable when this check runs.
+    Snapshots are whole-table copy-on-write — the honest emulation cost;
+    a real lakehouse replaces the snapshot with a delta log without
+    changing this control flow.
     """
     import shutil
     from .merge import merge_upsert
@@ -253,14 +246,57 @@ def optimistic_upsert(spark, root: str, updates: DataFrame, keys: list[str], max
             time.sleep(0.05)
             v = table_version(root)
             v_read = latest_committed_version(root)
-        current = read_version(spark, root, v_read) if v_read else None
-        merged = updates if current is None else merge_upsert(current, updates, keys)
-        dest = os.path.join(root, "data", f"v{v + 1}-{uuid.uuid4().hex}")
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        staged_write(merged, dest)
-        if try_publish_version(root, v + 1, dest):
+        try:
+            current = read_version(spark, root, v_read) if v_read else None
+            merged = updates if current is None else merge_upsert(current, updates, keys)
+            dest = os.path.join(root, "data", f"v{v + 1}-{uuid.uuid4().hex}")
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            staged_write(merged, dest)
+        except FileNotFoundError:
+            # v_read was withdrawn between resolution and read (a
+            # concurrent writer's excluded-supersede recovery) — re-resolve
+            continue
+        if try_publish_version(root, v + 1, dest, base=v_read):
+            if _superseded_without_merge(root, v + 1):
+                # a concurrent writer sampled our manifest while torn,
+                # classified us as crashed, and committed from an older
+                # base: our rows are NOT in the latest lineage.  Withdraw
+                # (this commit is never acknowledged) and retry so the
+                # updates re-merge onto the winner's state.  Data dir
+                # stays (see docstring).
+                try:
+                    os.unlink(os.path.join(_versions_dir(root), f"v{v + 1}.json"))
+                except FileNotFoundError:
+                    pass
+                continue
             return v + 1
         # conflict: another writer owns v+1 — discard staging, merge onto
         # the winner's state next iteration (their rows survive ours)
         shutil.rmtree(dest, ignore_errors=True)
     raise RuntimeError(f"optimistic_upsert: gave up after {max_retries} conflicts")
+
+
+def _superseded_without_merge(root: str, version: int) -> bool:
+    """True when a manifest LATER than `version` committed from a merge
+    base BELOW `version` — i.e. its writer did not see (or deliberately
+    skipped) this commit, so `version` is outside the latest lineage.
+    Later manifests without a readable base are ignored: they are torn
+    claims or pre-`base` writers, neither of which carries committed rows
+    that exclude ours."""
+    vdir = _versions_dir(root)
+    if not os.path.isdir(vdir):
+        return False
+    for name in os.listdir(vdir):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        stem = name[1:-5]
+        if not stem.isdigit() or int(stem) <= version:
+            continue
+        try:
+            with open(os.path.join(vdir, name)) as fh:
+                base = json.load(fh).get("base")
+        except (OSError, ValueError):
+            continue
+        if base is not None and base < version:
+            return True
+    return False

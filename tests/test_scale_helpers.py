@@ -367,45 +367,75 @@ def test_optimistic_upsert_recovers_past_torn_manifest(spark, tmp_path):
     rows = {r.k: r.v for r in read_version(spark, root).collect()}
     assert rows == {1: "a", 2: "b"}  # v1's row survived the recovery
 
-
-def test_fallback_publish_withdraws_when_superseded(tmp_path, monkeypatch):
-    """ADVICE r5: a fallback-path writer suspended between its O_EXCL claim
-    and rename can be classified as crashed and superseded by a concurrent
-    writer.  The publish must then report the conflict (False) instead of
-    acknowledging a commit excluded from the merge lineage — and must
-    withdraw its manifest so the caller's staging cleanup leaves nothing
-    dangling.  Simulated by having the rename land AFTER a higher version
-    already exists."""
-    import errno
-    import json
-    import os
-
+def test_supersede_detection_via_base_chain(tmp_path):
+    """Excluded-supersede detection (ADVICE r5, reworked per review): a
+    LATER manifest whose merge base is BELOW a version means that version
+    was superseded without being merged; a later manifest based ON it is a
+    benign fast successor and must not trigger withdrawal."""
     from etl_scripts_spark.sinks import commit as commitmod
 
-    def no_link(src, dst):
-        raise OSError(errno.EPERM, "hard links not supported")
-
-    monkeypatch.setattr(commitmod.os, "link", no_link)
     root = str(tmp_path)
-    assert commitmod.try_publish_version(root, 1, "data/base")
+    assert commitmod.try_publish_version(root, 1, "data/base", base=0)
+    assert commitmod.try_publish_version(root, 2, "data/ours", base=1)
 
-    real_rename = os.rename
+    # benign successor: v3 merged FROM v2 — v2 stays acknowledged
+    assert commitmod.try_publish_version(root, 3, "data/next", base=2)
+    assert commitmod._superseded_without_merge(root, 2) is False
 
-    def supersede_then_rename(src, dst):
-        # the concurrent writer saw our torn v2 claim, decided we crashed,
-        # and committed v3 (merging from v1, WITHOUT our rows) before our
-        # rename lands
-        real_rename(src, dst)
-        if dst.endswith("v2.json"):
-            with open(os.path.join(root, "_versions", "v3.json"), "w") as fh:
-                json.dump({"version": 3, "data": "data/winner"}, fh)
+    # excluding successor: v4 committed from base v1, skipping v2
+    assert commitmod.try_publish_version(root, 4, "data/winner", base=1)
+    assert commitmod._superseded_without_merge(root, 2) is True
+    # v3 (base=2) is NOT excluded by v4's existence check for version 3:
+    # v4's base (1) < 3, so v3 is also flagged — its writer re-merges too
+    assert commitmod._superseded_without_merge(root, 3) is True
+    # the winner itself is clean
+    assert commitmod._superseded_without_merge(root, 4) is False
+    # manifests without a base (pre-`base` writers, torn claims) are inert
+    import json as _json
+    import os as _os
 
-    monkeypatch.setattr(commitmod.os, "rename", supersede_then_rename)
-    assert commitmod.try_publish_version(root, 2, "data/ours") is False
-    # our manifest was withdrawn: the chain is v1 -> (hole) -> v3, readable
-    assert not os.path.exists(os.path.join(root, "_versions", "v2.json"))
-    assert commitmod.table_version(root) == 3
-    assert commitmod.latest_committed_version(root) == 3
-    # the unsuperseded case still acknowledges: v4 publishes cleanly
-    monkeypatch.setattr(commitmod.os, "rename", real_rename)
-    assert commitmod.try_publish_version(root, 4, "data/later") is True
+    with open(_os.path.join(root, "_versions", "v6.json"), "w") as fh:
+        _json.dump({"version": 6, "data": "data/nobase"}, fh)
+    open(_os.path.join(root, "_versions", "v7.json"), "w").close()  # torn
+    assert commitmod._superseded_without_merge(root, 5) is False
+
+
+def test_optimistic_upsert_withdraws_and_retries_when_excluded(spark, tmp_path, monkeypatch):
+    """End-to-end excluded-supersede recovery: a concurrent writer commits
+    from an older base right after our publish (the torn-window
+    misclassification).  optimistic_upsert must NOT acknowledge the
+    excluded version — it withdraws the manifest (data dir left for GC)
+    and retries, so the final table still contains our rows merged onto
+    the winner's state."""
+    import json as _json
+    import os as _os
+
+    from etl_scripts_spark.sinks import commit as commitmod
+    from etl_scripts_spark.sinks.files import staged_write
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([("S1", "base")], "code string, src string")
+    assert commitmod.optimistic_upsert(spark, root, base, ["code"]) == 1
+
+    # winner's snapshot staged from v1 (without our rows)
+    winner = _os.path.join(root, "data", "winner")
+    staged_write(base, winner)
+
+    real_publish = commitmod.try_publish_version
+    state = {"injected": False}
+
+    def publish_then_supersede(r, version, data_path, base=None):
+        ok = real_publish(r, version, data_path, base=base)
+        if ok and not state["injected"] and version == 2:
+            state["injected"] = True
+            # concurrent writer sampled our v2 torn, committed v3 from v1
+            assert real_publish(r, 3, winner, base=1)
+        return ok
+
+    monkeypatch.setattr(commitmod, "try_publish_version", publish_then_supersede)
+    up = spark.createDataFrame([("S2", "ours")], "code string, src string")
+    got = commitmod.optimistic_upsert(spark, root, up, ["code"])
+    assert got == 4  # v2 withdrawn, v3 is the winner, retry landed at v4
+    assert not _os.path.exists(_os.path.join(root, "_versions", "v2.json"))
+    final = {r.code: r.src for r in commitmod.read_version(spark, root).collect()}
+    assert final == {"S1": "base", "S2": "ours"}  # nothing lost

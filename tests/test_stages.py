@@ -410,3 +410,24 @@ def test_ms_conflict_fork_allocates_similar_experiments(spark):
     services = [r.service for r in out["outbox"].collect()]
     assert services.count("SAMPLE_TRACKER") == 3
     assert services.count("PROPERTY_UPDATE") == 1
+
+
+def test_gopher_repetition_scores_short_docs(spark):
+    """A 1-word document has a segment but no bigram: it must still be
+    scored (top-bigram coverage 0.0), not silently dropped — review
+    finding r6.  (An empty text tokenizes to [''] — one empty segment —
+    so it scores zeros too, matching the words() twin in the oracle.)"""
+    from etl_scripts_spark.operators.corpus import gopher_repetition
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, ""), (3, "a b a b a b")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_repetition(df, "text", "doc_id", seg_len=2).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2].top_bigram_char_frac == 0.0
+    assert got[1].top_bigram_char_frac == 0.0 and got[1].dup_seg_frac == 0.0
+    # doc 3: segments ['a b','a b','a b'] all duplicated; top bigram 'a b'
+    # occurs 3 times in 11 chars -> 3*3/11
+    assert got[3].dup_seg_frac == 1.0
+    assert got[3].top_bigram_char_frac == round(9 / 11, 4)
