@@ -509,10 +509,14 @@ def span_dup_clusters(
     groupBy/join plus the near-dup CC fixpoint already used by
     near_dup_clusters.
     """
+    # materialized ONCE: per_doc, the frequency cap, and the pair join all
+    # read the distinct gram table — without this the tokenize+explode
+    # pipeline runs three times (same device as lsh_bands)
     grams = (
         positional_gram_hashes(df, text_col, id_col, n)
         .select(id_col, "h")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     per_doc = grams.groupBy(id_col).agg(F.count("*").alias("_ng"))
     capped = (
