@@ -107,6 +107,7 @@ HEADLINE = [
     "q_register_ms_batch",
     "q_ms_instrument_conflicts",
     "q_gopher_repetition",
+    "q_incremental_components",
 ]
 
 

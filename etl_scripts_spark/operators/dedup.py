@@ -255,6 +255,44 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     return labels.select("id", F.col("lbl").alias("component"))
 
 
+def incremental_components(
+    prior: DataFrame, new_pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Incremental connected-components maintenance: fold a batch of NEW
+    edges into an already-converged labeling without reprocessing the
+    historical edge set.
+
+    prior: (id, component) — converged labels from the previous batch,
+    where each component label is the component's minimum member id (the
+    invariant connected_components produces).
+    new_pairs: (id_a, id_b) — edges arriving this batch; endpoints may be
+    brand-new ids.
+
+    The prior graph is re-entered as STAR edges (component ↔ member),
+    which is its transitive closure in O(nodes) edges — so the fixpoint
+    input is |prior| + |new| edges instead of the full historical edge
+    log, and label propagation converges in ~(diameter of the NEW merge
+    graph over component representatives) + 2 rounds, independent of the
+    historical graph's diameter.  Untouched singleton components carry
+    over unchanged via an anti-join (they appear in no edge).  This is
+    the component-level analog of incremental_near_dups: batch work
+    scales with the batch, not the corpus.
+    """
+    star = prior.filter(F.col("id") != F.col("component")).select(
+        F.col("component").alias("id_a"), F.col("id").alias("id_b")
+    )
+    edges = star.unionByName(
+        new_pairs.select(F.col("id_a").cast("bigint"), F.col("id_b").cast("bigint"))
+    )
+    cc = connected_components(edges, max_iter=max_iter)
+    untouched = prior.join(cc, prior["id"] == cc["id"], "left_anti").select(
+        prior["id"], prior["component"]
+    )
+    return cc.unionByName(untouched).select(
+        F.col("id").alias("node_id"), F.col("component").alias("component_id")
+    )
+
+
 def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame:
     """(id, component) via the alternating large-star / small-star algorithm
     (Kiveris et al., "Connected Components in MapReduce and Beyond").
