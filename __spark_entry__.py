@@ -5704,6 +5704,82 @@ def q_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_lsh_recall",
+    f"""
+    WITH sub AS (
+      SELECT * FROM documents WHERE doc_id < 300
+    ), {oracle.minhash_sigs_ctes('sub')}, bands AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0) AS band_hash FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(mh1) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(mh2) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(mh3) FROM sigs
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ), sets AS (
+      SELECT doc_id, list_distinct(shl) AS sh FROM shg
+    ), truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON b.doc_id > a.doc_id
+      WHERE round(len(list_intersect(a.sh, b.sh))
+                  / greatest(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)), 1), 4)
+            >= 0.5
+    ), hit AS (
+      SELECT c.id_a FROM cand c JOIN truth t
+        ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+           (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+           round((SELECT count(*) FROM hit)::DOUBLE
+                 / greatest((SELECT count(*) FROM truth), 1), 4) AS recall,
+           round((SELECT count(*) FROM hit)::DOUBLE
+                 / greatest((SELECT count(*) FROM cand), 1), 4) AS precision
+    """,
+)
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-quality measurement (the MinHash-LSH analog of q_ivf_recall):
+    recall and precision of the 4×1 banding scheme against EXACT Jaccard
+    ≥ 0.5 ground truth over a FIXED 300-doc subset.  The brute-force
+    truth is an all-pairs join — bounded by the absolute subset cap, a
+    declared measurement baseline exactly like q_embedding_topk; the
+    production path (q_minhash_lsh_pairs / q_near_dup_clusters) never
+    does this.  One row: (n_true, n_candidates, n_hit, recall,
+    precision)."""
+    docs = _tp(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    cand = _lsh_candidate_pairs_df(docs)
+    staged = docs.select("doc_id", text.words(F.col("text")).alias("_w"))
+    sets = staged.select(
+        "doc_id", F.array_distinct(dedup.shingles_from_words(F.col("_w"))).alias("sh")
+    )
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("id_b") > F.col("id_a"))
+        .filter(dedup.jaccard_from_sets(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    hit = cand.join(truth, ["id_a", "id_b"], "leftsemi")
+    nt = truth.agg(F.count("*").alias("n_true"))
+    nc = cand.agg(F.count("*").alias("n_candidates"))
+    nh = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.round(F.col("n_hit") / F.greatest("n_true", F.lit(1)), 4).alias("recall"),
+            F.round(
+                F.col("n_hit") / F.greatest("n_candidates", F.lit(1)), 4
+            ).alias("precision"),
+        )
+    )
+
+
+@_register(
     "q_incremental_components",
     """
     WITH RECURSIVE prior AS (
@@ -5819,8 +5895,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: resize decode through it) and the hardened no-hardlink CAS publish
 #: (merge_upsert commits through sinks/commit.py).  Round 6 deliberately
 #: caps NEW registrations (r5 verdict item 1) so the 50-slot driver window
-#: reaches every query last checked in rounds 1-2 — 12 head entries leave
-#: 38 slots for the 36-query staleness backlog.
+#: reaches every query last checked in rounds 1-2 — 13 head entries leave
+#: 37 slots for the 36-query staleness backlog.
 _CHANGED_THIS_ROUND = (
     "q_multimodal_pixel_stats",
     "q_multimodal_resize",
@@ -5835,6 +5911,7 @@ _CHANGED_THIS_ROUND = (
     "q_ms_instrument_conflicts",
     "q_gopher_repetition",
     "q_incremental_components",
+    "q_lsh_recall",
 )
 
 

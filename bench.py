@@ -108,6 +108,7 @@ HEADLINE = [
     "q_ms_instrument_conflicts",
     "q_gopher_repetition",
     "q_incremental_components",
+    "q_lsh_recall",
 ]
 
 

@@ -64,6 +64,9 @@ CROSS_JOINS_BY_DESIGN = {
     "q_sketch_accuracy",
     # three 1-row scalar aggregates stitched by 1-row cross joins
     "q_triangle_count",
+    # bounded-subset brute-force ground truth + 1-row stat stitching
+    # (the LSH-recall measurement baseline, like q_ivf_recall's brute arm)
+    "q_lsh_recall",
 }
 
 STREAMING = {
