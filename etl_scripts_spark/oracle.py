@@ -114,13 +114,20 @@ def words_sql(col: str = "text") -> str:
     return f"string_split({norm_text_sql(col)}, ' ')"
 
 
+def shingles_from_ws_sql(ws: str, k: int = 3) -> str:
+    """The ONE definition of the k-word-shingle law (short-document
+    fallback included), over an already-tokenized list expression/column
+    `ws`.  Both the inline form (shingles_sql) and the staged CTE form
+    (minhash_sigs_ctes) expand this — edit shingle semantics here only."""
+    return (
+        f"list_transform(generate_series(1, greatest(len({ws}) - {k - 1}, 1)),"
+        f" i -> array_to_string(({ws})[i:i+{k - 1}], ' '))"
+    )
+
+
 def shingles_sql(col: str = "text", k: int = 3) -> str:
     """DuckDB twin of operators.dedup.word_shingles (k-word shingles, ≥1)."""
-    w = words_sql(col)
-    return (
-        f"list_transform(generate_series(1, greatest(len({w}) - {k - 1}, 1)),"
-        f" i -> array_to_string(({w})[i:i+{k - 1}], ' '))"
-    )
+    return shingles_from_ws_sql(words_sql(col), k)
 
 
 def minhash_sql(col: str = "text", seed: int = 0, k: int = 3) -> str:
@@ -144,8 +151,7 @@ def minhash_sigs_ctes(source: str, prefix: str = "", k: int = 3, num: int = 4) -
     return f"""{prefix}w AS (
       SELECT doc_id, {words_sql('text')} AS ws FROM {source}
     ), {prefix}shg AS (
-      SELECT doc_id, list_transform(generate_series(1, greatest(len(ws) - {k - 1}, 1)),
-                                    i -> array_to_string(ws[i:i+{k - 1}], ' ')) AS shl
+      SELECT doc_id, {shingles_from_ws_sql('ws', k)} AS shl
       FROM {prefix}w
     ), {prefix}sigs AS (
       SELECT doc_id, {mh} FROM {prefix}shg

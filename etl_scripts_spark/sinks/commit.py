@@ -248,14 +248,16 @@ def optimistic_upsert(spark, root: str, updates: DataFrame, keys: list[str], max
             v_read = latest_committed_version(root)
         try:
             current = read_version(spark, root, v_read) if v_read else None
-            merged = updates if current is None else merge_upsert(current, updates, keys)
-            dest = os.path.join(root, "data", f"v{v + 1}-{uuid.uuid4().hex}")
-            os.makedirs(os.path.dirname(dest), exist_ok=True)
-            staged_write(merged, dest)
         except FileNotFoundError:
             # v_read was withdrawn between resolution and read (a
-            # concurrent writer's excluded-supersede recovery) — re-resolve
+            # concurrent writer's excluded-supersede recovery) — re-resolve.
+            # Deliberately NARROW: staging failures below must surface,
+            # not be converted into phantom CAS conflicts.
             continue
+        merged = updates if current is None else merge_upsert(current, updates, keys)
+        dest = os.path.join(root, "data", f"v{v + 1}-{uuid.uuid4().hex}")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        staged_write(merged, dest)
         if try_publish_version(root, v + 1, dest, base=v_read):
             if _superseded_without_merge(root, v + 1):
                 # a concurrent writer sampled our manifest while torn,
@@ -280,9 +282,14 @@ def _superseded_without_merge(root: str, version: int) -> bool:
     """True when a manifest LATER than `version` committed from a merge
     base BELOW `version` — i.e. its writer did not see (or deliberately
     skipped) this commit, so `version` is outside the latest lineage.
-    Later manifests without a readable base are ignored: they are torn
-    claims or pre-`base` writers, neither of which carries committed rows
-    that exclude ours."""
+
+    A later manifest that PARSES but records no `base` (a direct
+    try_publish_version caller) is treated CONSERVATIVELY as excluding:
+    its lineage is unknown, and acknowledging in the face of an unknown
+    lineage is exactly the lost-update this check exists to prevent —
+    the caller's retry is idempotent, so the false-positive cost is one
+    extra merge round.  Torn/unparseable claims stay inert: they carry
+    no committed rows."""
     vdir = _versions_dir(root)
     if not os.path.isdir(vdir):
         return False
@@ -297,6 +304,6 @@ def _superseded_without_merge(root: str, version: int) -> bool:
                 base = json.load(fh).get("base")
         except (OSError, ValueError):
             continue
-        if base is not None and base < version:
+        if base is None or base < version:
             return True
     return False

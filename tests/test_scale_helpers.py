@@ -390,12 +390,16 @@ def test_supersede_detection_via_base_chain(tmp_path):
     assert commitmod._superseded_without_merge(root, 3) is True
     # the winner itself is clean
     assert commitmod._superseded_without_merge(root, 4) is False
-    # manifests without a base (pre-`base` writers, torn claims) are inert
+    # a later PARSEABLE manifest without a base (direct publish caller)
+    # is conservatively excluding — unknown lineage must not be
+    # acknowledged over; a TORN claim stays inert (no committed rows)
     import json as _json
     import os as _os
 
     with open(_os.path.join(root, "_versions", "v6.json"), "w") as fh:
         _json.dump({"version": 6, "data": "data/nobase"}, fh)
+    assert commitmod._superseded_without_merge(root, 5) is True
+    _os.unlink(_os.path.join(root, "_versions", "v6.json"))
     open(_os.path.join(root, "_versions", "v7.json"), "w").close()  # torn
     assert commitmod._superseded_without_merge(root, 5) is False
 
