@@ -279,3 +279,166 @@ def test_segment_dedup_matches_python_reference(spark):
         for r in segment_dedup(df, seg_len=seg_len, max_count=1).collect()
     }
     assert got == want
+
+
+def _py_canonicalize_url(url: str) -> str:
+    """Independent Python reference for web.canonicalize_url — same rule
+    set, implemented with urllib.parse instead of regex/HOF columns."""
+    import re
+    from urllib.parse import urlsplit
+
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    hostport = parts.netloc.lower()
+    if scheme == "http" and hostport.endswith(":80"):
+        hostport = hostport[:-3]
+    elif scheme == "https" and hostport.endswith(":443"):
+        hostport = hostport[:-4]
+    host = hostport[4:] if hostport.startswith("www.") else hostport
+    path = re.sub(r"/+$", "", parts.path)
+    params = [
+        p
+        for p in parts.query.split("&")
+        if p and not re.match(r"^(utm_[a-z]+|gclid|fbclid)($|=)", p)
+    ]
+    q = "&".join(sorted(params))
+    return f"{scheme}://{host}{path}" + (f"?{q}" if q else "")
+
+
+def test_canonicalize_url_matches_urllib_reference(spark):
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from etl_scripts_spark.operators.web import canonicalize_url
+
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["example.com", "WWW.Example.COM", "sub.example.com:8080",
+             "example.com:80", "Example.com:443"]
+    paths = ["", "/", "/a/b", "/a/b/", "/a//"]
+    queries = ["", "?id=3", "?utm_source=x&id=3", "?b=2&a=1&utm_campaign=z",
+               "?gclid=abc", "?fbclid=1&utm_a=2"]
+    frags = ["", "#frag"]
+    urls = [
+        f"{s}://{h}{p}{q}{f}"
+        for s, h, p, q, f in itertools.product(schemes, hosts, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {
+        r.url: r.canon
+        for r in df.select("url", canonicalize_url(F.col("url")).alias("canon")).collect()
+    }
+    for u in urls:
+        assert got[u] == _py_canonicalize_url(u), f"mismatch for {u!r}"
+
+
+def test_gopher_repetition_matches_python_reference(spark):
+    """corpus.gopher_repetition vs a from-scratch Python computation of
+    the same laws on seeded random word streams (including degenerate
+    all-same-word and unique-word docs)."""
+    import collections
+
+    import numpy as np
+
+    from etl_scripts_spark.operators.corpus import gopher_repetition
+
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = []
+    for i in range(40):
+        n = int(rng.integers(1, 30))
+        words = [vocab[int(j)] for j in rng.integers(0, len(vocab), n)]
+        docs.append((i, " ".join(words)))
+    docs.append((100, "aa " * 20 + "aa"))  # fully repeated
+    docs.append((101, " ".join(f"w{i}" for i in range(25))))  # all unique
+
+    seg_len = 3
+
+    def py_ref(text):
+        ws = text.split(" ")
+        segs = [" ".join(ws[i : i + seg_len]) for i in range(0, len(ws), seg_len)]
+        cnt = collections.Counter(segs)
+        tot = len(segs)
+        dup = sum(c for c in cnt.values() if c > 1)
+        chars = sum(len(s) * c for s, c in cnt.items())
+        dup_chars = sum(len(s) * c for s, c in cnt.items() if c > 1)
+        bigs = collections.Counter(
+            f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)
+        )
+        if bigs:
+            top_cnt = max(bigs.values())
+            g = min(g for g, c in bigs.items() if c == top_cnt)
+            top_frac = round(top_cnt * len(g) / max(len(text), 1), 4)
+        else:
+            top_frac = 0.0
+        return (
+            round(dup / tot, 4),
+            round(dup_chars / max(chars, 1), 4),
+            top_frac,
+        )
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.dup_seg_frac, r.dup_seg_char_frac, r.top_bigram_char_frac)
+        for r in gopher_repetition(df, "text", "doc_id", seg_len=seg_len).collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == py_ref(text), f"doc {doc_id}: {got[doc_id]} vs {py_ref(text)}"
+
+
+def test_incremental_components_matches_union_find(spark):
+    """incremental_components(prior, new_edges) must equal a from-scratch
+    union-find over (prior co-membership ∪ new edges) — including prior
+    singletons untouched by any new edge, and brand-new nodes."""
+    import numpy as np
+
+    from etl_scripts_spark.operators.dedup import incremental_components
+
+    rng = np.random.default_rng(11)
+    n = 120
+    # prior: random partition into groups; component label = min member
+    group_of = {i: int(rng.integers(0, 30)) for i in range(n)}
+    members: dict[int, list[int]] = {}
+    for i, g in group_of.items():
+        members.setdefault(g, []).append(i)
+    prior_rows = [
+        (i, min(members[g])) for i, g in group_of.items()
+    ]
+    # new edges: some within prior nodes, some to brand-new ids >= n
+    new_rows = [
+        (int(rng.integers(0, n)), int(rng.integers(0, n + 20))) for _ in range(25)
+    ]
+    new_rows = [(a, b) for a, b in new_rows if a != b]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for i, comp in prior_rows:
+        union(i, comp)
+    for a, b in new_rows:
+        union(a, b)
+    nodes = set(group_of) | {x for e in new_rows for x in e}
+    # canonicalize: min member per root
+    by_root: dict[int, list[int]] = {}
+    for x in nodes:
+        by_root.setdefault(find(x), []).append(x)
+    expect = {x: min(mem) for root, mem in by_root.items() for x in mem}
+
+    prior = spark.createDataFrame(prior_rows, "id long, component long")
+    new_pairs = spark.createDataFrame(new_rows, "id_a long, id_b long")
+    got = {
+        r.node_id: r.component_id
+        for r in incremental_components(prior, new_pairs).collect()
+    }
+    assert got == expect
