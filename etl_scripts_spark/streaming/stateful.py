@@ -288,3 +288,107 @@ def _kmv_finalize(out: DataFrame) -> DataFrame:
         F.round(F.lit(float(_KMV_K - 1) * (1 << 48)) / F.col("_k48"), 4)
     )
     return final.select("event_type", "sketch_n", est.alias("est_distinct"))
+
+
+CMS_SCHEMA = T.StructType(
+    [
+        T.StructField("r", T.IntegerType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("counters", T.StringType()),
+    ]
+)
+
+_CMS_STATE = T.StructType(
+    [T.StructField("version", T.LongType()), T.StructField("counters", T.StringType())]
+)
+
+_CMS_D = 4
+_CMS_W = 256
+
+
+def _cms_fn(key: Tuple[Any, ...], pdfs: Iterator, state: GroupState) -> Iterator:
+    """Add each micro-batch's pre-bucketed hits into this row's w counters
+    (the algebraic CMS merge: counters add).  State is one CSV of w ints —
+    bounded regardless of stream volume."""
+    import pandas as pd
+
+    if state.exists:
+        version, csv = state.get
+        counters = [int(x) for x in csv.split(",")]
+    else:
+        version, counters = 0, [0] * _CMS_W
+    for pdf in pdfs:
+        version += len(pdf)
+        for b, c in pdf["b"].value_counts().items():
+            counters[int(b)] += int(c)
+    csv = ",".join(str(c) for c in counters)
+    state.update((version, csv))
+    yield pd.DataFrame(
+        {"r": [int(key[0])], "version": [version], "counters": [csv]}
+    )
+
+
+def stateful_cms_available_now(
+    spark: SparkSession, events_parquet: str
+) -> DataFrame:
+    """Streaming count-min sketch maintenance: the d×w counter matrix
+    lives IN the state store (one row-salt per state key) and every
+    micro-batch adds its pre-bucketed hits — operators/sketch.cms_build
+    run live, with the SAME bucket law (first 32 bits of md5(r|value)
+    mod w) computed as a Catalyst projection BEFORE the stateful stage,
+    so the Python fn only increments counters.  After the AvailableNow
+    drain the final state equals the batch sketch over all events
+    row-for-row; returns (r, b, cnt) in the batch layout so
+    cms_estimate / heavy-hitter probes compose unchanged.
+    """
+
+    def build(stream):
+        probes = [
+            F.struct(
+                F.lit(j).alias("r"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "|", F.lit(str(j)), F.col("user_id").cast("string")
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint")
+                    % _CMS_W
+                ).alias("b"),
+            )
+            for j in range(_CMS_D)
+        ]
+        return (
+            stream.filter(F.col("user_id").isNotNull())
+            .select(F.explode(F.array(*probes)).alias("_rb"))
+            .select("_rb.r", "_rb.b")
+            .groupBy("r")
+            .applyInPandasWithState(
+                _cms_fn,
+                outputStructType=CMS_SCHEMA,
+                stateStructType=_CMS_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    out = _drain_events(spark, events_parquet, build, _CMS_D)
+    # keep the LAST emission per row-salt (max version), then explode the
+    # counter CSV back to the batch (r, b, cnt) layout, dropping zeros to
+    # match cms_build's sparse output
+    last = (
+        out.groupBy("r")
+        .agg(F.max_by("counters", "version").alias("counters"))
+        .select("r", F.split("counters", ",").alias("_cs"))
+    )
+    exploded = last.select(
+        "r", F.posexplode("_cs").alias("b", "_c")
+    ).select("r", "b", F.col("_c").cast("bigint").alias("cnt"))
+    return exploded.filter(F.col("cnt") > 0)

@@ -431,3 +431,37 @@ def test_gopher_repetition_scores_short_docs(spark):
     # occurs 3 times in 11 chars -> 3*3/11
     assert got[3].dup_seg_frac == 1.0
     assert got[3].top_bigram_char_frac == round(9 / 11, 4)
+
+
+def test_streaming_cms_equals_batch_sketch(spark):
+    """The streaming CMS (counter matrix in the state store, AvailableNow
+    drain) must equal operators/sketch.cms_build over the same events
+    row-for-row — the mergeable-sketch law run live."""
+    from pyspark.sql import functions as F
+
+    from etl_scripts_spark.catalog import normalize_events
+    from etl_scripts_spark.operators.sketch import cms_build
+    from etl_scripts_spark.streaming.stateful import (
+        _CMS_D,
+        _CMS_W,
+        stateful_cms_available_now,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    got = {
+        (r.r, r.b): r.cnt
+        for r in stateful_cms_available_now(spark, path).collect()
+    }
+    batch_events = normalize_events(spark.read.parquet(path)).filter(
+        F.col("user_id").isNotNull()
+    )
+    expect = {
+        (r.r, r.b): r.cnt
+        for r in cms_build(
+            batch_events.select(F.col("user_id").cast("string").alias("v")),
+            "v",
+            d=_CMS_D,
+            w=_CMS_W,
+        ).collect()
+    }
+    assert got == expect
