@@ -138,12 +138,13 @@ def _paeth(a: int, b: int, c: int) -> int:
 def decode_png_pixels(payload: bytes):
     """PNG → HxWxC uint8 ndarray, stdlib-only.
 
-    Supports 8-bit color types 0 (gray) and 2 (RGB), the formats the
-    fixture generator and most scientific-instrument exports use:
-    IDAT chunks are concatenated, zlib-inflated, and all five row filters
-    (None/Sub/Up/Average/Paeth) are reversed per the PNG spec.  Returns
-    None for interlaced, paletted, 16-bit, or malformed input — callers
-    keep flowing (quarantine downstream, never fail the task).
+    Supports 8-bit color types 0 (gray), 2 (RGB), and 3 (palette — PLTE
+    indices expanded to RGB), the formats the fixture generator and most
+    scientific-instrument exports use: IDAT chunks are concatenated,
+    zlib-inflated, and all five row filters (None/Sub/Up/Average/Paeth)
+    are reversed per the PNG spec.  Returns None for interlaced, 16-bit,
+    or malformed input — callers keep flowing (quarantine downstream,
+    never fail the task).
     """
     import numpy as np
 
@@ -152,6 +153,7 @@ def decode_png_pixels(payload: bytes):
             return None
         pos, w = 8, None
         idat = bytearray()
+        palette = None
         while pos + 8 <= len(payload):
             (clen,) = struct.unpack(">I", payload[pos : pos + 4])
             ctype = payload[pos + 4 : pos + 8]
@@ -160,9 +162,13 @@ def decode_png_pixels(payload: bytes):
                 w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", data[:13]
                 )
-                if depth != 8 or color not in (0, 2) or interlace != 0:
+                if depth != 8 or color not in (0, 2, 3) or interlace != 0:
                     return None
-                ch = 1 if color == 0 else 3
+                ch = 3 if color == 2 else 1  # palette rows are 1 byte/px
+            elif ctype == b"PLTE":
+                if len(data) % 3:
+                    return None
+                palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
             elif ctype == b"IDAT":
                 idat += data
             elif ctype == b"IEND":
@@ -170,6 +176,8 @@ def decode_png_pixels(payload: bytes):
             pos += 12 + clen  # len + type + data + crc
         if w is None or not idat:
             return None
+        if color == 3 and palette is None:
+            return None  # paletted image without PLTE is malformed
         raw = zlib.decompress(bytes(idat))
         stride = w * ch
         if len(raw) != h * (stride + 1):
@@ -207,6 +215,13 @@ def decode_png_pixels(payload: bytes):
             else:
                 return None
             prev = out[y]
+        if color == 3:
+            # palette lookup AFTER unfiltering (filters operate on index
+            # bytes per spec); out-of-range indices = malformed
+            idx = out.reshape(h, w)
+            if int(idx.max(initial=0)) >= len(palette):
+                return None
+            return palette[idx]  # h x w x 3 via numpy fancy indexing
         return out.reshape(h, w, ch)
     except Exception:
         return None

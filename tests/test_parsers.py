@@ -196,3 +196,75 @@ def test_peakpick_fanout_drops_unmatched_and_renames(spark):
     assert r.centroided_name == "centroided_run_QABCX001AF_1.mzML"
     assert r.ms_code == "MSQABCX001AF" and r.space == "SPACE_1"
     assert r.dataset_type == "Q_MS_MZML_DATA"
+
+
+def test_png_palette_decode():
+    """8-bit palette PNG (color type 3): filters apply to INDEX bytes, the
+    PLTE lookup happens after unfiltering; out-of-range indices and a
+    missing PLTE are malformed (None), not crashes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_scripts_spark.operators.multimodal import decode_png_pixels
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    w, h = 5, 4
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 7, 7]], dtype=np.uint8
+    )
+    idx = (np.arange(h * w, dtype=np.uint8).reshape(h, w)) % 4
+    # filter rows: 0 (None) and 2 (Up) to exercise unfilter-before-lookup
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        f = 2 if y % 2 else 0
+        raw.append(f)
+        row = idx[y]
+        enc = (row - prev) if f == 2 else row
+        raw += bytes((int(v) & 0xFF for v in enc))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    got = decode_png_pixels(png)
+    assert got is not None and got.shape == (h, w, 3)
+    assert (got == palette[idx]).all()
+
+    # malformed: index beyond palette
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 200
+    raw2 = bytearray()
+    for y in range(h):
+        raw2.append(0)
+        raw2 += bytes(int(v) for v in bad_idx[y])
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(bytes(raw2)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(bad) is None
+
+    # malformed: paletted image without PLTE
+    noplte = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png_pixels(noplte) is None
