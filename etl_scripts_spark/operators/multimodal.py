@@ -402,7 +402,14 @@ def synthetic_wav_bytes(doc_id: int) -> bytes:
 
 def decode_wav_audio(payload: bytes):
     """WAV PCM → (sample_rate, int16 ndarray) — real stdlib decode of the
-    fmt + data chunks; None for non-PCM/malformed input (keep flowing)."""
+    fmt + data chunks; None for non-PCM/malformed input (keep flowing).
+
+    8- and 16-bit PCM, mono or stereo.  The return contract is one flat
+    int16 array: stereo stays channel-interleaved (sum/peak stats are
+    channel-agnostic), 8-bit unsigned samples are mapped to int16 by the
+    standard (x - 128) << 8 centering, so downstream stat laws see one
+    numeric domain regardless of source depth.
+    """
     import numpy as np
 
     try:
@@ -422,8 +429,11 @@ def decode_wav_audio(payload: bytes):
             elif fourcc == b"data":
                 data = chunk
             pos += 8 + size + (size & 1)
-        if rate is None or data is None or bits != 16 or channels != 1:
+        if rate is None or data is None or bits not in (8, 16) or channels not in (1, 2):
             return None
+        if bits == 8:
+            raw = np.frombuffer(data, dtype=np.uint8)
+            return rate, ((raw.astype(np.int16) - 128) << 8)
         return rate, np.frombuffer(data[: len(data) & ~1], dtype="<i2")
     except Exception:
         return None

@@ -268,3 +268,37 @@ def test_png_palette_decode():
         + chunk(b"IEND", b"")
     )
     assert decode_png_pixels(noplte) is None
+
+
+def test_wav_decode_8bit_and_stereo():
+    """8-bit unsigned PCM maps to int16 via (x-128)<<8; stereo stays
+    channel-interleaved in one flat array; 24-bit and 3-channel are None."""
+    import struct
+
+    import numpy as np
+
+    from etl_scripts_spark.operators.multimodal import decode_wav_audio
+
+    def wav(bits, channels, payload_bytes, rate=8000):
+        fmt = struct.pack(
+            "<HHIIHH", 1, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits,
+        )
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload_bytes)) + payload_bytes
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # 8-bit mono: 0, 128, 255 -> -32768, 0, 32512
+    rate, samples = decode_wav_audio(wav(8, 1, bytes([0, 128, 255])))
+    assert rate == 8000 and samples.tolist() == [-32768, 0, 32512]
+
+    # 16-bit stereo: interleaved L/R preserved in order
+    pcm = np.array([100, -100, 7, -7], dtype="<i2").tobytes()
+    rate, samples = decode_wav_audio(wav(16, 2, pcm))
+    assert samples.tolist() == [100, -100, 7, -7]
+
+    # unsupported: 24-bit, 3-channel
+    assert decode_wav_audio(wav(24, 1, b"\x00" * 6)) is None
+    assert decode_wav_audio(wav(16, 3, b"\x00" * 6)) is None
