@@ -465,3 +465,45 @@ def test_streaming_cms_equals_batch_sketch(spark):
         ).collect()
     }
     assert got == expect
+
+
+def test_entity_resolution_clusters_typos_and_reorderings(spark):
+    """ER pipeline: prefix blocking catches suffix typos, initials
+    blocking catches token reordering, Levenshtein threshold separates
+    true variants from different entities, and CC makes matching
+    transitive."""
+    from etl_scripts_spark.operators.er import resolve_entities
+
+    rows = [
+        (1, "Mueller GmbH"),
+        (2, "Mueller GmbH."),        # suffix typo of 1
+        (3, "Muellre GmbH"),          # transposition of 1
+        (4, "Anna Maria"),
+        (5, "Maria Anna"),            # token reorder of 4 (initials block)
+        (6, "Completely Different Co"),
+        (7, "Zeta Labs"),
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, name string")
+    got = {
+        r.rec_id: r.entity_id
+        for r in resolve_entities(df, "name", threshold=0.7).collect()
+    }
+    assert got.get(1) == got.get(2) == got.get(3) == 1
+    assert got.get(4) == got.get(5) == 4
+    assert 6 not in got and 7 not in got  # singletons stay implicit
+
+
+def test_entity_resolution_hot_block_cap(spark):
+    """A block shared by more records than max_block must be excluded
+    from candidate generation — the quadratic-blowup guard."""
+    from etl_scripts_spark.operators.er import blocking_keys, candidate_pairs
+
+    rows = [(i, "aaa common") for i in range(30)] + [
+        (100, "unique name one"),
+        (101, "unique name one!"),
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, name string")
+    keys = blocking_keys(df, "name")
+    cands = candidate_pairs(keys, max_block=10)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert pairs == {(100, 101)}  # the 30-strong block generated nothing
