@@ -464,12 +464,20 @@ def test_zorder_layout_bounds_stats_on_every_dimension(spark, tmp_path):
     )
     zdest = str(tmp_path / "zorder")
     ldest = str(tmp_path / "lexi")
-    write_zordered(df, zdest, ["x", "y"], n_files=files, bits=6)
-    (
-        df.repartitionByRange(files, "x", "y")
-        .sortWithinPartitions("x", "y")
-        .write.parquet(ldest)
-    )
+    # pin the file count: under full-suite cache state, AQE's partition
+    # coalescing can merge range partitions and widen per-file spans,
+    # which is orthogonal to what this test asserts
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        write_zordered(df, zdest, ["x", "y"], n_files=files, bits=6)
+        (
+            df.repartitionByRange(files, "x", "y")
+            .sortWithinPartitions("x", "y")
+            .write.parquet(ldest)
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
 
     def spans(dest):
         out = []
