@@ -5874,6 +5874,186 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-7 registrations: the three operators banked in round 6 ---------
+
+def _er_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic person/vendor-name records for entity resolution, derived
+    from customer keys (the _ms_incoming pattern): every customer yields a
+    base record with a two-token md5-hex name (so blocking initials and
+    prefixes distribute uniformly — 136 initials blocks, 4096 prefix
+    blocks, nothing hot); every 3rd also yields a one-char-typo variant
+    (same prefix block, raw-Levenshtein arm), every 5th a token-reorder
+    variant (same initials block, token-sort arm).  Every 15th therefore
+    forms a 3-record cluster only transitive closure can assemble."""
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    t1 = F.substring(F.md5(k.cast("string")), 1, 5)
+    t2 = F.substring(F.md5(F.concat(k.cast("string"), F.lit("x"))), 1, 5)
+    base = cust.select(
+        (k * 3).alias("rec_id"), F.concat_ws(" ", t1, t2).alias("name")
+    )
+    typo = cust.filter(k % 3 == 0).select(
+        (k * 3 + 1).alias("rec_id"),
+        F.concat_ws(
+            " ", t1, F.concat(F.substring(t2, 1, 4), F.lit("z"))
+        ).alias("name"),
+    )
+    reorder = cust.filter(k % 5 == 0).select(
+        (k * 3 + 2).alias("rec_id"), F.concat_ws(" ", t2, t1).alias("name")
+    )
+    return base.unionByName(typo).unionByName(reorder)
+
+
+@_register(
+    "q_resolve_entities",
+    # names are constructed lowercase-hex + single spaces, so the Spark
+    # side's normalize_text is the identity — the oracle mirrors blocking,
+    # the 50-record hot-block cap, both Levenshtein arms (raw + sorted-token)
+    # and the recursive reachability closure verbatim.
+    """
+    WITH RECURSIVE recs AS (
+      SELECT c_custkey * 3 AS rec_id,
+             substr(md5(c_custkey::VARCHAR), 1, 5) || ' ' ||
+             substr(md5(c_custkey::VARCHAR || 'x'), 1, 5) AS name
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 3 + 1,
+             substr(md5(c_custkey::VARCHAR), 1, 5) || ' ' ||
+             substr(md5(c_custkey::VARCHAR || 'x'), 1, 4) || 'z'
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey * 3 + 2,
+             substr(md5(c_custkey::VARCHAR || 'x'), 1, 5) || ' ' ||
+             substr(md5(c_custkey::VARCHAR), 1, 5)
+      FROM customer WHERE c_custkey % 5 = 0
+    ), keys AS (
+      SELECT DISTINCT rec_id, key FROM (
+        SELECT rec_id,
+               'p:' || substr(name, 1, 3) || '#' ||
+               (length(name) // 4)::VARCHAR AS key
+        FROM recs
+        UNION ALL
+        SELECT rec_id,
+               'i:' || array_to_string(
+                 list_sort(list_transform(string_split(name, ' '),
+                                          t -> substr(t, 1, 1))), '') AS key
+        FROM recs
+      ) WHERE length(key) > 2 AND key NOT IN ('p:#0', 'i:')
+    ), capped AS (
+      SELECT key FROM keys GROUP BY key HAVING count(*) <= 50
+    ), kk AS (
+      SELECT rec_id, key FROM keys WHERE key IN (SELECT key FROM capped)
+    ), cands AS (
+      SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b
+      FROM kk a JOIN kk b ON a.key = b.key AND a.rec_id < b.rec_id
+    ), named AS (
+      SELECT rec_id, name AS nm,
+             array_to_string(list_sort(string_split(name, ' ')), ' ') AS ts
+      FROM recs
+    ), matched AS (
+      SELECT id_a, id_b
+      FROM cands
+      JOIN named na ON na.rec_id = id_a
+      JOIN named nb ON nb.rec_id = id_b
+      WHERE round(greatest(
+              1.0 - levenshtein(na.nm, nb.nm)::DOUBLE
+                    / greatest(length(na.nm), length(nb.nm), 1),
+              1.0 - levenshtein(na.ts, nb.ts)::DOUBLE
+                    / greatest(length(na.ts), length(nb.ts), 1)), 4) >= 0.85
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM matched
+      UNION ALL SELECT id_b, id_a FROM matched
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), lp(id, lbl) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst, lp.lbl FROM lp, edges e WHERE lp.id = e.src
+    )
+    SELECT id AS rec_id, min(lbl) AS entity_id,
+           (min(lbl) = id) AS is_canonical
+    FROM lp GROUP BY id
+    """,
+)
+def q_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / record linkage: multi-strategy blocking
+    (prefix+length, sorted-token initials) with the hot-block cap, token-sort
+    Levenshtein matching (both arms JVM-side), transitive CC clustering with
+    min-id canonical records — the reference's fuzzy sample-candidate
+    matching (register-imgag.py:190-218 nested loops) as a bounded-fan-out
+    distributed pipeline.  See operators/er.py for the 100 TB shape."""
+    from etl_scripts_spark.operators.er import resolve_entities
+
+    return resolve_entities(
+        _er_records(spark, sf_dir), "name", threshold=0.85, max_block=50
+    )
+
+
+_ZORDER_TERMS = " + ".join(
+    f"(((x >> {j}) & 1) << {2 * j}) + (((y >> {j}) & 1) << {2 * j + 1})"
+    for j in range(16)
+)
+
+
+@_register(
+    "q_zorder_key",
+    f"""
+    WITH d AS (
+      SELECT o_orderkey,
+             ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT AS x,
+             ('0x' || substr(md5(o_orderkey::VARCHAR || 'y'), 1, 4))::BIGINT AS y
+      FROM orders
+    )
+    SELECT o_orderkey, x, y, ({_ZORDER_TERMS}) AS zkey FROM d
+    """,
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key — the multi-dimension layout law
+    behind write_zordered (sinks/layout.py): bit j of dimension d lands at
+    output bit j*ndims+d, pure Catalyst shift/mask, no UDF.  Dimensions are
+    md5-derived 16-bit values so every bit position is exercised; the oracle
+    recomputes the interleave with DuckDB bit arithmetic, value-exact.
+    Files written in zkey order carry tight min/max parquet stats on BOTH
+    dims (unit-proven in tests via footer stats), so selective predicates on
+    either dimension prune at 100 TB."""
+    from etl_scripts_spark.sinks.layout import zorder_key
+
+    orders = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey")
+    x = F.conv(F.substring(F.md5(okey.cast("string")), 1, 4), 16, 10).cast("bigint")
+    y = F.conv(
+        F.substring(F.md5(F.concat(okey.cast("string"), F.lit("y"))), 1, 4), 16, 10
+    ).cast("bigint")
+    return orders.select(okey, x.alias("x"), y.alias("y")).withColumn(
+        "zkey", zorder_key(["x", "y"], bits=16)
+    )
+
+
+@_register(
+    "q_stream_cms",
+    """
+    WITH rb AS (
+      SELECT r, ('0x' || substr(md5(r::VARCHAR || '|' || user_id::VARCHAR),
+                                1, 8))::BIGINT % 256 AS b
+      FROM events, unnest([0, 1, 2, 3]) AS t(r)
+      WHERE user_id IS NOT NULL
+    )
+    SELECT r, b, count(*) AS cnt FROM rb GROUP BY r, b
+    """,
+)
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch maintenance: the d×w counter matrix lives
+    in the state store and every micro-batch adds its pre-bucketed hits
+    (bucket law computed as a Catalyst projection BEFORE the stateful
+    stage).  After the AvailableNow drain the state equals the batch
+    cms_build over all events row-for-row — which is exactly what the
+    oracle recomputes.  The heavy-hitter standing index of
+    operators/sketch.py, run live.  See streaming/stateful.py:331."""
+    from etl_scripts_spark.streaming.stateful import stateful_cms_available_now
+
+    return stateful_cms_available_now(spark, f"{sf_dir}/events.parquet")
+
+
 # ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
@@ -5890,28 +6070,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh-green), so every query gets a driver check at least every ~3 rounds
 # — a regression in a long-green query can hide for at most that long.
 
-#: Implementation changed in round 6 → driver must re-verify regardless of
-#: past green rows: the vectorized PNG Up/Sub unfilter (pixel_stats and
-#: resize decode through it) and the hardened no-hardlink CAS publish
-#: (merge_upsert commits through sinks/commit.py).  Round 6 deliberately
-#: caps NEW registrations (r5 verdict item 1) so the 50-slot driver window
-#: reaches every query last checked in rounds 1-2 — 13 head entries leave
-#: 37 slots for the 36-query staleness backlog.
+#: New in round 7 (never driver-green yet) → head of the rotation; the
+#: r6 verdict caps new registrations at ≤6 so the 50-slot window keeps
+#: cycling the full registry in ≤4 rounds.  Everything else rides the
+#: least-recently-green order (the r3-green cohort is up this round).
 _CHANGED_THIS_ROUND = (
-    "q_multimodal_pixel_stats",
-    "q_multimodal_resize",
-    "q_merge_upsert",
-    # new in round 6 (never driver-green yet)
-    "q_url_canonical_dedup",
-    "q_domain_quality_rollup",
-    "q_span_dup_clusters",
-    "q_hist_merge",
-    "q_register_ms_batch",
-    "q_ms_routing",
-    "q_ms_instrument_conflicts",
-    "q_gopher_repetition",
-    "q_incremental_components",
-    "q_lsh_recall",
+    "q_resolve_entities",
+    "q_zorder_key",
+    "q_stream_cms",
 )
 
 

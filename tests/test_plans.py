@@ -77,6 +77,7 @@ STREAMING = {
     "q_stream_enriched",
     "q_stream_interval_join",
     "q_stream_kmv",
+    "q_stream_cms",
 }
 
 

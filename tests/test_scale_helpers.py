@@ -497,9 +497,14 @@ def test_zorder_layout_bounds_stats_on_every_dimension(spark, tmp_path):
         return out
 
     zs, ls = spans(zdest), spans(ldest)
-    # z-order: every file's span is a fraction of the 0..63 domain on BOTH
-    # dims (8 files over a 64x64 grid -> each covers ~a quadrant strip)
-    assert all(s["x"] <= 40 and s["y"] <= 40 for s in zs), zs
+    # z-order: files cover contiguous curve ranges, so their min/max is a
+    # fraction of the 0..63 domain on BOTH dims — except a file whose
+    # SAMPLED range boundary straddles a top-level quadrant line, which
+    # legitimately spans that dim (O(1) such files regardless of file
+    # count).  Assert the bound holds for all but at most 2 files per dim.
+    for dim in ("x", "y"):
+        wide = sum(1 for s in zs if s[dim] > 40)
+        assert wide <= 2, (dim, zs)
     # lexicographic: x is tight but y spans (almost) the full domain in
     # every file — the layout z-order exists to beat
     assert all(s["y"] >= 48 for s in ls), ls
