@@ -231,6 +231,73 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "q_waiting_orders",
+    # the classic EXISTS / NOT-EXISTS formulation — the Spark side proves
+    # the agg-before-join rewrite computes the same relation
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+                 AND n_name IN ('NATION_3', 'NATION_7')
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting; 'late' is the
+    returned-flag in this schema, which lacks receipt/commit dates): the
+    one classic topology left — EXISTS + NOT-EXISTS self-joins against the
+    skewed fact.  The Spark plan does NOT replay the textbook double
+    self-join: both quantified predicates collapse into ONE per-order
+    supplier profile (n_suppliers, n_late_suppliers) computed with a
+    two-level partial-aggregating groupBy, so lineitem is shuffled ONCE on
+    the uniform orderkey instead of three times; 'exists other supplier'
+    becomes n_supp > 1 and 'not exists other late supplier' becomes
+    n_late = 1 (l1's own supplier being late already).  The nation-filtered
+    supplier dim broadcasts to prune l1 lines before that join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", (F.col("l_returnflag") == "R").alias("_late")
+    )
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_late").alias("_supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("_n_supp"),
+        F.sum(F.col("_supp_late").cast("int")).alias("_n_late"),
+    )
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    nations = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nations), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    l1 = (
+        li.filter(F.col("_late"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(f_orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1))
+    )
+    return l1.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
 # ---------------------------------------------------------------------------
 # Reports / aggregations (SURVEY §2.3, §3.2)
 # ---------------------------------------------------------------------------
@@ -6078,6 +6145,7 @@ _CHANGED_THIS_ROUND = (
     "q_resolve_entities",
     "q_zorder_key",
     "q_stream_cms",
+    "q_waiting_orders",
 )
 
 

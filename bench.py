@@ -114,6 +114,8 @@ HEADLINE = [
     "q_resolve_entities",
     "q_zorder_key",
     "q_stream_cms",
+    # TPC-H Q21 shape: EXISTS/NOT-EXISTS via agg-before-join
+    "q_waiting_orders",
 ]
 
 

@@ -130,6 +130,18 @@ def test_revenue_join_broadcasts_dimensions(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_waiting_orders_aggregates_instead_of_self_joining(spark):
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS quantifiers must be the
+    agg-before-join rewrite (one per-order supplier profile), NOT the
+    textbook double self-join — so the plan carries no semi/anti join on
+    lineitem and the nation-filtered supplier dim broadcasts."""
+    plan = _plan(spark, "q_waiting_orders", "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan, "map-side combine missing"
+
+
 def test_minhash_pipeline_stays_jvm_side(spark):
     """The whole dedup pipeline (tokenize, shingle, hash, band, self-join)
     compiles to JVM expressions — no Python stage anywhere — with the
