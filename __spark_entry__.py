@@ -22,7 +22,7 @@ from etl_scripts_spark.expressions import (
     is_valid_barcode,
     split_wf_name,
 )
-from etl_scripts_spark.operators import dedup, lineage, multimodal, sampling, similarity, skew, text, windows
+from etl_scripts_spark.operators import classifier, dedup, lineage, multimodal, sampling, similarity, skew, text, windows
 from etl_scripts_spark.operators.asof import asof_join, asof_join_sliced
 from etl_scripts_spark.operators.numbering import allocate_sequence, experiment_code, padded_patient_id, run_sample_code
 from etl_scripts_spark.parsers import sidecars
@@ -4728,6 +4728,73 @@ def q_hashed_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_train_classifier",
+    f"""
+    WITH w0 AS (
+      SELECT doc_id, {oracle.words_sql('text')} AS ws FROM documents
+    ), labels AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(ws, t -> t <> '')) >= 56
+                  THEN 1 ELSE -1 END AS y
+      FROM w0
+    ), f AS (
+      SELECT doc_id,
+             unnest(ws || list_filter(
+               list_transform(ws, (t, i) -> t || '_' || ws[i + 1]),
+               g -> g IS NOT NULL)) AS f
+      FROM w0
+    ), fx AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substr(md5('tc|' || f), 1, 8))::BIGINT % 64 AS bucket,
+             count(*)::BIGINT AS x
+      FROM f WHERE f <> '' GROUP BY 1, 2
+      UNION ALL
+      SELECT doc_id, 64 AS bucket, 1 AS x FROM documents
+    ), w1 AS (
+      SELECT bucket, sum(y * x)::BIGINT AS w
+      FROM fx JOIN labels USING (doc_id) GROUP BY bucket
+    ), m1 AS (
+      SELECT doc_id, sum(w * x)::BIGINT AS margin
+      FROM fx JOIN w1 USING (bucket) GROUP BY doc_id
+    ), mis AS (
+      SELECT l.doc_id, l.y FROM labels l LEFT JOIN m1 USING (doc_id)
+      WHERE l.y * coalesce(m1.margin, 0) <= 0
+    ), w2 AS (
+      SELECT w1.bucket, (w1.w + coalesce(g.g, 0))::BIGINT AS w
+      FROM w1 LEFT JOIN (
+        SELECT bucket, sum(y * x) AS g
+        FROM fx JOIN mis USING (doc_id) GROUP BY bucket
+      ) g USING (bucket)
+    ), m2 AS (
+      SELECT doc_id, sum(w * x)::BIGINT AS margin
+      FROM fx JOIN w2 USING (bucket) GROUP BY doc_id
+    )
+    SELECT l.doc_id, coalesce(m2.margin, 0)::BIGINT AS margin,
+           coalesce(m2.margin, 0) > 0 AS pred, l.y AS label
+    FROM labels l LEFT JOIN m2 USING (doc_id)
+    """,
+)
+def q_train_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier TRAINING (fastText-shaped, Joulin et
+    al. 2017): hashing-trick unigram+bigram features (64 buckets + bias),
+    2-round batch perceptron — integer-exact, so weights and margins are
+    bit-identical to the oracle's unrolled per-round CTEs (the
+    q_kmeans_assign pattern) — then every document scored with the
+    trained weights.  Scale shape: the corpus featurizes ONCE
+    (localCheckpointed); each round broadcasts the 65-row weight table
+    out and shuffles only per-doc margins + a 65-row gradient back; no
+    driver round-trip touches the corpus.  The reference has no trained
+    model (its quality gates are hand rules, e.g.
+    drop-boxes/register-all-dropboxes register-utils barcode checks) —
+    this completes q_hashed_quality's random projection with the trained
+    counterpart on the same feature hash."""
+    docs = _tp(spark, sf_dir, "documents")
+    return classifier.train_and_score(
+        docs, d=64, rounds=2, label_min_tokens=56
+    )
+
+
+@_register(
     "q_hist_quantiles",
     """
     WITH h AS (
@@ -6146,6 +6213,7 @@ _CHANGED_THIS_ROUND = (
     "q_zorder_key",
     "q_stream_cms",
     "q_waiting_orders",
+    "q_train_classifier",
 )
 
 

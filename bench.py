@@ -116,6 +116,8 @@ HEADLINE = [
     "q_stream_cms",
     # TPC-H Q21 shape: EXISTS/NOT-EXISTS via agg-before-join
     "q_waiting_orders",
+    # distributed perceptron training over hashed features
+    "q_train_classifier",
 ]
 
 

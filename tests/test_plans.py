@@ -142,6 +142,15 @@ def test_waiting_orders_aggregates_instead_of_self_joining(spark):
     assert "partial_count" in plan or "partial_sum" in plan, "map-side combine missing"
 
 
+def test_classifier_training_broadcasts_weights(spark):
+    """Perceptron training: the D+1-row weight table must BROADCAST to
+    the featurized corpus each round (never shuffle the corpus on
+    bucket), and the whole train+score plan stays JVM-side."""
+    plan = _plan(spark, "q_train_classifier", "formatted")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_minhash_pipeline_stays_jvm_side(spark):
     """The whole dedup pipeline (tokenize, shingle, hash, band, self-join)
     compiles to JVM expressions — no Python stage anywhere — with the
