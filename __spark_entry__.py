@@ -3475,6 +3475,48 @@ def q_multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "q_multimodal_jpeg_stats",
+    # JPEG fixture law (jpeg.synthetic_jpeg_bytes): every 8×8 block is the
+    # constant (5·bx + 11·by + doc_id) mod 256 stored DC-only with Q00=8,
+    # so baseline decode — huffman, dequant, IDCT, YCbCr — is EXACT and
+    # every pixel aggregate is doc_id arithmetic.  A one-bit bug in the
+    # entropy decoder, a zigzag/dequant mixup, or a dropped restart-marker
+    # DC reset (d%4==0 fixtures carry DRI=3) shifts px_sum.
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             16 + doc_id % 9 AS w,
+             16 + (doc_id * 3) % 9 AS h,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, ch,
+             unnest(generate_series(0, w * h - 1)) AS i
+      FROM dims
+    )
+    SELECT doc_id, 'jpeg' AS format,
+           w::INT AS width, h::INT AS height, ch::INT AS channels,
+           (sum((((i % w) // 8) * 5 + ((i // w) // 8) * 11 + doc_id) % 256) * ch)::BIGINT AS px_sum,
+           round((sum((((i % w) // 8) * 5 + ((i // w) // 8) * 11 + doc_id) % 256) * ch)::DOUBLE
+                 / (w * h * ch), 4) AS mean_px
+    FROM px GROUP BY doc_id, w, h, ch
+    """,
+)
+def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode (operators/jpeg.py: marker parse, declared
+    Huffman/quant tables, interleaved MCU scan, restart markers, run-length
+    AC entropy coding, vectorized IDCT, YCbCr→RGB) → per-image pixel stats
+    — the last codec seam of the multimodal column, closed the same way
+    PNG/BMP/WAV were: fixture encode → container bytes → decode →
+    aggregate, value-exact against closed-form oracle arithmetic.
+    Progressive/arithmetic JPEG remain the declared seam (decoder raises,
+    stats flow NULL)."""
+    docs = _tp(spark, sf_dir, "documents")
+    return multimodal.decode_pixel_stats(multimodal.with_jpeg_payload(docs))
+
+
+@_register(
     "q_multimodal_resize",
     # nearest-neighbor resize to 16x16: src pixel of out (ox, oy) is
     # (floor(ox*w/16), floor(oy*h/16)), so the resized byte sum is the same
@@ -6214,6 +6256,7 @@ _CHANGED_THIS_ROUND = (
     "q_stream_cms",
     "q_waiting_orders",
     "q_train_classifier",
+    "q_multimodal_jpeg_stats",
 )
 
 

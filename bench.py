@@ -118,6 +118,8 @@ HEADLINE = [
     "q_waiting_orders",
     # distributed perceptron training over hashed features
     "q_train_classifier",
+    # baseline JPEG decode (huffman + IDCT + YCbCr), the last codec seam
+    "q_multimodal_jpeg_stats",
 ]
 
 

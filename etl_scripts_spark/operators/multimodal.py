@@ -6,11 +6,12 @@ frame-sample run as Arrow-batched `mapInPandas` stages over whatever
 partitioning the upstream scan produced.  Image *metadata* needs no codec
 library at all — PNG/JPEG/GIF/BMP dimensions live in the container header
 and `parse_image_header` reads them with stdlib `struct`.  The PIXEL path
-is real for the two containers a stdlib can decode — PNG (zlib IDAT +
-all five row filters) and uncompressed BMP — so decode → stats → resize
-runs end-to-end with no codec library; JPEG/video decode still needs
-Pillow/ffmpeg and stays a clearly-marked seam (`sample_frames` stub
-slicing, CLIP-style embeddings).
+is real for the three containers decodable without a codec library —
+PNG (zlib IDAT + all five row filters), uncompressed BMP, and baseline
+JPEG (operators/jpeg.py: full huffman + dequant + IDCT + YCbCr) — so
+decode → stats → resize runs end-to-end.  The remaining declared seams:
+progressive/arithmetic JPEG and codec-level video (ffmpeg), plus the
+CLIP-style embedding stub in `extract_features`.
 """
 
 from __future__ import annotations
@@ -267,6 +268,15 @@ def decode_image_pixels(payload: bytes):
         return ("png", decode_png_pixels(payload))
     if payload[:2] == b"BM":
         return ("bmp", decode_bmp_pixels(payload))
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg_pixels
+
+        try:
+            return ("jpeg", decode_jpeg_pixels(payload))
+        except (ValueError, KeyError, IndexError, struct.error):
+            # progressive/arithmetic/12-bit or malformed: undecodable,
+            # keeps flowing with NULL stats like every other codec here
+            return ("jpeg", None)
     fmt, _w, _h = parse_image_header(payload)
     return (fmt, None)
 
@@ -744,6 +754,27 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(batches, FRAME_SCHEMA)
+
+
+def with_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture source for the JPEG pixel path: fully decodable baseline
+    JFIF payloads carrying the closed-form block-constant law (see
+    jpeg.synthetic_jpeg_bytes); map-only like the other payload sources."""
+    from .jpeg import synthetic_jpeg_bytes
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [synthetic_jpeg_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
 
 
 def with_pixel_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

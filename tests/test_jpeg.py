@@ -1,0 +1,109 @@
+"""Baseline JPEG codec tests (operators/jpeg.py): fixture-law exactness
+across all variants, the general AC entropy path against an independent
+naive IDCT, MCU interleave + chroma upsampling at 4:2:0, restart
+markers, and the declared non-baseline seam."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etl_scripts_spark.operators import jpeg
+
+
+@pytest.mark.parametrize("d", [0, 1, 2, 3, 4, 7, 8, 12, 17, 100, 255, 999])
+def test_fixture_law_exact(d):
+    """DC-only constant blocks with Q00=8 decode EXACTLY — gray and
+    YCbCr 4:4:4 variants, non-multiple-of-8 dims (edge-block crops),
+    restart-marker variant (d%4==0) included."""
+    img = jpeg.decode_jpeg_pixels(jpeg.synthetic_jpeg_bytes(d))
+    w, h = 16 + d % 9, 16 + (3 * d) % 9
+    ch = 1 if d % 2 == 0 else 3
+    assert img.shape == (h, w, ch)
+    x, y = np.arange(w), np.arange(h)
+    v = (5 * (x[None, :] // 8) + 11 * (y[:, None] // 8) + d) % 256
+    assert np.array_equal(img, np.repeat(v[:, :, None], ch, axis=2).astype(np.uint8))
+
+
+def _naive_idct(coeffs):
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coeffs[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s / 4
+    return out
+
+
+def test_ac_entropy_path_vs_naive_idct():
+    """Arbitrary quantized coefficients — zero runs, ZRL (≥16-zero run to
+    an isolated high-frequency coeff), a coefficient at the last zigzag
+    position (no EOB), negative values — round-trip through the encoder
+    and decode to exactly what a from-the-formula IDCT produces."""
+    rng = np.random.RandomState(42)
+    q = rng.randint(1, 32, size=(8, 8)).astype(np.int64)
+    blocks = np.zeros((2, 3, 8, 8), dtype=np.int64)
+    blocks[0, 0] = rng.randint(-100, 100, (8, 8))
+    blocks[1, 2, 7, 7] = 50
+    blocks[0, 2, 0, 0] = -30
+    blocks[1, 1, 0, 7] = 5
+    img = jpeg.decode_jpeg_pixels(jpeg.encode_baseline([blocks], 24, 16, [q]))
+    for by in range(2):
+        for bx in range(3):
+            ref = np.clip(np.rint(_naive_idct(blocks[by, bx] * q) + 128), 0, 255)
+            assert np.array_equal(img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0], ref)
+
+
+def test_420_mcu_interleave_and_upsample():
+    """2×2-sampled luma with distinct per-block DCs + single-block chroma:
+    the decoder walks the interleaved MCU block order and np.repeats the
+    chroma plane; gray content keeps the YCbCr→RGB transform exact."""
+    yb = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    for i in range(2):
+        for j in range(2):
+            yb[i, j, 0, 0] = (i * 4 + j * 2) - 10
+    cbcr = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    q8 = np.full((8, 8), 16, dtype=np.int64)
+    q8[0, 0] = 8
+    img = jpeg.decode_jpeg_pixels(
+        jpeg.encode_baseline(
+            [yb, cbcr, cbcr], 16, 16, [q8, q8], sampling=[(2, 2), (1, 1), (1, 1)]
+        )
+    )
+    assert img.shape == (16, 16, 3)
+    for i in range(2):
+        for j in range(2):
+            assert (img[i * 8 : i * 8 + 8, j * 8 : j * 8 + 8] == (i * 4 + j * 2) + 118).all()
+
+
+def test_restart_markers_present_and_reset_prediction():
+    payload = jpeg.synthetic_jpeg_bytes(4)  # DRI=3 variant
+    assert b"\xff\xd0" in payload.split(b"\xff\xda")[1]
+    # decoding already asserts value-exactness in test_fixture_law_exact;
+    # a decoder that failed to reset DC predictors would shift every
+    # post-restart block's constant
+    assert jpeg.decode_jpeg_pixels(payload) is not None
+
+
+def test_progressive_rejected_as_declared_seam():
+    payload = bytearray(jpeg.synthetic_jpeg_bytes(2))
+    payload[payload.find(b"\xff\xc0") + 1] = 0xC2  # SOF0 → SOF2
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_pixels(bytes(payload))
+
+
+def test_dispatch_routes_jpeg(spark):
+    from etl_scripts_spark.operators import multimodal
+
+    fmt, img = multimodal.decode_image_pixels(jpeg.synthetic_jpeg_bytes(6))
+    assert fmt == "jpeg" and img is not None
+    fmt, img = multimodal.decode_image_pixels(b"\xff\xd8\xff\xd9")
+    assert fmt == "jpeg" and img is None

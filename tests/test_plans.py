@@ -26,6 +26,7 @@ ARROW_STAGES = {
     "q_multimodal_features",
     "q_multimodal_frame_sample",
     "q_multimodal_image_meta",
+    "q_multimodal_jpeg_stats",
     "q_multimodal_pixel_stats",
     "q_multimodal_resize",
     "q_multimodal_audio_stats",
