@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalize_text
+from .text import words
 
 
 def hashed_features(
@@ -50,9 +50,7 @@ def hashed_features(
     cannot express any threshold-on-magnitude concept).  The bucket law
     is the engine-portable md5 hex prefix (same as sketch.cms_build);
     the tokenizer is staged once per doc (never inlined into HOFs)."""
-    toks = docs.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
-    )
+    toks = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
     bigrams = F.filter(
         F.transform(
             F.col("_w"),
@@ -155,9 +153,10 @@ def train_and_score(
     labels, chosen at the corpus median so classes balance) → train →
     score every document with the trained weights.  Returns
     (id, margin, pred, label); margin is the exact integer w·x."""
-    toks = docs.select(
-        F.col(id_col), F.split(normalize_text(F.col(text_col)), " ").alias("_w")
-    )
+    toks = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    # labels joins three plan branches (round-0 weights, each round's mis
+    # filter, final scoring) — checkpointing the tiny (id, y) table keeps
+    # the corpus-wide tokenize from re-running once per branch
     labels = toks.select(
         F.col(id_col),
         F.when(
@@ -166,7 +165,7 @@ def train_and_score(
         )
         .otherwise(F.lit(-1))
         .alias("y"),
-    )
+    ).localCheckpoint(eager=True)
     fx = hashed_features(docs, text_col, id_col, d=d).localCheckpoint(eager=True)
     weights = train_perceptron(fx, labels, rounds=rounds, id_col=id_col)
     m = _margins(fx, weights, id_col)

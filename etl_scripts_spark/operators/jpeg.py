@@ -147,8 +147,17 @@ def decode_jpeg_pixels(payload: bytes) -> np.ndarray:
 
     Raises ValueError on non-baseline frames (progressive, arithmetic,
     12-bit) and malformed streams — callers (decode_image_pixels) treat
-    that as undecodable and keep flowing.
+    that as undecodable and keep flowing.  Truncation / missing-table
+    internals (IndexError, KeyError, struct.error) are converted here so
+    the documented contract is the real one.
     """
+    try:
+        return _decode_jpeg(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed JPEG stream: {e!r}") from e
+
+
+def _decode_jpeg(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     qtables: dict[int, np.ndarray] = {}

@@ -273,7 +273,7 @@ def decode_image_pixels(payload: bytes):
 
         try:
             return ("jpeg", decode_jpeg_pixels(payload))
-        except (ValueError, KeyError, IndexError, struct.error):
+        except ValueError:
             # progressive/arithmetic/12-bit or malformed: undecodable,
             # keeps flowing with NULL stats like every other codec here
             return ("jpeg", None)

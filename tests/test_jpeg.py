@@ -100,7 +100,7 @@ def test_progressive_rejected_as_declared_seam():
         jpeg.decode_jpeg_pixels(bytes(payload))
 
 
-def test_dispatch_routes_jpeg(spark):
+def test_dispatch_routes_jpeg():
     from etl_scripts_spark.operators import multimodal
 
     fmt, img = multimodal.decode_image_pixels(jpeg.synthetic_jpeg_bytes(6))
