@@ -1,0 +1,88 @@
+"""Link-graph rank propagation — integer-exact distributed PageRank.
+
+Why it belongs in a training-data pipeline: domain/page authority is a
+standard web-corpus curation signal (crawl frontiers and corpus filters
+weight URLs by link-graph centrality; the domain layer in operators/web.py
+produces exactly the (src_domain, dst_domain) edges this consumes).  The
+reference repo has no graph operator at all — this extends the existing
+graph family (connected components, triangles in operators/dedup.py /
+__spark_entry__) with the canonical iterative one.
+
+Why INTEGER arithmetic: float PageRank sums are order-dependent (a
+different partitioning yields different last-ulp results), which breaks
+cross-engine verification.  Ranks here are BIGINT "micro-rank" units:
+each round is
+
+    r'(v) = (100 - d)·SCALE // 100  +  d · Σ_{u→v} (r(u) // outdeg(u)) // 100
+
+— floor division and integer sums only, so the result is bit-identical
+across engines, partitionings, and row orders, and a DuckDB oracle can
+unroll the rounds as CTEs (the q_kmeans_assign / q_train_classifier
+pattern).  Floor losses bias each rank down by < outdeg + 1 units per
+round — at SCALE = 10^12 that is a 1e-9 relative artifact, far below any
+ranking-relevant difference.  Dangling nodes (no out-edges) leak their
+mass, the standard simplification of non-matrix implementations.
+
+Scale shape (100 TB of edges): per round, ONE shuffle keyed by src (rank
+table ⋈ edges; both sides hash-partition on the same uniform key) and ONE
+shuffle keyed by dst (the in-sum groupBy, map-side partial combine
+absorbing hub fan-in).  The edge table is read from its scan partitioning
+every round but never rewritten; the per-round state is the node-sized
+rank table, localCheckpointed between rounds exactly like
+similarity.kmeans_* — rounds compose the plan, the driver never touches
+row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
+    return edges.groupBy(F.col(src).alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    rounds: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank) after `rounds` integer-exact power-iteration rounds
+    over the directed edge list; every node starts at `scale` units and
+    the damping term is the integer percentage `damping_pct`."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    deg = out_degrees(edges, src)
+    base = (100 - damping_pct) * scale // 100
+    ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    for _ in range(rounds):
+        ranks = ranks.localCheckpoint(eager=True)
+        # SQL DIV, not `/`: Spark's `/` on bigints routes through DOUBLE,
+        # which silently loses exactness past 2^53 — DIV stays integral
+        # (and equals DuckDB `//` on the non-negative values here)
+        contrib = ranks.join(deg, "node").select(
+            F.col("node").alias(src),
+            F.expr("rank DIV outdeg").alias("_c"),
+        )
+        insum = (
+            edges.join(contrib, src)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = nodes.join(insum, "node", "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr(f"({damping_pct} * coalesce(_in, 0)) DIV 100")
+            ).alias("rank"),
+        )
+    return ranks

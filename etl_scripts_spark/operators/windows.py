@@ -123,6 +123,44 @@ def global_row_number(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_col: str,
+    n_parts: int = 32,
+    out_col: str = "running",
+) -> DataFrame:
+    """Exact global running (prefix) sum of `sum_col` over a total order,
+    the same distributed shape as :func:`global_row_number`: range
+    partition, per-partition local prefix sums, broadcast cumulative
+    partition totals — no single-partition window over the data.
+
+    `order_cols` must be a total order (include a unique id last);
+    `sum_col` must be integral/decimal for the sum to be exact.
+    """
+    parted = (
+        df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = parted.withColumn("_lsum", F.sum(sum_col).over(w))
+    totals = parted.groupBy("_pid").agg(F.sum(sum_col).alias("_psum"))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = totals.select(  # ≤ n_parts rows — the only single-partition window
+        "_pid", F.coalesce(F.sum("_psum").over(woff), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, F.col("_lsum") + F.col("_off"))
+        .drop("_pid", "_lsum", "_off")
+    )
+
+
 def ntile_buckets(
     df: DataFrame,
     order_cols: list[str],

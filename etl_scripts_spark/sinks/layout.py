@@ -80,6 +80,51 @@ def compact(
     )
 
 
+def plan_compaction(
+    files: DataFrame,
+    target_bytes: int,
+    path_col: str = "path",
+    size_col: str = "size_bytes",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Byte-based bin packing over a FILE LISTING (no data read): assign
+    every file to a merge bin of ~`target_bytes`, the planning half of
+    lakehouse OPTIMIZE/compaction (the `compact` function above is the
+    execute half for a single bin's rows).
+
+    Deterministic law, so an oracle can replay it: files are totally
+    ordered by (size DESC, path) — big files first, like first-fit
+    decreasing — the exact global running sum of sizes is computed
+    distributed (windows.global_running_sum: range partition + local
+    prefix + broadcast offsets, never a single-partition sort), and
+
+        bin_id = (running_sum - 1) DIV target_bytes
+
+    i.e. a file belongs to the bin its END byte falls in.  Bins are
+    therefore sequential fills that overshoot `target_bytes` by less
+    than one file; a file larger than the target gets its own bin(s)
+    id.  Returns (path, size, bin_id) — the driver of a real compactor
+    groups by bin_id and hands each group to one rewrite task.
+    """
+    from ..operators.windows import global_running_sum
+
+    sized = files.select(
+        F.col(path_col).alias("path"),
+        F.col(size_col).cast("bigint").alias("size_bytes"),
+        (-F.col(size_col).cast("bigint")).alias("_negsize"),
+    )
+    run = global_running_sum(
+        sized,
+        # DESC via negation keeps global_running_sum's plain orderBy; path
+        # breaks size ties to make the order total
+        order_cols=["_negsize", "path"],
+        sum_col="size_bytes",
+        n_parts=n_parts,
+        out_col="_run",
+    ).withColumn("bin_id", F.expr(f"(_run - 1) DIV {int(target_bytes)}"))
+    return run.select("path", "size_bytes", "bin_id")
+
+
 def zorder_key(cols: list, bits: int = 16) -> "F.Column":
     """Morton (Z-order) interleave of 2+ non-negative integer columns —
     the multi-dimension clustering key Delta's OPTIMIZE ZORDER computes.
