@@ -32,29 +32,46 @@ from .text import normalize_text
 
 
 def blocking_keys(
-    df: DataFrame, name_col: str, id_col: str = "rec_id"
+    df: DataFrame,
+    name_col: str,
+    id_col: str = "rec_id",
+    prefix_len: int = 3,
+    initials_len: int = 1,
 ) -> DataFrame:
     """(id, block_key) under two complementary strategies:
 
-    - ``p:`` normalized 3-char prefix + length bucket (catches suffix
-      typos: "mueller gmbh" / "mueller gmbh."),
-    - ``i:`` sorted-token initials (catches token reorderings:
-      "anna maria" / "maria anna").
+    - ``p:`` normalized `prefix_len`-char prefix + length bucket (catches
+      suffix typos: "mueller gmbh" / "mueller gmbh."),
+    - ``i:`` sorted `initials_len`-char token prefixes (catches token
+      reorderings: "anna maria" / "maria anna").
 
     Records missing a usable name emit no key — they can never match.
+
+    The two widths are the recall-vs-fan-out dials at scale: when a
+    corpus grows past the point where a strategy's blocks saturate the
+    hot-block cap (candidate_pairs `max_block`), widening THAT
+    strategy's key restores its recall WITHOUT raising the cap (which
+    would restore the k² blowup) — the blocking analog of span
+    clustering's `max_freq`.  Measured in the round-7 10× probe
+    (SCALE.md): at 10× records the 1-char initials blocks all saturate
+    and reorder matches vanish; initials_len=2 brings them back with
+    candidates still sub-linear.
     """
     norm = normalize_text(F.col(name_col))
     toks = F.split(norm, " ")
     prefix_key = F.concat(
         F.lit("p:"),
-        F.substring(norm, 1, 3),
+        F.substring(norm, 1, prefix_len),
         F.lit("#"),
         F.floor(F.length(norm) / 4).cast("string"),
     )
     initials_key = F.concat(
         F.lit("i:"),
         F.array_join(
-            F.array_sort(F.transform(toks, lambda t: F.substring(t, 1, 1))), ""
+            F.array_sort(
+                F.transform(toks, lambda t: F.substring(t, 1, initials_len))
+            ),
+            "",
         ),
     )
     keyed = df.select(
@@ -145,11 +162,13 @@ def resolve_entities(
     id_col: str = "rec_id",
     threshold: float = 0.82,
     max_block: int = 50,
+    prefix_len: int = 3,
+    initials_len: int = 1,
 ) -> DataFrame:
     """Full pipeline: (rec_id, entity_id, is_canonical) for every record
     in a matched pair; unmatched records are implicitly their own
     entity (left out, like near_dup_clusters)."""
-    keys = blocking_keys(df, name_col, id_col)
+    keys = blocking_keys(df, name_col, id_col, prefix_len, initials_len)
     cands = candidate_pairs(keys, id_col, max_block)
     matched = match_pairs(cands, df, name_col, id_col, threshold)
     cc = connected_components(matched.select("id_a", "id_b"))

@@ -110,3 +110,71 @@ def test_riff_family_total_on_garbage(raw):
     assert frames is None or isinstance(frames, list)
     # RIFF-prefixed garbage exercises the chunk walker specifically
     list(multimodal.parse_riff_chunks(b"RIFF" + raw))
+
+
+@settings(max_examples=100, deadline=None)
+@given(ids)
+def test_jpeg_fixture_roundtrip_any_id(doc_id):
+    """The JPEG fixture law holds for EVERY id — all container variants
+    (gray / YCbCr 4:4:4), all dim classes (w,h ∈ 16..24 incl. edge-block
+    crops), restart-marker phase included."""
+    import numpy as np
+
+    from etl_scripts_spark.operators import jpeg
+
+    img = jpeg.decode_jpeg_pixels(jpeg.synthetic_jpeg_bytes(doc_id))
+    w, h = 16 + doc_id % 9, 16 + (3 * doc_id) % 9
+    ch = 1 if doc_id % 2 == 0 else 3
+    x, y = np.arange(w), np.arange(h)
+    v = (5 * (x[None, :] // 8) + 11 * (y[:, None] // 8) + doc_id) % 256
+    assert np.array_equal(img, np.repeat(v[:, :, None], ch, axis=2).astype("uint8"))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=63),
+            st.integers(min_value=-1023, max_value=1023).filter(lambda v: v != 0),
+        ),
+        max_size=12,
+    ),
+    st.integers(min_value=-128, max_value=127),
+)
+def test_jpeg_entropy_layer_roundtrip(sparse, dc):
+    """The entropy+zigzag+dequant layers are LOSSLESS for any sparse
+    quantized block (runs, ZRL, EOB-absent last coefficient, negative
+    values): encode → decode must reproduce exactly the pixels the
+    decoder's own IDCT produces from the original coefficients — any
+    drift isolates a bug in the coding layers, independent of IDCT."""
+    import numpy as np
+
+    from etl_scripts_spark.operators import jpeg
+
+    blk = np.zeros((1, 1, 8, 8), dtype=np.int64)
+    blk[0, 0, 0, 0] = dc
+    for pos, val in sparse:
+        blk[0, 0, pos // 8, pos % 8] = val
+    q = np.full((8, 8), 3, dtype=np.int64)
+    img = jpeg.decode_jpeg_pixels(jpeg.encode_baseline([blk], 8, 8, [q]))
+    ref = np.clip(
+        np.rint(jpeg._idct_blocks((blk[0, 0] * q)[None].astype(float))[0] + 128),
+        0,
+        255,
+    ).astype("uint8")
+    assert np.array_equal(img[:, :, 0], ref)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=300))
+def test_jpeg_total_on_garbage(raw):
+    """Arbitrary bytes after an SOI marker never escape as a non-ValueError
+    — the keep-flowing contract decode_image_pixels relies on."""
+    from etl_scripts_spark.operators import jpeg, multimodal
+
+    try:
+        jpeg.decode_jpeg_pixels(b"\xff\xd8" + raw)
+    except ValueError:
+        pass
+    fmt, img = multimodal.decode_image_pixels(b"\xff\xd8" + raw)
+    assert fmt == "jpeg"

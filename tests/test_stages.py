@@ -507,3 +507,29 @@ def test_entity_resolution_hot_block_cap(spark):
     cands = candidate_pairs(keys, max_block=10)
     pairs = {(r.id_a, r.id_b) for r in cands.collect()}
     assert pairs == {(100, 101)}  # the 30-strong block generated nothing
+
+
+def test_entity_resolution_key_width_dials(spark):
+    """Widening a saturated strategy's key restores its recall without
+    raising the hot-block cap: 30 names share a 1-char initials block
+    (excluded at max_block=10), but at initials_len=2 the reorder pair
+    lands in a fine block and is recovered; prefix_len likewise narrows
+    the prefix blocks."""
+    from etl_scripts_spark.operators.er import blocking_keys, candidate_pairs
+
+    # fillers: unique prefixes (no p: pairs) but shared 1-char initials
+    # {a, m} — they saturate the i:am block together with the target pair
+    rows = [(i, f"a{i:02d}q m{i:02d}q") for i in range(30)] + [
+        (100, "anna maria"),
+        (101, "maria anna"),
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, name string")
+    # 1-char initials: all 32 records share i:am → block excluded; the
+    # reorder pair shares no prefix block → the pair is lost
+    coarse = candidate_pairs(blocking_keys(df, "name"), max_block=10)
+    assert (100, 101) not in {(r.id_a, r.id_b) for r in coarse.collect()}
+    # 2-char initials: the pair lands alone in i:anma and is recovered
+    fine = candidate_pairs(
+        blocking_keys(df, "name", initials_len=2), max_block=10
+    )
+    assert (100, 101) in {(r.id_a, r.id_b) for r in fine.collect()}
