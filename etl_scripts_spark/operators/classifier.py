@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import words
+from .text import unigram_bigram_features, words
 
 
 def hashed_features(
@@ -43,23 +43,30 @@ def hashed_features(
     d: int = 64,
     salt: str = "tc",
 ) -> DataFrame:
-    """(id, bucket, x): unigram+bigram features hashed into `d` buckets
-    (hashing trick), x = occurrence count — exact integers — plus one
-    bias row per doc at the sentinel bucket `d` (outside the hash range,
-    so no token can collide with it; without an intercept a perceptron
-    cannot express any threshold-on-magnitude concept).  The bucket law
-    is the engine-portable md5 hex prefix (same as sketch.cms_build);
-    the tokenizer is staged once per doc (never inlined into HOFs)."""
+    """(id, bucket, x) features from raw text — tokenizes then delegates
+    to hashed_features_from_tokens (which documents the law)."""
     toks = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
-    bigrams = F.filter(
-        F.transform(
-            F.col("_w"),
-            lambda t, i: F.concat(t, F.lit("_"), F.try_element_at(F.col("_w"), i + 2)),
-        ),
-        lambda g: g.isNotNull(),
-    )
+    return hashed_features_from_tokens(toks, id_col=id_col, d=d, salt=salt)
+
+
+def hashed_features_from_tokens(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    d: int = 64,
+    salt: str = "tc",
+) -> DataFrame:
+    """(id, bucket, x): unigram+bigram features (text.unigram_bigram_features
+    — the SAME array law q_hashed_quality scores with) hashed into `d`
+    buckets (hashing trick), x = occurrence count — exact integers — plus
+    one bias row per doc at the sentinel bucket `d` (outside the hash
+    range, so no token can collide with it; without an intercept a
+    perceptron cannot express any threshold-on-magnitude concept).  The
+    bucket law is the engine-portable md5 hex prefix (same as
+    sketch.cms_build).  `toks` is an (id, _w words-array) frame — callers
+    that already tokenized (train_and_score) pass it directly so the
+    corpus-wide tokenize runs ONCE."""
     feats = toks.select(
-        F.col(id_col), F.explode(F.concat(F.col("_w"), bigrams)).alias("_f")
+        F.col(id_col), F.explode(unigram_bigram_features(F.col("_w"))).alias("_f")
     ).filter(F.col("_f") != "")
     bucket = (
         F.conv(
@@ -74,7 +81,7 @@ def hashed_features(
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("x"))
     )
-    bias = docs.select(
+    bias = toks.select(
         F.col(id_col),
         F.lit(d).cast("bigint").alias("bucket"),
         F.lit(1).cast("bigint").alias("x"),
@@ -153,10 +160,14 @@ def train_and_score(
     labels, chosen at the corpus median so classes balance) → train →
     score every document with the trained weights.  Returns
     (id, margin, pred, label); margin is the exact integer w·x."""
-    toks = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    # tokenize the corpus ONCE: labels and features both derive from the
+    # checkpointed (id, _w) frame, so normalize+split never runs twice
+    toks = docs.select(
+        F.col(id_col), words(F.col(text_col)).alias("_w")
+    ).localCheckpoint(eager=True)
     # labels joins three plan branches (round-0 weights, each round's mis
     # filter, final scoring) — checkpointing the tiny (id, y) table keeps
-    # the corpus-wide tokenize from re-running once per branch
+    # even the materialized-token scan from re-running once per branch
     labels = toks.select(
         F.col(id_col),
         F.when(
@@ -166,7 +177,9 @@ def train_and_score(
         .otherwise(F.lit(-1))
         .alias("y"),
     ).localCheckpoint(eager=True)
-    fx = hashed_features(docs, text_col, id_col, d=d).localCheckpoint(eager=True)
+    fx = hashed_features_from_tokens(toks, id_col=id_col, d=d).localCheckpoint(
+        eager=True
+    )
     weights = train_perceptron(fx, labels, rounds=rounds, id_col=id_col)
     m = _margins(fx, weights, id_col)
     return (

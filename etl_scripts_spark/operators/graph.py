@@ -23,6 +23,12 @@ round — at SCALE = 10^12 that is a 1e-9 relative artifact, far below any
 ranking-relevant difference.  Dangling nodes (no out-edges) leak their
 mass, the standard simplification of non-matrix implementations.
 
+Exactness boundary: hub in-sums are accumulated in DECIMAL(38,0) — a
+BIGINT sum wraps silently past 2^63, reachable for a hub with ~9.2M
+full-rank in-links at the default scale — and a final rank that would
+overflow the BIGINT output column raises loudly (lower `scale` for
+graphs whose node count × scale approaches 2^63) instead of wrapping.
+
 Scale shape (100 TB of edges): per round, ONE shuffle keyed by src (rank
 table ⋈ edges; both sides hash-partition on the same uniform key) and ONE
 shuffle keyed by dst (the in-sum groupBy, map-side partial combine
@@ -76,13 +82,29 @@ def pagerank(
         insum = (
             edges.join(contrib, src)
             .groupBy(F.col(dst).alias("node"))
-            .agg(F.sum("_c").alias("_in"))
+            # decimal(38,0) accumulator, NOT bigint: a hub's in-sum is
+            # bounded only by total mass ≈ n_nodes·scale, which passes
+            # 2^63 around 9.2M full-rank in-links at the default scale —
+            # a bigint sum would wrap silently there.  decimal holds to
+            # 10^38 (≈10^26 nodes at scale 10^12, beyond any graph).
+            .agg(F.sum(F.col("_c").cast("decimal(38,0)")).alias("_in"))
+        )
+        # largest _in whose damped quotient still fits the bigint rank:
+        # quotient ≤ cap  ⟺  _in ≤ (100·cap + 99) // damping_pct
+        cap = (1 << 63) - 1 - base
+        thresh = (100 * cap + 99) // damping_pct
+        damped = F.expr(
+            f"(CAST({damping_pct} AS DECIMAL(38,0))"
+            f" * coalesce(_in, CAST(0 AS DECIMAL(38,0)))) DIV 100"
         )
         ranks = nodes.join(insum, "node", "left").select(
             "node",
-            (
-                F.lit(base)
-                + F.expr(f"({damping_pct} * coalesce(_in, 0)) DIV 100")
-            ).alias("rank"),
+            F.when(
+                F.coalesce(F.col("_in"), F.expr("CAST(0 AS DECIMAL(38,0))"))
+                > F.expr(f"CAST('{thresh}' AS DECIMAL(38,0))"),
+                F.raise_error(F.lit("pagerank rank overflows BIGINT: lower `scale`")),
+            )
+            .otherwise(F.lit(base) + damped)
+            .alias("rank"),
         )
     return ranks

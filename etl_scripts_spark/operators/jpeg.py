@@ -3,10 +3,12 @@ seam of the multimodal column closed.
 
 DECODER (`decode_jpeg_pixels`) is the real deliverable: a general
 baseline-sequential decoder — marker parse, arbitrary declared DQT
-(8/16-bit) and DHT tables, interleaved MCU scan with any sampling
-factors, restart markers, run-length/ZRL/EOB entropy coding, dequant,
-zigzag, vectorized float64 IDCT, JFIF YCbCr→RGB.  Progressive and
-arithmetic-coded JPEG remain out of scope (declared — SOF2/SOF9+ raise).
+(8/16-bit) and DHT tables, interleaved MCU scan with integer-ratio
+sampling factors (each component's H/V divides the frame max — covers
+4:4:4/4:2:2/4:2:0 and every layout real encoders emit), restart
+markers, run-length/ZRL/EOB entropy coding, dequant, zigzag, vectorized
+float64 IDCT, JFIF YCbCr→RGB.  Progressive, arithmetic-coded, and
+fractional-ratio (e.g. 4:3) JPEG remain out of scope (declared — raise).
 
 ENCODER (`encode_baseline`) exists to manufacture test fixtures the way
 the PNG/WAV fixtures do (multimodal.synthetic_pixel_image_bytes): it
@@ -100,8 +102,11 @@ class _BitReader:
             self.pos += 2
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.n += 8
+        # only called when n == 0, so consumed bits are dropped here —
+        # keeping them (acc << 8 | b) grows a bigint linearly with the
+        # scan and turns every read_bit into an O(scan) shift
+        self.acc = b
+        self.n = 8
 
     def read_bit(self) -> int:
         if self.n == 0:
@@ -168,10 +173,14 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
     while True:
         if payload[pos] != 0xFF:
             raise ValueError("marker expected")
+        while payload[pos + 1] == 0xFF:  # fill bytes (T.81 B.1.1.2)
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI before SOS
             raise ValueError("no scan data")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn: standalone
+            continue
         seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
         seg = payload[pos + 2 : pos + seglen]
         pos += seglen
@@ -226,10 +235,27 @@ def _decode_jpeg(payload: bytes) -> np.ndarray:
 
     comps = frame["comps"]
     w, h = frame["w"], frame["h"]
+    if w == 0 or h == 0 or not comps:
+        raise ValueError("empty frame")
+    for c in comps:
+        if not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4):
+            raise ValueError("sampling factor out of spec range")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        # np.repeat upsampling below only handles integer ratios; legal
+        # fractional mixes (e.g. 4:3) are a declared seam, not silent skew
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("non-integer sampling ratio not supported (declared seam)")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
+    # bound BEFORE allocating: every block costs >= 2 entropy bits (DC
+    # symbol + EOB are >= 1 bit each), so a frame whose block count
+    # exceeds 4x the remaining payload bytes is guaranteed-truncated —
+    # reject it instead of sizing a numpy grid from forged SOF dims
+    total_blocks = mcus_x * mcus_y * sum(c["h"] * c["v"] for c in comps)
+    if total_blocks > 4 * (len(payload) - pos):
+        raise ValueError("declared frame larger than entropy data can encode")
     for c in comps:
         c["blocks"] = np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int64)
         c["dc_table"], c["ac_table"] = (

@@ -299,6 +299,27 @@ def simhash_near_dup_pairs(
     return out.distinct()
 
 
+def unigram_bigram_features(toks: Column) -> Column:
+    """unigrams ++ '_'-joined bigrams as ONE array column — the feature
+    law shared by hashed_feature_score and classifier.hashed_features
+    (q_hashed_quality and q_train_classifier must hash the SAME features,
+    so the construction lives in exactly one place).
+
+    try_element_at: past-the-end is NULL (plain element_at throws under
+    ANSI); concat (not concat_ws) lets that NULL poison the incomplete
+    last pair, which the isNotNull filter then drops.  `toks` must be a
+    MATERIALIZED words-array column (see shingles_from_words for why the
+    tokenizer expression must not be inlined into HOF lambdas)."""
+    bigrams = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.concat(t, F.lit("_"), F.try_element_at(toks, i + 2)),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    return F.concat(toks, bigrams)
+
+
 def hashed_feature_score(toks: Column, salt: str = "qw") -> tuple[Column, Column]:
     """(n_features, score): hash-kernel linear scorer over unigram+bigram
     features — the Spark shape of a fastText-style document quality
@@ -320,17 +341,7 @@ def hashed_feature_score(toks: Column, salt: str = "qw") -> tuple[Column, Column
     shingles_from_words for why the tokenizer expression must not be
     inlined into HOF lambdas).
     """
-    # try_element_at: past-the-end is NULL (plain element_at throws under
-    # ANSI); concat (not concat_ws) lets that NULL poison the incomplete
-    # last pair, which the isNotNull filter then drops
-    bigrams = F.filter(
-        F.transform(
-            toks,
-            lambda t, i: F.concat(t, F.lit("_"), F.try_element_at(toks, i + 2)),
-        ),
-        lambda g: g.isNotNull(),
-    )
-    feats = F.concat(toks, bigrams)
+    feats = unigram_bigram_features(toks)
 
     def weight(f: Column) -> Column:
         h = F.conv(

@@ -91,3 +91,31 @@ def test_plan_compaction_deterministic_across_partitionings(spark):
     a = sorted(plan_compaction(files.repartition(17), 10_000).collect())
     b = sorted(plan_compaction(files.coalesce(1), 10_000).collect())
     assert a == b
+
+
+def test_pagerank_hub_insum_exceeding_bigint_raises(spark):
+    """A hub whose decimal in-sum would push the damped rank past the
+    BIGINT output column raises loudly (lower `scale`) instead of
+    wrapping: 3 full-rank sources at scale 2^62 sum to ~1.4e19 > the
+    ~1.0e19 threshold.  The sum itself is exact (decimal accumulator)."""
+    import pytest as _pt
+
+    edges = _edges(spark, [(1, 99), (2, 99), (3, 99)])
+    with _pt.raises(Exception, match="overflows BIGINT"):
+        graph.pagerank(edges, rounds=1, scale=1 << 62).collect()
+
+
+def test_pagerank_hub_insum_past_2_63_is_exact_when_rank_fits(spark):
+    """In-sums PAST 2^63 are still summed exactly (a bigint accumulator
+    would wrap silently): 9 full-rank sources at scale 2^60 give
+    _in = 9·2^60 ≈ 1.04e19 > 2^63, damped rank ≈ 8.99e18 — fits BIGINT
+    and must equal the hand-derived floor value."""
+    scale = 1 << 60
+    edges = _edges(spark, [(s, 99) for s in range(1, 10)])
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(edges, rounds=1, scale=scale).collect()
+    }
+    base = 15 * scale // 100
+    assert got[99] == base + (85 * (9 * scale)) // 100
+    assert all(got[s] == base for s in range(1, 10))

@@ -107,3 +107,56 @@ def test_dispatch_routes_jpeg():
     assert fmt == "jpeg" and img is not None
     fmt, img = multimodal.decode_image_pixels(b"\xff\xd8\xff\xd9")
     assert fmt == "jpeg" and img is None
+
+
+def test_bitreader_acc_stays_byte_sized():
+    """_fill replaces the accumulator (it never extends it): keeping
+    consumed bits would grow a bigint linearly with the scan and make
+    every read_bit an O(scan) shift — quadratic decode on real files."""
+    r = jpeg._BitReader(bytes([0b10101010]) * 512, 0)
+    for _ in range(8 * 511):
+        r.read_bit()
+    assert r.acc.bit_length() <= 8
+
+
+def test_fill_bytes_before_marker_accepted():
+    """T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+    fill bytes; encoders emit them for alignment."""
+    payload = jpeg.synthetic_jpeg_bytes(3)
+    i = payload.find(b"\xff\xdb")
+    padded = payload[:i] + b"\xff\xff\xff" + payload[i:]
+    assert np.array_equal(
+        jpeg.decode_jpeg_pixels(padded), jpeg.decode_jpeg_pixels(payload)
+    )
+
+
+def test_forged_sof_dims_rejected_before_allocation():
+    """A tiny payload declaring a 65535x65535 frame must raise ValueError
+    fast — not allocate a ~32 GB MCU grid from unvalidated SOF dims."""
+    import struct as _s
+
+    sof = _s.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0])
+    sos = bytes([1, 1, 0x00, 0x00, 0x3F, 0x00])
+    payload = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + _s.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xda" + _s.pack(">H", 2 + len(sos)) + sos
+        + b"\x00" * 16
+    )
+    with pytest.raises(ValueError):
+        jpeg.decode_jpeg_pixels(payload)
+
+
+def test_fractional_sampling_ratio_is_declared_seam():
+    """Luma H=3 vs chroma H=2 (legal per T.81, fractional upsample ratio)
+    raises ValueError instead of silently mis-registering chroma."""
+    mcx, mcy = 1, 1
+    luma = np.zeros((mcy, 3 * mcx, 8, 8), dtype=np.int64)
+    chroma = np.zeros((mcy, 2 * mcx, 8, 8), dtype=np.int64)
+    q = np.full((8, 8), 16, dtype=np.int64)
+    q[0, 0] = 8
+    payload = jpeg.encode_baseline(
+        [luma, chroma, chroma], 24, 8, [q, q], sampling=[(3, 1), (2, 1), (2, 1)]
+    )
+    with pytest.raises(ValueError, match="sampling"):
+        jpeg.decode_jpeg_pixels(payload)
