@@ -196,19 +196,21 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     # Key order matters: the driver's capture keeps only the TAIL of stdout
     # (BENCH_r06 clipped the head mid-`runs` and lost the total), so the
-    # bulky diagnostics (`runs`) go FIRST and the headline summary
-    # (`queries`, `value`) rides the END of the line, which survives any clip.
-    result = {
-        "runs": runs,
-        "sf": sf,
-        "metric": "headline_suite_seconds",
-        "unit": "sec",
-    }
+    # bulky diagnostics (`runs`) go FIRST, then `queries`, and every scalar
+    # summary key (`metric`/`unit`/`sf`/`n_queries`/`value`) rides the very
+    # END of the line, which survives any clip.  Minified separators: at 84
+    # queries the map alone is ~2 KB, so every byte keeps one more per-query
+    # timing inside the 2000-char tail window.
+    result = {"runs": runs}
     if errors:
         result["errors"] = errors
     result["queries"] = timings
+    result["metric"] = "headline_suite_seconds"
+    result["unit"] = "sec"
+    result["sf"] = sf
+    result["n_queries"] = len(timings)
     result["value"] = total
-    print(json.dumps(result))
+    print(json.dumps(result, separators=(",", ":")))
     spark.stop()
 
 

@@ -316,3 +316,106 @@ def kmv_overlap(
         in_both.cast("bigint").alias("n_in_both"),
         F.round(in_both / F.size(union_k), 4).alias("est_jaccard"),
     )
+
+
+# --- Bloom filter: join pruning ------------------------------------------
+
+
+def _bloom_pos(j: int, key, m_bits: int):
+    """Bit position of salted hash j: first 48 bits of md5('bf<j>'|key)
+    mod m — the same engine-portable law as cms_build's buckets, so a
+    DuckDB oracle recomputes every position bit-identically."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(f"bf{j}"), key)), 1, 12),
+            16,
+            10,
+        ).cast("bigint")
+        % m_bits
+    )
+
+
+def bloom_build(
+    keys: DataFrame, key_col: str, m_bits: int = 1 << 20, k: int = 3
+) -> DataFrame:
+    """(word_idx, word): an m-bit Bloom filter of `keys` packed into
+    64-bit words — at most m/64 rows (m = 2^20 → 16 K rows ≈ 128 KB)
+    regardless of how many keys went in.
+
+    Why it earns its place at 100 TB: a semi join whose filter side is
+    too big to BROADCAST normally shuffles BOTH sides.  The Bloom words
+    of that side always broadcast (m/64 rows), so the fact side can be
+    pruned map-side BEFORE its shuffle — bloom_semi_join below shuffles
+    only the survivors.  This is the explicit, engine-portable version
+    of Spark's own runtime row-level filtering (which is cost-based and
+    not deterministic across engines).
+
+    Scale shape: the k-fanout explode is map-side; partial aggregation
+    collapses each task's output to ≤ m/64 (word_idx, word) rows via
+    bit_or before the exchange — the build shuffle moves kilobytes.
+    No false negatives ever; false-positive rate ≈ (1 - e^(-kn/m))^k.
+    """
+    probes = [_bloom_pos(j, F.col(key_col), m_bits) for j in range(k)]
+    pos = keys.select(F.explode(F.array(*probes)).alias("_p"))
+    bit = F.call_function(
+        "shiftleft", F.lit(1).cast("bigint"), (F.col("_p") % 64).cast("int")
+    )
+    return (
+        pos.select(F.expr("_p DIV 64").alias("word_idx"), bit.alias("_b"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("_b").alias("word"))
+    )
+
+
+def bloom_prune(
+    df: DataFrame, key_col: str, words: DataFrame, m_bits: int = 1 << 20, k: int = 3
+) -> DataFrame:
+    """Rows of `df` whose key MIGHT be in the filter (all k bits set) —
+    a guaranteed superset of the true matches (no false negatives).
+    k broadcast left-semi joins against the word table, each with the
+    bit test fused into the join condition: entirely map-side, ZERO
+    exchanges on `df`, so it composes under whatever partitioning the
+    caller already has and cuts rows BEFORE any downstream shuffle.
+
+    Bit test is `!= 0`, never `> 0`: position 63 sets the sign bit
+    (shiftleft wraps to BIGINT-min, the same value in both engines)."""
+    out = df
+    for j in range(k):
+        out = out.withColumn(f"_p{j}", _bloom_pos(j, F.col(key_col), m_bits))
+        w = words.select(
+            F.col("word_idx").alias(f"_wi{j}"), F.col("word").alias(f"_w{j}")
+        )
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("bigint"), (F.col(f"_p{j}") % 64).cast("int")
+        )
+        out = out.join(
+            F.broadcast(w),
+            (F.expr(f"_p{j} DIV 64") == F.col(f"_wi{j}"))
+            & (F.col(f"_w{j}").bitwiseAND(bit) != F.lit(0).cast("bigint")),
+            "left_semi",
+        )
+    return out.drop(*[f"_p{j}" for j in range(k)])
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    keys: DataFrame,
+    big_key: str,
+    keys_key: str | None = None,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Exact semi join with Bloom pre-pruning: equals
+    big.join(keys, ..., "left_semi") row-for-row — the Bloom stage is
+    pure plumbing that cuts what reaches the final shuffle.
+
+    When `keys` is broadcastable you do not need this (a plain broadcast
+    semi join is already shuffle-free).  The target is the middle
+    regime: `keys` too big to broadcast (its exact set would blow the
+    driver), but its m-bit Bloom words always fit — so the 100 TB fact
+    side is pruned map-side and only survivors (true matches + the
+    (1-e^(-kn/m))^k false-positive sliver) pay the exchange."""
+    keys_key = keys_key or big_key
+    kd = keys.select(F.col(keys_key).alias(big_key))
+    words = bloom_build(kd, big_key, m_bits, k)
+    return bloom_prune(big, big_key, words, m_bits, k).join(kd, big_key, "left_semi")

@@ -43,3 +43,92 @@ def insert_if_absent(existing: DataFrame, inserts: DataFrame, keys: list[str]) -
     (register-mtb-data-dropbox.py:402-404 'already registered → drop')."""
     fresh = inserts.join(existing.select(*keys), keys, "left_anti")
     return existing.unionByName(fresh.select(*existing.columns))
+
+
+def scd2_apply(
+    history: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    effective_col: str = "effective_ts",
+) -> DataFrame:
+    """Slowly-changing-dimension TYPE-2 maintenance: apply an update batch
+    to a versioned history table, closing superseded rows instead of
+    overwriting them — the warehouse-standard way to keep sample/project
+    metadata auditable (the reference mutates openBIS properties in place,
+    e.g. register-mtb's sample updates; SCD2 is the same write with the
+    audit trail the reference loses).
+
+    `history` schema: keys + attrs + valid_from BIGINT + valid_to BIGINT
+    (NULL = current row).  `updates`: keys + attrs + `effective_col`.
+    Per key:
+
+    - attrs unchanged vs the current row → no-op (idempotent: re-applying
+      a batch is free),
+    - attrs changed → the current row closes (valid_to = effective_ts)
+      and a new open row starts at effective_ts,
+    - new key → new open row,
+    - STALE update (effective_ts ≤ current valid_from) → dropped; within
+      one batch, last-writer-wins on effective_ts (dedupe_updates).
+
+    Scale shape (100 TB history): closed rows (valid_to NOT NULL) pass
+    through untouched — no join, and a valid_to-partitioned layout lets
+    the scan prune them entirely.  Only the CURRENT slice meets the
+    batch: ONE full-outer shuffle keyed by the business key; work is
+    O(current + batch) regardless of history depth.  All timestamps are
+    caller-supplied integers — nothing here invents time, so the output
+    is deterministic and engine-portable (DuckDB oracle = the same
+    full-outer join + unions).
+    """
+    closed = history.filter(F.col("valid_to").isNotNull())
+    current = history.filter(F.col("valid_to").isNull())
+    upd = dedupe_updates(
+        updates.select(*keys, *attrs, F.col(effective_col).alias("_eff")),
+        keys,
+        "_eff",
+    )
+    cols = [*keys, *attrs, "valid_from", "valid_to"]
+    c = current.select(*[F.col(x).alias(f"_c_{x}") for x in cols], *keys)
+    j = c.join(upd, keys, "full")
+    has_cur = F.col("_c_valid_from").isNotNull()
+    has_upd = F.col("_eff").isNotNull()
+    fresh_upd = has_upd & (~has_cur | (F.col("_eff") > F.col("_c_valid_from")))
+    same = F.lit(True)
+    for a in attrs:
+        same = same & F.col(f"_c_{a}").eqNullSafe(F.col(a))
+    changes = fresh_upd & (~has_cur | ~same)
+    # superseded current rows close at the update's effective time
+    closing = j.filter(changes & has_cur).select(
+        *keys,
+        *[F.col(f"_c_{a}").alias(a) for a in attrs],
+        F.col("_c_valid_from").alias("valid_from"),
+        F.col("_eff").alias("valid_to"),
+    )
+    opened = j.filter(changes).select(
+        *keys,
+        *attrs,
+        F.col("_eff").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    )
+    kept = j.filter(has_cur & ~changes).select(
+        *keys,
+        *[F.col(f"_c_{a}").alias(a) for a in attrs],
+        F.col("_c_valid_from").alias("valid_from"),
+        F.col("_c_valid_to").alias("valid_to"),
+    )
+    return (
+        closed.select(*cols)
+        .unionByName(closing)
+        .unionByName(kept)
+        .unionByName(opened)
+    )
+
+
+def scd2_snapshot(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time view: the row version live at integer time `ts`
+    (valid_from ≤ ts < valid_to, open rows unbounded).  Pure filter —
+    pushes down to the scan, prunes a valid_to-partitioned layout."""
+    return history.filter(
+        (F.col("valid_from") <= F.lit(ts))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(ts)))
+    )
