@@ -132,3 +132,50 @@ def scd2_snapshot(history: DataFrame, ts) -> DataFrame:
         (F.col("valid_from") <= F.lit(ts))
         & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(ts)))
     )
+
+
+def scd2_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Enrich every fact with the dimension version valid at its event
+    time (fact.ts ∈ [valid_from, valid_to)) — the companion READ to
+    scd2_apply, and the warehouse-standard "dimension lookup as of
+    event time".
+
+    NOT an inequality join: `f.ts BETWEEN h.valid_from AND h.valid_to`
+    plans as a nested-loop / exploding range join at scale.  Instead the
+    history's valid_from becomes an as-of timeline and
+    operators.asof.asof_join's tagged-union trick carries the latest
+    version forward — ONE shuffle on the business key, one sort, linear
+    in rows.  A trailing guard nulls the match when the fact lands in a
+    GAP (matched valid_to ≤ fact ts), so the semantics are exact for any
+    non-overlapping interval set, not only the contiguous histories
+    scd2_apply produces.  Facts before a key's first version get nulls.
+    """
+    from ..operators.asof import asof_join
+
+    attrs = [c for c in history.columns if c not in (key, "valid_from", "valid_to")]
+    clash = set(attrs) & {ts_col}
+    if clash:
+        raise ValueError(f"history attr collides with fact ts column: {clash}")
+    h = history.select(
+        F.col(key),
+        F.col("valid_from").alias(ts_col),
+        *[F.col(a) for a in attrs],
+        F.col("valid_to"),
+    )
+    out = asof_join(facts, h, on=ts_col, by=key, suffix=suffix)
+    vt = F.col(f"valid_to{suffix}")
+    valid = F.col(f"{ts_col}{suffix}").isNotNull() & (
+        vt.isNull() | (vt > F.col(ts_col))
+    )
+    return out.select(
+        *facts.columns,
+        *[F.when(valid, F.col(f"{a}{suffix}")).alias(f"{a}{suffix}") for a in attrs],
+        F.when(valid, F.col(f"{ts_col}{suffix}")).alias(f"valid_from{suffix}"),
+        F.when(valid, vt).alias(f"valid_to{suffix}"),
+    )

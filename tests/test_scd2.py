@@ -129,3 +129,87 @@ def test_partitioning_independent(spark):
     a = _rows(_apply(hist.repartition(11), upd.repartition(5)))
     b = _rows(_apply(hist.coalesce(1), upd.coalesce(1)))
     assert a == b and len(a) == 60  # 40 survivors/opens + 20 closed
+
+
+def test_scd2_join_version_at_event_time(spark):
+    """Facts pick the version whose [valid_from, valid_to) contains
+    their ts; boundary at valid_from matches, at valid_to rolls to the
+    next version; pre-history facts get nulls."""
+    from etl_scripts_spark.sinks.merge import scd2_join
+
+    hist = _hist(
+        spark,
+        [
+            ("a", "red", 1, 100, 200),
+            ("a", "blue", 1, 200, None),
+            ("b", "green", 7, 150, None),
+        ],
+    )
+    facts = spark.createDataFrame(
+        [("a", 50), ("a", 100), ("a", 199), ("a", 200), ("b", 150), ("b", 9000)],
+        "k string, ts bigint",
+    )
+    got = {
+        (r["k"], r["ts"]): (r["color_dim"], r["valid_from_dim"], r["valid_to_dim"])
+        for r in scd2_join(facts, hist, "k").collect()
+    }
+    assert got == {
+        ("a", 50): (None, None, None),
+        ("a", 100): ("red", 100, 200),
+        ("a", 199): ("red", 100, 200),
+        ("a", 200): ("blue", 200, None),
+        ("b", 150): ("green", 150, None),
+        ("b", 9000): ("green", 150, None),
+    }
+
+
+def test_scd2_join_gap_yields_nulls(spark):
+    """A fact falling in a GAP between versions (non-contiguous history)
+    must get nulls — the as-of carry alone would wrongly return the
+    stale earlier version."""
+    from etl_scripts_spark.sinks.merge import scd2_join
+
+    hist = _hist(
+        spark,
+        [("a", "red", 1, 100, 200), ("a", "blue", 1, 500, None)],
+    )
+    facts = spark.createDataFrame([("a", 300)], "k string, ts bigint")
+    r = scd2_join(facts, hist, "k").collect()[0]
+    assert (r["color_dim"], r["valid_from_dim"], r["valid_to_dim"]) == (
+        None,
+        None,
+        None,
+    )
+
+
+def test_scd2_join_equals_inequality_join_oracle(spark):
+    """Row-for-row equality with the naive BETWEEN formulation on a
+    generated history — the as-of rewrite changes the plan, never the
+    result."""
+    from etl_scripts_spark.sinks.merge import scd2_join
+
+    hist_rows = []
+    for i in range(30):
+        k = f"k{i % 7}"
+        base = 100 * (i // 7)
+        hist_rows.append((k, f"c{i}", i, base, base + 60 if i < 23 else None))
+    hist = _hist(spark, hist_rows)
+    facts = spark.createDataFrame(
+        [(f"k{i % 9}", 37 * i % 450) for i in range(80)], "k string, ts bigint"
+    )
+    naive = facts.alias("f").join(
+        hist.alias("h"),
+        (F.col("f.k") == F.col("h.k"))
+        & (F.col("h.valid_from") <= F.col("f.ts"))
+        & (F.col("h.valid_to").isNull() | (F.col("h.valid_to") > F.col("f.ts"))),
+        "left",
+    )
+    want = sorted(
+        (r["f.k"] if "f.k" in r else r["k"], r["ts"], r["color"])
+        for r in naive.select("f.k", "f.ts", "h.color").collect()
+    )
+    got = sorted(
+        (r["k"], r["ts"], r["color_dim"])
+        for r in scd2_join(facts, hist, "k").collect()
+    )
+    assert got == [(a, b, c) for (a, b, c) in want]
