@@ -175,3 +175,71 @@ def write_zordered(
         .write.mode("error")
         .parquet(dest)
     )
+
+
+def rowgroup_stats(spark, files: list[str], column: str) -> DataFrame:
+    """(file, row_group, n_rows, min_v, max_v) for a NUMERIC column, read
+    from parquet FOOTERS only — the metadata every engine's data-skipping
+    consults.  The file list fans out over the cluster and each task opens
+    just the footer (pyarrow reads it without touching row data), so the
+    report costs O(files), not O(bytes) — at 100 TB that is the difference
+    between a metadata sweep and a full scan.
+
+    Completes the layout trio: write_zordered produces the clustering,
+    plan_compaction maintains file sizes, and this MEASURES what those
+    bought — the fraction of row groups a predicate can skip.  DuckDB's
+    parquet_metadata() reads the same footers, so the law is oracle-able.
+    """
+    import pandas as pd
+
+    files_df = spark.createDataFrame([(f,) for f in files], "file string")
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for f in pdf["file"]:
+                md = pq.ParquetFile(f.removeprefix("file:")).metadata
+                idx = md.schema.names.index(column)
+                for rg in range(md.num_row_groups):
+                    grp = md.row_group(rg)
+                    st = grp.column(idx).statistics
+                    out.append(
+                        (
+                            f,
+                            rg,
+                            grp.num_rows,
+                            None if st is None else float(st.min),
+                            None if st is None else float(st.max),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["file", "row_group", "n_rows", "min_v", "max_v"]
+            )
+
+    return files_df.mapInPandas(
+        read_footers,
+        "file string, row_group int, n_rows bigint, min_v double, max_v double",
+    )
+
+
+def skipping_report(stats: DataFrame, lo: float, hi: float) -> DataFrame:
+    """Per-file data-skipping effectiveness for `col BETWEEN lo AND hi`:
+    a row group is prunable when its footer range cannot intersect the
+    predicate (max < lo or min > hi); statless groups count as must-read
+    (exactly how engines treat missing statistics).  Returns
+    (file, n_rowgroups, n_skipped, rows_total, rows_skipped)."""
+    skippable = (
+        F.col("min_v").isNotNull()
+        & F.col("max_v").isNotNull()
+        & ((F.col("max_v") < F.lit(lo)) | (F.col("min_v") > F.lit(hi)))
+    )
+    return stats.groupBy("file").agg(
+        F.count("*").alias("n_rowgroups"),
+        F.sum(skippable.cast("bigint")).alias("n_skipped"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(skippable, F.col("n_rows")).otherwise(F.lit(0))).alias(
+            "rows_skipped"
+        ),
+    )

@@ -1,0 +1,56 @@
+"""Row-group skipping report (sinks/layout.py rowgroup_stats /
+skipping_report): footer stats match the written data exactly, a sorted
+layout prunes a narrow predicate while a shuffled layout cannot, and
+stats totals reconcile with the table row count."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from etl_scripts_spark.sinks.layout import rowgroup_stats, skipping_report
+
+
+def test_footer_stats_match_written_data(spark, tmp_path):
+    dest = str(tmp_path / "t1")
+    spark.range(0, 1000).select(F.col("id").alias("v")).coalesce(2).write.parquet(dest)
+    files = sorted(glob.glob(dest + "/*.parquet"))
+    stats = rowgroup_stats(spark, files, "v").collect()
+    assert sum(r["n_rows"] for r in stats) == 1000
+    assert min(r["min_v"] for r in stats) == 0.0
+    assert max(r["max_v"] for r in stats) == 999.0
+
+
+def test_sorted_layout_skips_narrow_predicate(spark, tmp_path):
+    """One sorted file per value band → every out-of-band row group is
+    prunable; the same data shuffled across files prunes nothing (each
+    file's range spans the whole domain).  This is the measurable claim
+    behind write_zordered/repartitionByRange layouts."""
+    dest_sorted = str(tmp_path / "sorted")
+    dest_shuffled = str(tmp_path / "shuffled")
+    df = spark.range(0, 10_000).select(F.col("id").alias("v"))
+    df.repartitionByRange(10, "v").write.parquet(dest_sorted)
+    df.repartition(10).write.parquet(dest_shuffled)
+
+    def ratio(dest):
+        files = sorted(glob.glob(dest + "/*.parquet"))
+        stats = rowgroup_stats(spark, files, "v")
+        rep = skipping_report(stats, 4200.0, 4300.0)
+        tot = rep.agg(
+            F.sum("rows_skipped").alias("s"), F.sum("rows_total").alias("t")
+        ).collect()[0]
+        return tot["s"] / tot["t"]
+
+    assert ratio(dest_sorted) >= 0.8  # only the 4200-4300 band file reads
+    assert ratio(dest_shuffled) == 0.0  # every file spans ~[0, 10000)
+
+
+def test_statless_groups_are_must_read(spark):
+    rows = [("f", 0, 100, None, None), ("f", 1, 50, 0.0, 10.0)]
+    stats = spark.createDataFrame(
+        rows, "file string, row_group int, n_rows bigint, min_v double, max_v double"
+    )
+    r = skipping_report(stats, 500.0, 600.0).collect()[0]
+    # the statless group cannot be skipped even though the other one is
+    assert (r["n_skipped"], r["rows_skipped"], r["rows_total"]) == (1, 50, 150)
