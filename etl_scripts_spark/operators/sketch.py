@@ -110,6 +110,22 @@ def kmv_distinct(
     )
 
 
+def md5_bucket(salt: str, col, modulus: int, hex_chars: int):
+    """THE engine-portable bucket law: first `hex_chars` hex chars of
+    md5(salt|col) read as a bigint, mod `modulus`.  One definition shared
+    by the CMS buckets (hex_chars=8) and the Bloom bit positions
+    (hex_chars=12) so the DuckDB twins — ('0x' || substr(md5(...), 1, n))
+    ::BIGINT % m — can never drift from one copy silently."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(salt), col)), 1, hex_chars),
+            16,
+            10,
+        ).cast("bigint")
+        % modulus
+    )
+
+
 def cms_build(df: DataFrame, value_col: str, d: int = 4, w: int = 1024) -> DataFrame:
     """Count-min sketch of a value stream (Cormode & Muthukrishnan 2005):
     d salted hash rows × w counters.  Returns (r, b, cnt) — at most d·w rows
@@ -125,18 +141,7 @@ def cms_build(df: DataFrame, value_col: str, d: int = 4, w: int = 1024) -> DataF
     probes = [
         F.struct(
             F.lit(j).alias("r"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("|", F.lit(str(j)), F.col(value_col))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % w
-            ).alias("b"),
+            md5_bucket(str(j), F.col(value_col), w, hex_chars=8).alias("b"),
         )
         for j in range(d)
     ]
@@ -160,18 +165,7 @@ def cms_estimate(
     probes = [
         F.struct(
             F.lit(j).alias("r"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws("|", F.lit(str(j)), F.col(value_col))),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
-                % w
-            ).alias("b"),
+            md5_bucket(str(j), F.col(value_col), w, hex_chars=8).alias("b"),
         )
         for j in range(d)
     ]
@@ -325,14 +319,7 @@ def _bloom_pos(j: int, key, m_bits: int):
     """Bit position of salted hash j: first 48 bits of md5('bf<j>'|key)
     mod m — the same engine-portable law as cms_build's buckets, so a
     DuckDB oracle recomputes every position bit-identically."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat_ws("|", F.lit(f"bf{j}"), key)), 1, 12),
-            16,
-            10,
-        ).cast("bigint")
-        % m_bits
-    )
+    return md5_bucket(f"bf{j}", key, m_bits, hex_chars=12)
 
 
 def bloom_build(
@@ -379,6 +366,11 @@ def bloom_prune(
 
     Bit test is `!= 0`, never `> 0`: position 63 sets the sign bit
     (shiftleft wraps to BIGINT-min, the same value in both engines)."""
+    clash = set(df.columns) & {f"_p{j}" for j in range(k)}
+    if clash:
+        # withColumn would silently overwrite them and the final drop
+        # would delete the caller's data — fail loudly instead
+        raise ValueError(f"input columns collide with bloom temp names: {clash}")
     out = df
     for j in range(k):
         out = out.withColumn(f"_p{j}", _bloom_pos(j, F.col(key_col), m_bits))

@@ -205,13 +205,16 @@ def rowgroup_stats(spark, files: list[str], column: str) -> DataFrame:
                 for rg in range(md.num_row_groups):
                     grp = md.row_group(rg)
                     st = grp.column(idx).statistics
+                    # all-null chunks write statistics with has_min_max
+                    # False (st.min is None) — statless, must-read
+                    no_stats = st is None or not st.has_min_max
                     out.append(
                         (
                             f,
                             rg,
                             grp.num_rows,
-                            None if st is None else float(st.min),
-                            None if st is None else float(st.max),
+                            None if no_stats else float(st.min),
+                            None if no_stats else float(st.max),
                         )
                     )
             yield pd.DataFrame(

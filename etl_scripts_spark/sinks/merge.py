@@ -22,9 +22,20 @@ except Exception:  # broad: any import failure means "no lakehouse"
     HAVE_DELTA = False
 
 
-def dedupe_updates(updates: DataFrame, keys: list[str], order_col: str) -> DataFrame:
-    """Last-writer-wins within one batch (highest order_col per key)."""
-    w = Window.partitionBy(*keys).orderBy(F.desc(order_col))
+def dedupe_updates(
+    updates: DataFrame,
+    keys: list[str],
+    order_col: str,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Last-writer-wins within one batch (highest order_col per key).
+    Pass `tiebreak_cols` when two updates can share (keys, order_col):
+    without a total order the row_number pick is partition-dependent —
+    callers with a determinism contract (scd2_apply) break ties on the
+    payload itself, the asof_join pattern."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(order_col), *[F.desc(c) for c in tiebreak_cols]
+    )
     return updates.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
@@ -86,6 +97,9 @@ def scd2_apply(
         updates.select(*keys, *attrs, F.col(effective_col).alias("_eff")),
         keys,
         "_eff",
+        # ties on (key, effective_ts) resolve on the payload, greatest
+        # wins — deterministic across partitionings and engines
+        tiebreak_cols=tuple(attrs),
     )
     cols = [*keys, *attrs, "valid_from", "valid_to"]
     c = current.select(*[F.col(x).alias(f"_c_{x}") for x in cols], *keys)
@@ -162,6 +176,16 @@ def scd2_join(
     clash = set(attrs) & {ts_col}
     if clash:
         raise ValueError(f"history attr collides with fact ts column: {clash}")
+    out_cols = {f"{a}{suffix}" for a in attrs} | {
+        f"valid_from{suffix}",
+        f"valid_to{suffix}",
+        f"{ts_col}{suffix}",
+    }
+    clash = set(facts.columns) & out_cols
+    if clash:
+        # Spark would emit duplicate column names silently; any later
+        # select on them fails with AMBIGUOUS_REFERENCE — fail loudly now
+        raise ValueError(f"fact columns collide with suffixed outputs: {clash}")
     h = history.select(
         F.col(key),
         F.col("valid_from").alias(ts_col),

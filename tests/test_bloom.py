@@ -82,3 +82,13 @@ def test_bloom_prune_partitioning_independent(spark):
     a = sorted(r["key"] for r in bloom_prune(big.repartition(13), "key", words).collect())
     b = sorted(r["key"] for r in bloom_prune(big.coalesce(1), "key", words).collect())
     assert a == b
+
+
+def test_bloom_prune_rejects_temp_name_collision(spark):
+    import pytest as _pt
+
+    keys = _tbl(spark, range(10))
+    big = _tbl(spark, range(20)).withColumn("_p1", F.lit(0))
+    words = bloom_build(keys, "key")
+    with _pt.raises(ValueError, match="collide"):
+        bloom_prune(big, "key", words)

@@ -213,3 +213,26 @@ def test_scd2_join_equals_inequality_join_oracle(spark):
         for r in scd2_join(facts, hist, "k").collect()
     )
     assert got == [(a, b, c) for (a, b, c) in want]
+
+
+def test_tied_effective_ts_resolves_deterministically(spark):
+    """Two updates sharing (key, effective_ts): the greatest payload wins
+    (attr-order tiebreak), identically under any partitioning."""
+    hist = _hist(spark, [("a", "red", 1, 100, None)])
+    upd = _upd(spark, [("a", "blue", 1, 200), ("a", "green", 1, 200)])
+    want = [("a", "green", 1, 200, None), ("a", "red", 1, 100, 200)]
+    assert _rows(_apply(hist, upd.repartition(7))) == want
+    assert _rows(_apply(hist, upd.coalesce(1))) == want
+
+
+def test_scd2_join_rejects_suffix_collision(spark):
+    import pytest as _pt
+
+    from etl_scripts_spark.sinks.merge import scd2_join
+
+    hist = _hist(spark, [("a", "red", 1, 100, None)])
+    facts = spark.createDataFrame(
+        [("a", 150, "x")], "k string, ts bigint, color_dim string"
+    )
+    with _pt.raises(ValueError, match="collide"):
+        scd2_join(facts, hist, "k")

@@ -54,3 +54,18 @@ def test_statless_groups_are_must_read(spark):
     r = skipping_report(stats, 500.0, 600.0).collect()[0]
     # the statless group cannot be skipped even though the other one is
     assert (r["n_skipped"], r["rows_skipped"], r["rows_total"]) == (1, 50, 150)
+
+
+def test_all_null_column_chunk_is_statless_must_read(spark, tmp_path):
+    """pyarrow writes statistics with has_min_max=False for an all-null
+    chunk (st is not None, st.min is None) — must surface as statless,
+    not crash the footer sweep."""
+    dest = str(tmp_path / "allnull")
+    spark.range(0, 100).select(
+        F.lit(None).cast("double").alias("v")
+    ).coalesce(1).write.parquet(dest)
+    files = sorted(glob.glob(dest + "/*.parquet"))
+    stats = rowgroup_stats(spark, files, "v").collect()
+    assert len(stats) == 1 and stats[0]["min_v"] is None
+    r = skipping_report(rowgroup_stats(spark, files, "v"), 0.0, 1.0).collect()[0]
+    assert (r["n_skipped"], r["rows_skipped"]) == (0, 0)
