@@ -236,3 +236,54 @@ def test_scd2_join_rejects_suffix_collision(spark):
     )
     with _pt.raises(ValueError, match="collide"):
         scd2_join(facts, hist, "k")
+
+
+def test_randomized_batches_match_reference_model(spark):
+    """Five seeded random batches applied in sequence: the distributed
+    result equals a dict-based reference SCD2 after every apply, and the
+    structural invariants hold (exactly one open row per key ever seen,
+    per-key intervals non-overlapping and chained)."""
+    import random
+
+    rng = random.Random(42)
+    hist = _hist(spark, [])
+    # reference: key -> list of [color, size, valid_from, valid_to]
+    ref: dict[str, list[list]] = {}
+    ts = 100
+    for _ in range(5):
+        batch = []
+        for _ in range(30):
+            k = f"k{rng.randrange(8)}"
+            color = rng.choice(["red", "green", "blue", None])
+            size = rng.randrange(3)
+            eff = ts + rng.randrange(50)
+            batch.append((k, color, size, eff))
+        ts += 100
+        # reference apply: LWW on (eff, then payload) per key
+        best = {}
+        for k, color, size, eff in batch:
+            cur = best.get(k)
+            cand = (eff, (color is not None, color), size)
+            if cur is None or cand > cur[0]:
+                best[k] = ((eff, (color is not None, color), size), (color, size, eff))
+        for k, (_, (color, size, eff)) in best.items():
+            versions = ref.setdefault(k, [])
+            if versions and versions[-1][3] is None:
+                open_v = versions[-1]
+                if eff <= open_v[2]:
+                    continue  # stale
+                if (open_v[0], open_v[1]) == (color, size):
+                    continue  # unchanged
+                open_v[3] = eff
+            versions.append([color, size, eff, None])
+        hist = _apply(hist, _upd(spark, batch)).localCheckpoint(eager=True)
+        want = sorted(
+            ((k, c, s, vf, vt) for k, vs in ref.items() for c, s, vf, vt in vs),
+            key=lambda t: tuple((v is not None, v) for v in t),
+        )
+        assert _rows(hist) == want
+        # invariants: one open row per key; intervals chain without overlap
+        for k, vs in ref.items():
+            assert sum(1 for v in vs if v[3] is None) == 1
+            for a, b in zip(vs, vs[1:]):
+                assert a[3] == b[2] and a[2] < a[3]
