@@ -858,3 +858,88 @@ def bigram_lm_scores(
             "avg_logp2"
         ),
     )
+
+
+def batch_retrieval(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k documents for a BATCH of queries — the offline
+    retrieval-evaluation / hard-negative-mining workload (score a
+    benchmark's queries against the training corpus in one plan).
+
+    Different shape from bm25_scores (which scores EVERY doc against one
+    fixed term list, map-side): here the corpus becomes an inverted
+    index — (doc, term, tf) postings, ONE corpus shuffle shared with the
+    df table — and the query batch joins INTO it.
+
+    Scale shape (100 TB corpus, thousands of queries): the query-term
+    table broadcasts (n_queries × terms rows), so postings not matching
+    any query term are dropped MAP-SIDE at the index scan — the
+    (query, doc) aggregation only shuffles matched postings.  The top-k
+    cut is a per-query row_number, which Spark plans as WindowGroupLimit
+    on both sides of its exchange: each task ships at most top_k rows
+    per query.
+
+    Determinism: per-term contributions are rounded to 6 dp and summed
+    as DECIMAL(18,6) — decimal addition is exact and commutative, so the
+    score is independent of aggregation order (a raw float sum over a
+    dynamic term set would be order-dependent; bm25_scores avoids that
+    with fixed-order column addition, which cannot work when terms come
+    from data).  idf/avgdl laws match bm25_scores exactly.  Ties on
+    score break on doc id, so the cut itself is reproducible.
+
+    Returns (query_id, rank, doc_id, score) with rank 1..top_k.
+    """
+    from pyspark.sql.window import Window
+
+    base = doc_lengths(docs, text_col, id_col)
+    postings = (
+        base.select(F.col(id_col), F.col("dl"), F.explode("_w").alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qtoks = queries.select(
+        F.col(query_id_col), words(F.col(query_text_col)).alias("_qw")
+    )
+    qterms = (
+        qtoks.select(F.col(query_id_col), F.explode("_qw").alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    matched = postings.join(F.broadcast(qterms), "term").join(
+        F.broadcast(dfreq), "term"
+    )
+    scored = join_singleton(matched, stats)
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / (F.col("sum_dl") / F.col("n_docs"))
+    )
+    contrib = F.round(idf * (F.col("tf") * (k1 + 1.0)) / denom, 6).cast(
+        "decimal(18,6)"
+    )
+    pair_scores = scored.select(
+        F.col(query_id_col), F.col(id_col), contrib.alias("_c")
+    ).groupBy(query_id_col, id_col).agg(F.sum("_c").alias("score"))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        pair_scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(query_id_col, "rank", id_col, "score")
+    )
