@@ -111,31 +111,37 @@ def scd2_apply(
     for a in attrs:
         same = same & F.col(f"_c_{a}").eqNullSafe(F.col(a))
     changes = fresh_upd & (~has_cur | ~same)
-    # superseded current rows close at the update's effective time
-    closing = j.filter(changes & has_cur).select(
-        *keys,
+    # single pass over the joined row — emitting each outcome as a
+    # branch of one array-then-explode keeps the plan at ONE physical
+    # join (three filtered selects over `j` would compile to three join
+    # executions; the exchange is reused but the join CPU is paid 3×)
+    closing_s = F.struct(
         *[F.col(f"_c_{a}").alias(a) for a in attrs],
         F.col("_c_valid_from").alias("valid_from"),
         F.col("_eff").alias("valid_to"),
     )
-    opened = j.filter(changes).select(
-        *keys,
-        *attrs,
+    opened_s = F.struct(
+        *[F.col(a).alias(a) for a in attrs],
         F.col("_eff").alias("valid_from"),
         F.lit(None).cast("bigint").alias("valid_to"),
     )
-    kept = j.filter(has_cur & ~changes).select(
-        *keys,
+    kept_s = F.struct(
         *[F.col(f"_c_{a}").alias(a) for a in attrs],
         F.col("_c_valid_from").alias("valid_from"),
         F.col("_c_valid_to").alias("valid_to"),
     )
-    return (
-        closed.select(*cols)
-        .unionByName(closing)
-        .unionByName(kept)
-        .unionByName(opened)
+    emit = (
+        # superseded current row closes at the update's effective time
+        F.when(changes & has_cur, F.array(closing_s, opened_s))
+        .when(changes, F.array(opened_s))  # new key: open only
+        .when(has_cur, F.array(kept_s))  # no-op / stale: keep as-is
+        # no otherwise: a full-outer row always has a side, and explode
+        # drops the NULL array of the unreachable branch anyway
     )
+    out_updates = j.select(*keys, F.explode(emit).alias("_o")).select(
+        *keys, "_o.*"
+    )
+    return closed.select(*cols).unionByName(out_updates.select(*cols))
 
 
 def scd2_snapshot(history: DataFrame, ts) -> DataFrame:

@@ -287,3 +287,21 @@ def test_randomized_batches_match_reference_model(spark):
             assert sum(1 for v in vs if v[3] is None) == 1
             for a, b in zip(vs, vs[1:]):
                 assert a[3] == b[2] and a[2] < a[3]
+
+
+def test_apply_plans_exactly_one_join(spark):
+    """The single-pass array/explode emit keeps the physical plan at ONE
+    join of current×batch — the filtered-selects formulation compiled to
+    three join executions over a reused exchange (3× join CPU)."""
+    import contextlib
+    import io
+    import re
+
+    hist = _hist(spark, [(f"k{i}", "red", i, 100, None) for i in range(30)])
+    upd = _upd(spark, [(f"k{i}", "blue", i, 200) for i in range(0, 30, 2)])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _apply(hist, upd).explain("formatted")
+    plan = buf.getvalue()
+    joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    assert len(joins) == 1, joins
