@@ -76,3 +76,68 @@ def test_schema_drift(spark):
         ("v", "removed", "double", None),
     ]
     assert schema_drift(a, a) == []
+
+
+def _hist_df(spark, rows):
+    return spark.createDataFrame(rows, "column string, bin int, cnt bigint")
+
+
+def test_psi_identical_distributions_are_stable(spark):
+    from etl_scripts_spark.reports.drift import psi_report
+
+    h = _hist_df(spark, [("c", 0, 100), ("c", 1, 300), ("c", 2, 600)])
+    r = psi_report(h, h).collect()[0]
+    assert float(r["psi"]) == 0.0 and r["status"] == "stable"
+
+
+def test_psi_shifted_distribution_flags(spark):
+    """Mass moving from bin 0 to bin 2 produces a large PSI; the value
+    matches a hand computation of the smoothed law."""
+    import math
+
+    from etl_scripts_spark.reports.drift import psi_report
+
+    base = _hist_df(spark, [("c", 0, 900), ("c", 1, 100)])
+    new = _hist_df(spark, [("c", 0, 100), ("c", 1, 100), ("c", 2, 800)])
+    r = psi_report(base, new).collect()[0]
+    bt, nt = 900 + 100 + 0 + 3, 100 + 100 + 800 + 3
+    want = 0.0
+    for bc, nc in ((900, 100), (100, 100), (0, 800)):
+        p, q = (bc + 1) / bt, (nc + 1) / nt
+        want += round((p - q) * math.log(p / q), 9)
+    assert abs(float(r["psi"]) - want) < 1e-9
+    assert r["status"] == "shifted"
+
+
+def test_psi_scale_invariant(spark):
+    """Same SHAPE at 10x the row count stays stable — PSI compares
+    proportions, not counts."""
+    from etl_scripts_spark.reports.drift import psi_report
+
+    base = _hist_df(spark, [("c", 0, 10), ("c", 1, 30), ("c", 2, 60)])
+    new = _hist_df(spark, [("c", 0, 100), ("c", 1, 300), ("c", 2, 600)])
+    r = psi_report(base, new).collect()[0]
+    assert float(r["psi"]) < 0.01 and r["status"] == "stable"
+
+
+def test_psi_multi_column_and_partitioning_independent(spark):
+    from etl_scripts_spark.reports.drift import psi_report
+
+    base = _hist_df(
+        spark,
+        [("a", 0, 500), ("a", 1, 500), ("b", 0, 900), ("b", 1, 100)],
+    )
+    new = _hist_df(
+        spark,
+        [("a", 0, 510), ("a", 1, 490), ("b", 0, 100), ("b", 1, 900)],
+    )
+    got1 = {
+        r["column"]: (str(r["psi"]), r["status"])
+        for r in psi_report(base.repartition(5), new.repartition(3)).collect()
+    }
+    got2 = {
+        r["column"]: (str(r["psi"]), r["status"])
+        for r in psi_report(base.coalesce(1), new.coalesce(1)).collect()
+    }
+    assert got1 == got2
+    assert got1["a"][1] == "stable" and got1["b"][1] == "shifted"
