@@ -307,3 +307,90 @@ def _superseded_without_merge(root: str, version: int) -> bool:
         if base is None or base < version:
             return True
     return False
+
+
+def vacuum(root: str, keep: int = 2, grace_seconds: float = 3600.0) -> dict:
+    """Retention GC for the version chain — the VACUUM counterpart that
+    optimistic_upsert's withdrawn-commit path defers to ("orphaned
+    snapshots are a GC-with-retention concern, exactly as in
+    Delta/Iceberg").
+
+    Law (all driver-side filesystem metadata, no table scan):
+
+      - the newest `keep` PARSEABLE manifests are the time-travel
+        window: their manifests and data dirs are never touched;
+      - manifests below the window lose their data dir first, then the
+        manifest (a crash between the two leaves an unreferenced dir
+        that the next run removes — never a manifest pointing nowhere
+        inside the window);
+      - a data dir referenced by NO manifest (aborted writer, withdrawn
+        supersede victim, conflict-loser litter) is removed only once
+        older than `grace_seconds` — a LIVE writer stages data before
+        publishing its manifest, and the grace shields that window;
+      - stale `.v*.tmp` manifest litter ages out under the same grace.
+
+    As with real lakehouse VACUUM, `keep`/`grace_seconds` must exceed
+    the longest-running reader/writer; a reader pinned to an evicted
+    snapshot fails its next scan, which is the documented trade.
+
+    Returns {"retained_versions", "removed_manifests", "removed_dirs"}.
+    """
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1 (the latest snapshot must survive)")
+    vdir = _versions_dir(root)
+    data_root = os.path.join(root, "data")
+    now = time.time()
+    manifests: dict[int, tuple[str, str | None]] = {}
+    if os.path.isdir(vdir):
+        for name in os.listdir(vdir):
+            path = os.path.join(vdir, name)
+            if name.startswith(".") and name.endswith(".tmp"):
+                if now - os.path.getmtime(path) > grace_seconds:
+                    try:
+                        os.unlink(path)
+                    except FileNotFoundError:
+                        pass
+                continue
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            stem = name[1:-5]
+            if not stem.isdigit():
+                continue
+            try:
+                with open(path) as fh:
+                    data = json.load(fh).get("data")
+            except (OSError, ValueError):
+                continue  # torn claim: inert, owner may still publish it
+            manifests[int(stem)] = (path, data)
+    retained = sorted(manifests)[-keep:]
+    referenced = {
+        os.path.normpath(manifests[v][1]) for v in retained if manifests[v][1]
+    }
+    removed_manifests, removed_dirs = [], []
+    for v in sorted(manifests):
+        if v in retained:
+            continue
+        path, data = manifests[v]
+        if data and os.path.isdir(data):
+            shutil.rmtree(data, ignore_errors=True)
+            removed_dirs.append(os.path.normpath(data))
+        try:
+            os.unlink(path)
+        except FileNotFoundError:
+            pass
+        removed_manifests.append(v)
+    if os.path.isdir(data_root):
+        for name in os.listdir(data_root):
+            d = os.path.join(data_root, name)
+            if os.path.normpath(d) in referenced or not os.path.isdir(d):
+                continue
+            if now - os.path.getmtime(d) > grace_seconds:
+                shutil.rmtree(d, ignore_errors=True)
+                removed_dirs.append(os.path.normpath(d))
+    return {
+        "retained_versions": retained,
+        "removed_manifests": removed_manifests,
+        "removed_dirs": removed_dirs,
+    }

@@ -555,3 +555,48 @@ def test_optimistic_upsert_threaded_stress_loses_nothing(spark, tmp_path):
     assert leftovers == []
     # committed chain sane: readable latest, versions within claim bound
     assert 1 <= commitmod.latest_committed_version(root) <= commitmod.table_version(root)
+
+
+def test_vacuum_retention_gc(spark, tmp_path):
+    """VACUUM law: newest `keep` snapshots untouched (latest still reads
+    correctly), older manifests + data dirs removed, unreferenced orphan
+    dirs (aborted/withdrawn writers) grace-gated — kept while young,
+    removed once past the grace."""
+    import os
+
+    from etl_scripts_spark.sinks.commit import (
+        latest_committed_version,
+        optimistic_upsert,
+        read_version,
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    for i in range(4):
+        up = spark.createDataFrame([(f"S{i}", f"w{i}")], "code string, src string")
+        optimistic_upsert(spark, root, up, ["code"])
+    # an orphan dir no manifest references (a withdrawn commit's leftover)
+    orphan = os.path.join(root, "data", "v9-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-0.txt"), "w") as fh:
+        fh.write("x")
+
+    out = vacuum(root, keep=2, grace_seconds=3600.0)
+    assert out["retained_versions"] == [3, 4]
+    assert out["removed_manifests"] == [1, 2]
+    # young orphan survives the grace
+    assert os.path.isdir(orphan)
+    assert latest_committed_version(root) == 4
+    assert sorted(
+        (r["code"], r["src"]) for r in read_version(spark, root, 4).collect()
+    ) == [("S0", "w0"), ("S1", "w1"), ("S2", "w2"), ("S3", "w3")]
+
+    out2 = vacuum(root, keep=2, grace_seconds=0.0)
+    assert not os.path.isdir(orphan)  # aged past grace -> collected
+    assert os.path.normpath(orphan) in out2["removed_dirs"]
+    # idempotent from here
+    out3 = vacuum(root, keep=2, grace_seconds=0.0)
+    assert out3["removed_manifests"] == [] and out3["removed_dirs"] == []
+    # a later writer continues the chain normally after GC
+    up = spark.createDataFrame([("S9", "w9")], "code string, src string")
+    assert optimistic_upsert(spark, root, up, ["code"]) == 5
