@@ -9,9 +9,12 @@ and `parse_image_header` reads them with stdlib `struct`.  The PIXEL path
 is real for the three containers decodable without a codec library —
 PNG (zlib IDAT + all five row filters), uncompressed BMP, and baseline
 JPEG (operators/jpeg.py: full huffman + dequant + IDCT + YCbCr) — so
-decode → stats → resize runs end-to-end.  The remaining declared seams:
-progressive/arithmetic JPEG and codec-level video (ffmpeg), plus the
-CLIP-style embedding stub in `extract_features`.
+decode → stats → resize runs end-to-end.  Codec-level VIDEO is real
+for MJPEG-in-AVI (demux_avi_frames + per-frame baseline-JPEG decode in
+decode_video_frame_pixels).  The remaining declared seams:
+progressive/arithmetic JPEG and inter-frame video codecs (H.26x/VP9 —
+ffmpeg territory), plus the CLIP-style embedding stub in
+`extract_features`.
 """
 
 from __future__ import annotations
@@ -959,3 +962,126 @@ def resized_byte_sum(resized: DataFrame) -> DataFrame:
             )
 
     return resized.mapInPandas(batches, RESIZE_SUM_SCHEMA)
+
+
+# --- MJPEG video: codec-level frame decode -------------------------------
+
+MJPEG_FRAME_PIXEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("src_frame", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("px_sum", T.LongType()),
+        T.StructField("px_min", T.IntegerType()),
+        T.StructField("px_max", T.IntegerType()),
+    ]
+)
+
+
+def synthetic_mjpeg_avi_bytes(doc_id: int) -> bytes:
+    """MJPEG-in-AVI fixture: the same RIFF/AVI container law as
+    synthetic_avi_bytes, but every '00dc' chunk is a REAL baseline JPEG
+    (jpeg.synthetic_jpeg_bytes with per-frame id doc_id + i), so frame
+    pixels follow the closed-form DC-block law and video decode is
+    verifiable value-exactly end to end — container demux AND codec."""
+    from .jpeg import synthetic_jpeg_bytes
+
+    d = int(doc_id)
+    k = 2 + d % 5
+    frames = [synthetic_jpeg_bytes(d + i) for i in range(k)]
+    avih = struct.pack("<14I", 33367, 0, 0, 0, k, 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+    movi = bytearray(b"movi")
+    for fr in frames:
+        movi += b"00dc" + struct.pack("<I", len(fr)) + fr
+        if len(fr) & 1:
+            movi += b"\x00"
+    body = (
+        b"AVI "
+        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def with_mjpeg_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture source for the codec-level video path (map-only)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [synthetic_mjpeg_avi_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+
+
+def decode_video_frame_pixels(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", n_frames: int = 4
+) -> DataFrame:
+    """CODEC-LEVEL video decode: demux the AVI movi list, even-sample
+    `n_frames` (the same src = j·k//n seek law as sample_video_frames),
+    then JPEG-decode each sampled frame to pixels and reduce to stats —
+    the video path is now real decode, not byte fingerprints.
+
+    Undecodable frames (non-JPEG chunk payloads, truncation) keep
+    flowing as rows with NULL pixel stats, mirroring
+    decode_pixel_stats' quarantine contract.  One row in → n rows out
+    inside the Arrow stage; frame pixels never leave it.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .jpeg import decode_jpeg_pixels
+
+        for pdf in it:
+            rows = []
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                frames = demux_avi_frames(bytes(b) if b is not None else b"")
+                if not frames:
+                    continue  # undecodable container → no rows
+                k = len(frames)
+                for j in range(n_frames):
+                    src = j * k // n_frames
+                    _off, data = frames[src]
+                    try:
+                        img = decode_jpeg_pixels(data)
+                    except ValueError:
+                        rows.append((int(did), j, src, k) + (None,) * 6)
+                        continue
+                    arr = img.astype(np.int64)
+                    rows.append(
+                        (
+                            int(did),
+                            j,
+                            src,
+                            k,
+                            img.shape[0],
+                            img.shape[1],
+                            img.shape[2],
+                            int(arr.sum()),
+                            int(arr.min()),
+                            int(arr.max()),
+                        )
+                    )
+            cols = [f.name for f in MJPEG_FRAME_PIXEL_SCHEMA.fields]
+            out = pd.DataFrame(rows, columns=cols)
+            for c in ("frame_idx", "src_frame", "n_frames", "height", "width", "channels", "px_min", "px_max"):
+                out[c] = pd.array(out[c], dtype="Int32")
+            out["doc_id"] = pd.array(out["doc_id"], dtype="Int64")
+            out["px_sum"] = pd.array(out["px_sum"], dtype="Int64")
+            yield out
+
+    return df.select(id_col, bin_col).mapInPandas(batches, MJPEG_FRAME_PIXEL_SCHEMA)

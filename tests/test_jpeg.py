@@ -160,3 +160,24 @@ def test_fractional_sampling_ratio_is_declared_seam():
     )
     with pytest.raises(ValueError, match="sampling"):
         jpeg.decode_jpeg_pixels(payload)
+
+
+def test_mjpeg_avi_codec_level_decode(spark_maybe=None):
+    """Codec-level video: demux the MJPEG AVI, JPEG-decode every frame,
+    and the pixel stats match the closed-form DC-block law frame by
+    frame (frame i uses fixture id d + i)."""
+    from etl_scripts_spark.operators import multimodal
+
+    for d in (0, 3, 7, 12):
+        payload = multimodal.synthetic_mjpeg_avi_bytes(d)
+        frames = multimodal.demux_avi_frames(payload)
+        assert len(frames) == 2 + d % 5
+        for i, (_off, data) in enumerate(frames):
+            img = jpeg.decode_jpeg_pixels(data)
+            fid = d + i
+            w, h = 16 + fid % 9, 16 + (3 * fid) % 9
+            ch = 1 if fid % 2 == 0 else 3
+            assert img.shape == (h, w, ch)
+            x, y = np.arange(w), np.arange(h)
+            v = (5 * (x[None, :] // 8) + 11 * (y[:, None] // 8) + fid) % 256
+            assert int(img.astype(np.int64).sum()) == int(v.sum()) * ch

@@ -533,3 +533,46 @@ def test_entity_resolution_key_width_dials(spark):
         blocking_keys(df, "name", initials_len=2), max_block=10
     )
     assert (100, 101) in {(r.id_a, r.id_b) for r in fine.collect()}
+
+
+def test_decode_video_frame_pixels_stage(spark):
+    """The distributed MJPEG path: with_mjpeg_avi_payload →
+    decode_video_frame_pixels equals the closed-form law per sampled
+    frame, and a corrupted frame degrades to NULL stats, not a crash."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_scripts_spark.operators import multimodal
+
+    ids = spark.range(0, 12).select(F.col("id").alias("doc_id"))
+    out = multimodal.decode_video_frame_pixels(
+        multimodal.with_mjpeg_avi_payload(ids), n_frames=3
+    ).collect()
+    assert len(out) == 12 * 3
+    for r in out:
+        d, src = r["doc_id"], r["src_frame"]
+        assert r["n_frames"] == 2 + d % 5
+        fid = d + src
+        w, h = 16 + fid % 9, 16 + (3 * fid) % 9
+        ch = 1 if fid % 2 == 0 else 3
+        assert (r["height"], r["width"], r["channels"]) == (h, w, ch)
+        x, y = np.arange(w), np.arange(h)
+        v = (5 * (x[None, :] // 8) + 11 * (y[:, None] // 8) + fid) % 256
+        assert r["px_sum"] == int(v.sum()) * ch
+        assert r["px_min"] == int(v.min()) and r["px_max"] == int(v.max())
+
+    # corrupt one frame's entropy data: that frame NULLs, others decode
+    import pandas as pd
+
+    payload = bytearray(multimodal.synthetic_mjpeg_avi_bytes(1))
+    first = multimodal.demux_avi_frames(bytes(payload))[0]
+    off = first[0]
+    payload[off : off + 2] = b"XX"  # clobber the SOI marker
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [bytes(payload)]})
+    )
+    rows = multimodal.decode_video_frame_pixels(df, n_frames=3).collect()
+    assert len(rows) == 3
+    nulls = [r for r in rows if r["px_sum"] is None]
+    decoded = [r for r in rows if r["px_sum"] is not None]
+    assert len(nulls) >= 1 and len(decoded) >= 1
