@@ -907,7 +907,6 @@ def batch_retrieval(
         .groupBy(id_col, "dl", "term")
         .agg(F.count("*").alias("tf"))
     )
-    dfreq = postings.groupBy("term").agg(F.count("*").alias("df"))
     stats = base.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
@@ -919,7 +918,17 @@ def batch_retrieval(
         .filter(F.col("term") != "")
         .distinct()
     )
-    matched = postings.join(F.broadcast(qterms), "term").join(
+    # prune postings to query terms FIRST (semi on the broadcast query
+    # vocabulary), and derive the df table from the PRUNED postings —
+    # per-term df is unchanged by term-level pruning, and the broadcast
+    # is then bounded by the query vocabulary, never the corpus
+    # vocabulary (a full-vocab dfreq broadcast is unbounded in corpus
+    # size and would not survive 100 TB).
+    relevant = postings.join(
+        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+    )
+    dfreq = relevant.groupBy("term").agg(F.count("*").alias("df"))
+    matched = relevant.join(F.broadcast(qterms), "term").join(
         F.broadcast(dfreq), "term"
     )
     scored = join_singleton(matched, stats)

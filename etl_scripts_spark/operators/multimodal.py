@@ -522,7 +522,14 @@ def synthetic_avi_bytes(doc_id: int) -> bytes:
     for i in range(k):
         ln = 10 + (doc_id + i) % 50
         frames.append(bytes(((doc_id + 3 * i + m) % 256) for m in range(ln)))
-    avih = struct.pack("<14I", 33367, 0, 0, 0, k, 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    return _avi_container(frames)
+
+
+def _avi_container(frames: list[bytes]) -> bytes:
+    """RIFF('AVI ') wrap of a '00dc' frame list — the ONE copy of the
+    container law (avih header, hdrl/movi LISTs, odd-size padding) shared
+    by the raw-frame and MJPEG fixtures, so the two can never drift."""
+    avih = struct.pack("<14I", 33367, 0, 0, 0, len(frames), 0, 1, 0, 0, 0, 0, 0, 0, 0)
     hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
     movi = bytearray(b"movi")
     for fr in frames:
@@ -992,20 +999,7 @@ def synthetic_mjpeg_avi_bytes(doc_id: int) -> bytes:
 
     d = int(doc_id)
     k = 2 + d % 5
-    frames = [synthetic_jpeg_bytes(d + i) for i in range(k)]
-    avih = struct.pack("<14I", 33367, 0, 0, 0, k, 0, 1, 0, 0, 0, 0, 0, 0, 0)
-    hdrl = b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
-    movi = bytearray(b"movi")
-    for fr in frames:
-        movi += b"00dc" + struct.pack("<I", len(fr)) + fr
-        if len(fr) & 1:
-            movi += b"\x00"
-    body = (
-        b"AVI "
-        + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
-        + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
-    )
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    return _avi_container([synthetic_jpeg_bytes(d + i) for i in range(k)])
 
 
 def with_mjpeg_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -189,6 +189,11 @@ def psi_report(
     are rounded to 9 dp and summed as DECIMAL(20,9), so the PSI is
     independent of aggregation order and engine-portable.
     """
+    if smoothing < 1:
+        # with smoothing 0 a one-sided bin gives ln(0) → NULL, which
+        # F.sum silently SKIPS — PSI would underestimate exactly when
+        # drift is most extreme (mass arriving in brand-new bins)
+        raise ValueError("smoothing must be >= 1 to keep every bin term finite")
     b = base_hist.select(group_col, "bin", F.col("cnt").alias("_bc"))
     n = new_hist.select(group_col, "bin", F.col("cnt").alias("_nc"))
     j = (

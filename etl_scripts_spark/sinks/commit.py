@@ -347,7 +347,11 @@ def vacuum(root: str, keep: int = 2, grace_seconds: float = 3600.0) -> dict:
         for name in os.listdir(vdir):
             path = os.path.join(vdir, name)
             if name.startswith(".") and name.endswith(".tmp"):
-                if now - os.path.getmtime(path) > grace_seconds:
+                try:
+                    aged = now - os.path.getmtime(path) > grace_seconds
+                except FileNotFoundError:
+                    continue  # the live writer unlinked it after listdir
+                if aged:
                     try:
                         os.unlink(path)
                     except FileNotFoundError:
@@ -386,7 +390,11 @@ def vacuum(root: str, keep: int = 2, grace_seconds: float = 3600.0) -> dict:
             d = os.path.join(data_root, name)
             if os.path.normpath(d) in referenced or not os.path.isdir(d):
                 continue
-            if now - os.path.getmtime(d) > grace_seconds:
+            try:
+                aged = now - os.path.getmtime(d) > grace_seconds
+            except FileNotFoundError:
+                continue  # a conflict-losing writer rmtree'd it after listdir
+            if aged:
                 shutil.rmtree(d, ignore_errors=True)
                 removed_dirs.append(os.path.normpath(d))
     return {

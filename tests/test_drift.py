@@ -141,3 +141,13 @@ def test_psi_multi_column_and_partitioning_independent(spark):
     }
     assert got1 == got2
     assert got1["a"][1] == "stable" and got1["b"][1] == "shifted"
+
+
+def test_psi_rejects_zero_smoothing(spark):
+    import pytest as _pt
+
+    from etl_scripts_spark.reports.drift import psi_report
+
+    h = _hist_df(spark, [("c", 0, 10)])
+    with _pt.raises(ValueError, match="smoothing"):
+        psi_report(h, h, smoothing=0)

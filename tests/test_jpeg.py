@@ -162,7 +162,7 @@ def test_fractional_sampling_ratio_is_declared_seam():
         jpeg.decode_jpeg_pixels(payload)
 
 
-def test_mjpeg_avi_codec_level_decode(spark_maybe=None):
+def test_mjpeg_avi_codec_level_decode():
     """Codec-level video: demux the MJPEG AVI, JPEG-decode every frame,
     and the pixel stats match the closed-form DC-block law frame by
     frame (frame i uses fixture id d + i)."""
