@@ -1079,3 +1079,87 @@ def decode_video_frame_pixels(
             yield out
 
     return df.select(id_col, bin_col).mapInPandas(batches, MJPEG_FRAME_PIXEL_SCHEMA)
+
+
+# --- Perceptual image hashing: near-duplicate images ----------------------
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def _ahash64(img) -> int:
+    """64-bit average hash (aHash) of a decoded (h, w, ch) uint8 image:
+    integer-weighted luma (299/587/114 per ITU-R 601, scale 1000 — no
+    float), pixels pooled into an 8×8 grid by the floor map
+    (y·8//h, x·8//w), bit 8·cy+cx set iff the cell's mean luma exceeds
+    the global mean.  The comparison is the exact integer cross-multiply
+    cell_sum·total_cnt > total_sum·cell_cnt (Python bigints — no
+    overflow, no float ties), so the hash is bit-reproducible on any
+    platform.  Returned as a SIGNED 64-bit value (bit 63 wraps negative,
+    matching the simhash convention the band join expects)."""
+    import numpy as np
+
+    a = img.astype(np.int64)
+    if a.shape[2] == 1:
+        luma = a[:, :, 0] * 1000
+    else:
+        luma = 299 * a[:, :, 0] + 587 * a[:, :, 1] + 114 * a[:, :, 2]
+    h, w = luma.shape
+    cell = (np.arange(h) * 8 // h)[:, None] * 8 + (np.arange(w) * 8 // w)[None, :]
+    sums = np.zeros(64, dtype=np.int64)
+    np.add.at(sums, cell.ravel(), luma.ravel())
+    cnts = np.bincount(cell.ravel(), minlength=64)
+    total_sum = int(luma.sum())
+    total_cnt = h * w
+    val = 0
+    for j in range(64):
+        if int(sums[j]) * total_cnt > total_sum * int(cnts[j]):
+            val |= 1 << j
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """(doc_id, ahash): perceptual signature per image, Arrow-batched over
+    the caller's partitioning; undecodable payloads yield NULL (the
+    pair stage drops them).  Near-identical images (recompressions,
+    small edits) land within a few bits of each other — the image analog
+    of the text SimHash."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                _fmt, img = decode_image_pixels(bytes(b) if b is not None else b"")
+                ids.append(int(did))
+                hashes.append(None if img is None else _ahash64(img))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: aHash signatures through the SAME
+    4×16-bit pigeonhole band join as text SimHash
+    (text.hamming_near_dup_pairs — the banding law lives once).  Scale
+    shape is inherited: banded equi-joins bound candidates, bit_count
+    verifies in-join, output grows with true near-dups."""
+    from .text import hamming_near_dup_pairs
+
+    sig = image_ahash(df, id_col, bin_col).filter(F.col("ahash").isNotNull())
+    return hamming_near_dup_pairs(sig, sig_col="ahash", max_hamming=max_hamming)

@@ -268,24 +268,36 @@ def simhash_near_dup_pairs(
         F.col(id_col).alias("doc_id"),
         simhash64_from_tokens(distinct_tokens(F.col(text_col))).alias("simhash"),
     )
+    return hamming_near_dup_pairs(sig, sig_col="simhash", max_hamming=max_hamming)
+
+
+def hamming_near_dup_pairs(
+    sig, id_col: str = "doc_id", sig_col: str = "simhash", max_hamming: int = 3
+):
+    """The generic 4×16-bit pigeonhole band join over ANY 64-bit
+    signature column — shared by text SimHash and the image aHash
+    (multimodal.image_near_dup_pairs), so the banding law lives once.
+    `sig` is a (id, 64-bit signature) frame; returns
+    (id_a, id_b, hamming) with id_a < id_b.  See simhash_near_dup_pairs
+    for the pigeonhole/scale argument."""
     # localCheckpoint, not persist(): computed once for the four band
     # joins, blocks freed on GC instead of leaking a pinned cache.
     bands = sig.select(
-        "doc_id",
-        "simhash",
-        *[simhash_band(F.col("simhash"), i).alias(f"b{i}") for i in range(4)],
+        F.col(id_col).alias("doc_id"),
+        F.col(sig_col).alias("_sig"),
+        *[simhash_band(F.col(sig_col), i).alias(f"b{i}") for i in range(4)],
     ).localCheckpoint(eager=True)
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
     per_band = []
     for i in range(4):
         a = bands.select(
             F.col("doc_id").alias("id_a"),
-            F.col("simhash").alias("sa"),
+            F.col("_sig").alias("sa"),
             F.col(f"b{i}").alias("ka"),
         )
         b = bands.select(
             F.col("doc_id").alias("id_b"),
-            F.col("simhash").alias("sb"),
+            F.col("_sig").alias("sb"),
             F.col(f"b{i}").alias("kb"),
         )
         per_band.append(
