@@ -1163,3 +1163,72 @@ def image_near_dup_pairs(
 
     sig = image_ahash(df, id_col, bin_col).filter(F.col("ahash").isNotNull())
     return hamming_near_dup_pairs(sig, sig_col="ahash", max_hamming=max_hamming)
+
+
+# --- Perceptual audio hashing: near-duplicate audio -----------------------
+
+
+def _audio_ehash64(samples) -> int:
+    """64-bit energy hash of a flat int16 sample array: samples pooled
+    into 64 frames by the floor map i·64//n, per-frame energy = Σ|x|,
+    bit j set iff frame j's MEAN energy exceeds the global mean —
+    the same exact bigint cross-multiply law as the image aHash
+    (frame_sum·total_cnt > total_sum·frame_cnt), so the hash is
+    bit-reproducible and, because both sides of the comparison scale
+    together, invariant under amplitude scaling (a re-levelled copy of
+    the same audio hashes identically).  Signed 64-bit (bit 63 wraps),
+    ready for text.hamming_near_dup_pairs."""
+    import numpy as np
+
+    x = np.abs(samples.astype(np.int64))
+    n = x.shape[0]
+    if n == 0:
+        return 0
+    frame = np.arange(n) * 64 // n
+    sums = np.zeros(64, dtype=np.int64)
+    np.add.at(sums, frame, x)
+    cnts = np.bincount(frame, minlength=64)
+    total_sum = int(x.sum())
+    val = 0
+    for j in range(64):
+        if int(sums[j]) * n > total_sum * int(cnts[j]):
+            val |= 1 << j
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def audio_ehash(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """(doc_id, ahash): energy-hash signature per WAV payload (NULL for
+    undecodable); the audio member of the modality triple — text
+    SimHash, image aHash, audio energy hash — all three feeding the one
+    shared pigeonhole band join."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids, hashes = [], []
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                decoded = decode_wav_audio(bytes(b) if b is not None else b"")
+                ids.append(int(did))
+                hashes.append(None if decoded is None else _audio_ehash64(decoded[1]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(ids, dtype="Int64"),
+                    "ahash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AHASH_SCHEMA)
+
+
+def audio_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate AUDIO pairs via the shared band join."""
+    from .text import hamming_near_dup_pairs
+
+    sig = audio_ehash(df, id_col, bin_col).filter(F.col("ahash").isNotNull())
+    return hamming_near_dup_pairs(sig, sig_col="ahash", max_hamming=max_hamming)

@@ -99,3 +99,39 @@ def test_undecodable_payload_yields_null_signature(spark):
     rows = multimodal.image_ahash(df).collect()
     assert len(rows) == 1 and rows[0]["ahash"] is None
     assert multimodal.image_near_dup_pairs(df).count() == 0
+
+
+def test_audio_ehash_hand_computed_and_scale_invariant():
+    """128 samples: first half amplitude 100, second half 1000 — bits set
+    exactly on frames 32..63; halving every amplitude leaves the hash
+    unchanged (both sides of the cross-multiply scale together)."""
+    x = np.concatenate(
+        [np.full(64, 100, dtype=np.int16), np.full(64, 1000, dtype=np.int16)]
+    )
+    want = 0
+    for j in range(32, 64):
+        want |= 1 << j
+    want = want - (1 << 64) if want >= 1 << 63 else want
+    assert multimodal._audio_ehash64(x) == want
+    assert multimodal._audio_ehash64(x // 2) == want
+
+
+def test_audio_identical_payload_pairs(spark):
+    import pandas as pd
+
+    payload = multimodal.synthetic_wav_bytes(9)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "payload": [payload, payload, b"junk, not a wav"],
+            }
+        )
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.audio_near_dup_pairs(df, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2): 0}
+    sigs = multimodal.audio_ehash(df).collect()
+    assert sum(1 for r in sigs if r["ahash"] is None) == 1
