@@ -156,3 +156,40 @@ def minhash_sigs_ctes(source: str, prefix: str = "", k: int = 3, num: int = 4) -
     ), {prefix}sigs AS (
       SELECT doc_id, {mh} FROM {prefix}shg
     )"""
+
+
+def pagerank_rounds_ctes(
+    edges_cte: str = "edges",
+    rounds: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+) -> str:
+    """Unrolled per-round CTEs mirroring graph.pagerank bit-for-bit:
+    integer micro-rank units, floor division only (DuckDB `//` on
+    non-negative values == Spark `DIV`), dangling mass leaked.  The
+    caller provides `edges_cte` with (src, dst) and appends
+    `SELECT node, rank FROM r{rounds}`.  Prepared for the r8
+    registration (graph.pagerank is banked, unit-tested, probed)."""
+    base = (100 - damping_pct) * scale // 100
+    parts = [
+        f"nodes AS (SELECT src AS node FROM {edges_cte} "
+        f"UNION SELECT dst FROM {edges_cte})",
+        f"deg AS (SELECT src AS node, count(*) AS outdeg FROM {edges_cte} GROUP BY 1)",
+        f"r0 AS (SELECT node, CAST({scale} AS HUGEINT) AS rank FROM nodes)",
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"r{i - 1}"
+        parts.append(
+            f"c{i} AS (SELECT {prev}.node AS src, {prev}.rank // deg.outdeg AS c "
+            f"FROM {prev} JOIN deg USING (node))"
+        )
+        parts.append(
+            f"s{i} AS (SELECT e.dst AS node, sum(c{i}.c) AS insum "
+            f"FROM {edges_cte} e JOIN c{i} ON e.src = c{i}.src GROUP BY 1)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.node, "
+            f"CAST({base} AS HUGEINT) + ({damping_pct} * coalesce(s{i}.insum, 0)) // 100 AS rank "
+            f"FROM nodes n LEFT JOIN s{i} ON n.node = s{i}.node)"
+        )
+    return ",\n".join(parts)

@@ -119,3 +119,28 @@ def test_pagerank_hub_insum_past_2_63_is_exact_when_rank_fits(spark):
     base = 15 * scale // 100
     assert got[99] == base + (85 * (9 * scale)) // 100
     assert all(got[s] == base for s in range(1, 10))
+
+
+def test_pagerank_duckdb_oracle_parity(spark):
+    """The unrolled-CTE oracle (oracle.pagerank_rounds_ctes) reproduces
+    graph.pagerank value-exactly on a mixed graph — hub, cycle, dangling
+    node, sourceless node — across 3 rounds.  De-risks the r8
+    registration: the oracle side is already law-verified."""
+    import duckdb
+
+    from etl_scripts_spark.oracle import pagerank_rounds_ctes
+
+    pairs = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 1), (6, 7), (1, 8)]
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(_edges(spark, pairs), rounds=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", pairs)
+    sql = (
+        "WITH " + pagerank_rounds_ctes("edges", rounds=3)
+        + " SELECT node, rank FROM r3"
+    )
+    want = {int(n): int(r) for n, r in con.execute(sql).fetchall()}
+    assert got == want
