@@ -92,3 +92,39 @@ def test_bloom_prune_rejects_temp_name_collision(spark):
     words = bloom_build(keys, "key")
     with _pt.raises(ValueError, match="collide"):
         bloom_prune(big, "key", words)
+
+
+def test_bloom_survivors_match_duckdb_position_law(spark):
+    """DuckDB recomputes the pruning set from the position law alone —
+    a probe key survives iff ALL k of its bit positions are set by some
+    filter key (equivalent to the packed-word formulation, no 64-bit
+    shifts needed).  Pins the oracle for the upcoming registration."""
+    import duckdb
+
+    m, k = 1 << 16, 3
+    keys = _tbl(spark, range(60))
+    big = _tbl(spark, range(400))
+    words = bloom_build(keys, "key", m_bits=m, k=k)
+    got = sorted(
+        r["key"] for r in bloom_prune(big, "key", words, m_bits=m, k=k).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE keys(key VARCHAR)")
+    con.executemany("INSERT INTO keys VALUES (?)", [(f"k{i}",) for i in range(60)])
+    con.execute("CREATE TABLE big(key VARCHAR)")
+    con.executemany("INSERT INTO big VALUES (?)", [(f"k{i}",) for i in range(400)])
+    pos = " UNION ALL ".join(
+        f"SELECT key, ('0x' || substr(md5('bf{j}' || '|' || key), 1, 12))::BIGINT % {m} AS p"
+        f" FROM {{t}}"
+        for j in range(k)
+    )
+    sql = f"""
+    WITH setbits AS (SELECT DISTINCT p FROM ({pos.format(t="keys")})),
+    probe AS ({pos.format(t="big")})
+    SELECT key FROM probe
+    GROUP BY key
+    HAVING count(*) FILTER (WHERE p IN (SELECT p FROM setbits)) = {k}
+    ORDER BY key
+    """
+    want = [r[0] for r in con.execute(sql).fetchall()]
+    assert got == sorted(want)

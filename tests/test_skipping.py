@@ -69,3 +69,30 @@ def test_all_null_column_chunk_is_statless_must_read(spark, tmp_path):
     assert len(stats) == 1 and stats[0]["min_v"] is None
     r = skipping_report(rowgroup_stats(spark, files, "v"), 0.0, 1.0).collect()[0]
     assert (r["n_skipped"], r["rows_skipped"]) == (0, 0)
+
+
+def test_rowgroup_stats_match_duckdb_parquet_metadata(spark, tmp_path):
+    """DuckDB's parquet_metadata() reads the same footers — row-group
+    counts and min/max must agree exactly (the oracle law the upcoming
+    registration will use)."""
+    import duckdb
+
+    dest = str(tmp_path / "t")
+    spark.range(0, 5000).select((F.col("id") * 3 % 997).alias("v")).repartition(
+        4
+    ).write.parquet(dest)
+    files = sorted(glob.glob(dest + "/*.parquet"))
+    got = sorted(
+        (r["file"], r["row_group"], r["n_rows"], r["min_v"], r["max_v"])
+        for r in rowgroup_stats(spark, files, "v").collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        (f, int(rg), int(n), float(mn), float(mx))
+        for f, rg, n, mn, mx in con.execute(
+            "SELECT file_name, row_group_id, row_group_num_rows, "
+            "stats_min_value::DOUBLE, stats_max_value::DOUBLE "
+            f"FROM parquet_metadata('{dest}/*.parquet') WHERE path_in_schema = 'v'"
+        ).fetchall()
+    )
+    assert got == want
