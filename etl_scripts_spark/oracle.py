@@ -193,3 +193,62 @@ def pagerank_rounds_ctes(
             f"FROM nodes n LEFT JOIN s{i} ON n.node = s{i}.node)"
         )
     return ",\n".join(parts)
+
+
+def scd2_apply_sql(
+    history_cte: str,
+    updates_cte: str,
+    keys: list[str],
+    attrs: list[str],
+    effective_col: str = "effective_ts",
+) -> str:
+    """DuckDB mirror of sinks/merge.scd2_apply: batch LWW dedupe with the
+    payload tiebreak (DESC NULLS LAST — Spark desc and DuckDB desc
+    agree), full-outer current×batch, the same changes predicate
+    (IS NOT DISTINCT FROM == eqNullSafe), and the three-way emit.
+    Returns a complete SELECT for the post-apply table.  Prepared for
+    the r8 registration (scd2_apply is banked, model-tested, probed)."""
+    kcols = ", ".join(keys)
+    acols = ", ".join(attrs)
+    key_eq = " AND ".join(f"c.{k} = u.{k}" for k in keys)
+    key_out = ", ".join(f"coalesce(c.{k}, u.{k}) AS {k}" for k in keys)
+    tiebreak = ", ".join(f"{a} DESC NULLS LAST" for a in attrs)
+    same = " AND ".join(f"c_{a} IS NOT DISTINCT FROM {a}" for a in attrs)
+    c_attrs_sel = ", ".join(f"c.{a} AS c_{a}" for a in attrs)
+    c_attrs_out = ", ".join(f"c_{a} AS {a}" for a in attrs)
+    return f"""
+WITH upd_ranked AS (
+  SELECT {kcols}, {acols}, {effective_col} AS _eff,
+         row_number() OVER (
+           PARTITION BY {kcols}
+           ORDER BY {effective_col} DESC, {tiebreak}
+         ) AS _rn
+  FROM {updates_cte}
+),
+upd AS (SELECT {kcols}, {acols}, _eff FROM upd_ranked WHERE _rn = 1),
+cur AS (SELECT * FROM {history_cte} WHERE valid_to IS NULL),
+clsd AS (SELECT {kcols}, {acols}, valid_from, valid_to FROM {history_cte}
+         WHERE valid_to IS NOT NULL),
+j AS (
+  SELECT {key_out}, {c_attrs_sel},
+         c.valid_from AS c_vf, c.valid_to AS c_vt,
+         {", ".join(f"u.{a}" for a in attrs)}, u._eff
+  FROM cur c FULL JOIN upd u ON {key_eq}
+),
+flags AS (
+  SELECT *,
+         (_eff IS NOT NULL AND (c_vf IS NULL OR _eff > c_vf)
+          AND (c_vf IS NULL OR NOT ({same}))) AS _chg
+  FROM j
+)
+SELECT * FROM clsd
+UNION ALL
+SELECT {kcols}, {c_attrs_out}, c_vf AS valid_from, _eff AS valid_to
+FROM flags WHERE _chg AND c_vf IS NOT NULL
+UNION ALL
+SELECT {kcols}, {acols}, _eff AS valid_from, NULL AS valid_to
+FROM flags WHERE _chg
+UNION ALL
+SELECT {kcols}, {c_attrs_out}, c_vf AS valid_from, c_vt AS valid_to
+FROM flags WHERE c_vf IS NOT NULL AND NOT _chg
+"""

@@ -305,3 +305,52 @@ def test_apply_plans_exactly_one_join(spark):
     plan = buf.getvalue()
     joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
     assert len(joins) == 1, joins
+
+
+def test_scd2_apply_duckdb_oracle_parity(spark):
+    """oracle.scd2_apply_sql reproduces scd2_apply row-for-row on seeded
+    random batches, including tied (key, effective_ts) pairs resolved by
+    the payload tiebreak — the r8 registration's oracle, pre-verified."""
+    import random
+
+    import duckdb
+
+    from etl_scripts_spark.oracle import scd2_apply_sql
+
+    rng = random.Random(7)
+    hist_rows = []
+    for i in range(12):
+        k = f"k{i}"
+        hist_rows.append((k, rng.choice(["red", None]), i % 3, 50, 100))
+        hist_rows.append((k, rng.choice(["blue", "gold"]), i % 3, 100, None))
+    upd_rows = []
+    for _ in range(40):
+        upd_rows.append(
+            (
+                f"k{rng.randrange(16)}",
+                rng.choice(["red", "green", None]),
+                rng.randrange(3),
+                rng.choice([90, 100, 150, 150, 200]),
+            )
+        )
+    hist = _hist(spark, hist_rows)
+    upd = _upd(spark, upd_rows)
+    got = _rows(_apply(hist, upd))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE history(k VARCHAR, color VARCHAR, size BIGINT, "
+        "valid_from BIGINT, valid_to BIGINT)"
+    )
+    con.executemany("INSERT INTO history VALUES (?,?,?,?,?)", hist_rows)
+    con.execute(
+        "CREATE TABLE updates(k VARCHAR, color VARCHAR, size BIGINT, "
+        "effective_ts BIGINT)"
+    )
+    con.executemany("INSERT INTO updates VALUES (?,?,?,?)", upd_rows)
+    sql = scd2_apply_sql("history", "updates", ["k"], ["color", "size"])
+    want = sorted(
+        (tuple(r) for r in con.execute(sql).fetchall()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
+    assert got == want
