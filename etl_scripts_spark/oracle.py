@@ -252,3 +252,17 @@ UNION ALL
 SELECT {kcols}, {c_attrs_out}, c_vf AS valid_from, c_vt AS valid_to
 FROM flags WHERE c_vf IS NOT NULL AND NOT _chg
 """
+
+
+def plan_compaction_sql(files_cte: str, target_bytes: int) -> str:
+    """DuckDB mirror of sinks/layout.plan_compaction: size-DESC/path
+    total order, exact running sum, bin = (running-1) // target.
+    `files_cte` provides (path, size_bytes).  Prepared for the r8
+    registration (plan_compaction is banked, unit-tested)."""
+    return f"""
+SELECT path, size_bytes,
+       (sum(size_bytes) OVER (ORDER BY size_bytes DESC, path
+                              ROWS UNBOUNDED PRECEDING) - 1)
+       // {int(target_bytes)} AS bin_id
+FROM {files_cte}
+"""

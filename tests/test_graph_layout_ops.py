@@ -144,3 +144,22 @@ def test_pagerank_duckdb_oracle_parity(spark):
     )
     want = {int(n): int(r) for n, r in con.execute(sql).fetchall()}
     assert got == want
+
+
+def test_plan_compaction_duckdb_oracle_parity(spark):
+    """oracle.plan_compaction_sql reproduces plan_compaction exactly on
+    a 500-file listing with size ties — r8's oracle, pre-verified."""
+    import duckdb
+
+    from etl_scripts_spark.oracle import plan_compaction_sql
+
+    rows = [(f"p{i:04d}", (i * 97) % 500 + 1) for i in range(500)]
+    files = spark.createDataFrame(rows, "path string, size_bytes bigint")
+    got = sorted(tuple(r) for r in plan_compaction(files, 10_000).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE files(path VARCHAR, size_bytes BIGINT)")
+    con.executemany("INSERT INTO files VALUES (?,?)", rows)
+    want = sorted(
+        tuple(r) for r in con.execute(plan_compaction_sql("files", 10_000)).fetchall()
+    )
+    assert got == want
