@@ -266,3 +266,29 @@ SELECT path, size_bytes,
        // {int(target_bytes)} AS bin_id
 FROM {files_cte}
 """
+
+
+def profile_columns_sql(table: str, columns: list[str], k: int = 128) -> str:
+    """DuckDB mirror of reports/drift.profile_columns: per column, exact
+    n/n_null and the KMV distinct estimate over md5(value-as-string),
+    truncated to BIGINT (DuckDB's double→int cast ROUNDS; Spark's cast
+    truncates — trunc() aligns them).  Columns must cast to identical
+    strings in both engines (strings/integers do; avoid doubles).
+    Prepared for a drift-report registration."""
+    space = float(1 << 48)
+    parts = []
+    for c in columns:
+        parts.append(f"""
+SELECT '{c}' AS column,
+       (SELECT count(*) FROM {table}) AS n_rows,
+       (SELECT count(*) - count({c}) FROM {table}) AS n_null,
+       (SELECT CAST(trunc(
+          CASE WHEN count(*) < {k} THEN count(*)::DOUBLE
+               ELSE round({(k - 1)} * {space}
+                          / ('0x' || substr(max(CASE WHEN rn <= {k} THEN h END), 1, 12))::BIGINT, 4)
+          END) AS BIGINT)
+        FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+              FROM (SELECT DISTINCT md5(CAST({c} AS VARCHAR)) AS h
+                    FROM {table} WHERE {c} IS NOT NULL))
+       ) AS distinct_est""")
+    return "\nUNION ALL\n".join(parts)

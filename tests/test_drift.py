@@ -151,3 +151,33 @@ def test_psi_rejects_zero_smoothing(spark):
     h = _hist_df(spark, [("c", 0, 10)])
     with _pt.raises(ValueError, match="smoothing"):
         psi_report(h, h, smoothing=0)
+
+
+def test_profile_columns_duckdb_oracle_parity(spark):
+    """oracle.profile_columns_sql reproduces profile_columns exactly —
+    exact counts, the lossless branch, AND the estimate branch (k=16
+    with 40 distinct values), plus an all-null column."""
+    import duckdb
+
+    from etl_scripts_spark.oracle import profile_columns_sql
+
+    rows = [
+        (i, f"s{i % 40}", None if i % 3 == 0 else f"v{i % 7}", None)
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s string, t string, z string")
+    got = sorted(
+        tuple(r) for r in profile_columns(df, k=16).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE tbl(id BIGINT, s VARCHAR, t VARCHAR, z VARCHAR)"
+    )
+    con.executemany("INSERT INTO tbl VALUES (?,?,?,?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            profile_columns_sql("tbl", ["id", "s", "t", "z"], k=16)
+        ).fetchall()
+    )
+    assert got == want
