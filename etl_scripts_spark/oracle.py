@@ -292,3 +292,36 @@ SELECT '{c}' AS column,
                     FROM {table} WHERE {c} IS NOT NULL))
        ) AS distinct_est""")
     return "\nUNION ALL\n".join(parts)
+
+
+def psi_report_sql(
+    base_cte: str, new_cte: str, group_col: str = "column", smoothing: int = 1
+) -> str:
+    """DuckDB mirror of reports/drift.psi_report: full-join the observed
+    bins, smooth, per-bin term rounded to 9 dp as DECIMAL(20,9), exact
+    decimal sum.  ln() agreement at 9 dp between DuckDB (libm) and the
+    JVM is part of what the parity test pins."""
+    g = f'"{group_col}"'  # quote: 'column' (the default) is reserved in DuckDB
+    return f"""
+WITH j AS (
+  SELECT coalesce(b.{g}, n.{g}) AS g,
+         coalesce(b.cnt, 0) + {smoothing} AS bs,
+         coalesce(n.cnt, 0) + {smoothing} AS ns
+  FROM {base_cte} b FULL JOIN {new_cte} n
+    ON b.{g} = n.{g} AND b.bin = n.bin
+),
+tot AS (SELECT g, sum(bs) AS bt, sum(ns) AS nt FROM j GROUP BY g),
+terms AS (
+  SELECT j.g,
+         CAST(round((j.bs / tot.bt - j.ns / tot.nt)
+                    * ln((j.bs / tot.bt) / (j.ns / tot.nt)), 9)
+              AS DECIMAL(20,9)) AS t
+  FROM j JOIN tot ON j.g = tot.g
+),
+psi AS (SELECT g AS {g}, sum(t) AS psi FROM terms GROUP BY g)
+SELECT {g}, psi,
+       CASE WHEN psi < 0.1 THEN 'stable'
+            WHEN psi < 0.25 THEN 'moderate_shift'
+            ELSE 'shifted' END AS status
+FROM psi
+"""

@@ -181,3 +181,38 @@ def test_profile_columns_duckdb_oracle_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_psi_report_duckdb_oracle_parity(spark):
+    """oracle.psi_report_sql equals psi_report exactly, including the
+    ln() evaluations at 9-dp rounding — the cross-engine risk this test
+    exists to pin — over skewed, disjoint-bin, multi-group sketches."""
+    import duckdb
+
+    from etl_scripts_spark.reports.drift import psi_report
+
+    base_rows = [("a", i, (i * 37) % 400 + 1) for i in range(32)] + [
+        ("b", 0, 900),
+        ("b", 1, 100),
+    ]
+    new_rows = [("a", i, (i * 53) % 380 + 7) for i in range(2, 40)] + [
+        ("b", 1, 150),
+        ("b", 2, 850),
+    ]
+    base = _hist_df(spark, base_rows)
+    new = _hist_df(spark, new_rows)
+    got = sorted(
+        (r["column"], str(r["psi"]), r["status"])
+        for r in psi_report(base, new).collect()
+    )
+    from etl_scripts_spark.oracle import psi_report_sql
+
+    con = duckdb.connect()
+    for t, rows in (("b0", base_rows), ("n0", new_rows)):
+        con.execute(f'CREATE TABLE {t}("column" VARCHAR, bin INT, cnt BIGINT)')
+        con.executemany(f"INSERT INTO {t} VALUES (?,?,?)", rows)
+    want = sorted(
+        (c, str(p), s)
+        for c, p, s in con.execute(psi_report_sql("b0", "n0")).fetchall()
+    )
+    assert got == want
