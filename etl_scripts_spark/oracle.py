@@ -325,3 +325,64 @@ SELECT {g}, psi,
             ELSE 'shifted' END AS status
 FROM psi
 """
+
+
+def batch_retrieval_sql(
+    docs_cte: str,
+    queries_cte: str,
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB mirror of corpus.batch_retrieval: same tokenizer law
+    (words_sql), dl INCLUDES empty tokens while postings exclude them
+    (matching doc_lengths/postings exactly), query-vocabulary pruning
+    before df, per-term contributions rounded to 6 dp and summed as
+    DECIMAL(18,6), per-query top-k ranked by (score DESC, doc_id).
+    `docs_cte` provides (doc_id, text); `queries_cte` provides
+    (query_id, query_text)."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, {words_sql('text')} AS w FROM {docs_cte}
+),
+stats AS (SELECT count(*) AS n_docs, sum(len(w)) AS sum_dl FROM base),
+postings AS (
+  SELECT doc_id, len(w) AS dl, term, count(*) AS tf
+  FROM (SELECT doc_id, w, unnest(w) AS term FROM base)
+  WHERE term <> ''
+  GROUP BY doc_id, len(w), term
+),
+qterms AS (
+  SELECT DISTINCT query_id, term
+  FROM (SELECT query_id, unnest({words_sql('query_text')}) AS term
+        FROM {queries_cte})
+  WHERE term <> ''
+),
+relevant AS (
+  SELECT * FROM postings
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+),
+dfreq AS (SELECT term, count(*) AS df FROM relevant GROUP BY term),
+contrib AS (
+  SELECT q.query_id, r.doc_id,
+         CAST(round(
+           ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (r.tf * ({k1} + 1.0))
+           / (r.tf + {k1} * (1.0 - {b} + {b} * r.dl / (s.sum_dl / s.n_docs))),
+           6) AS DECIMAL(18,6)) AS c
+  FROM relevant r
+  JOIN qterms q ON r.term = q.term
+  JOIN dfreq d ON r.term = d.term
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, sum(c) AS score FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {top_k}
+"""

@@ -86,3 +86,36 @@ def test_partitioning_independent_scores(spark):
         for r in batch_retrieval(docs.coalesce(1), queries, top_k=5).collect()
     )
     assert a == b
+
+
+def test_batch_retrieval_duckdb_oracle_parity(spark):
+    """oracle.batch_retrieval_sql reproduces batch_retrieval exactly —
+    ranks, doc ids, and the DECIMAL(18,6) scores — over multiple
+    queries with shared and disjoint vocabulary."""
+    import duckdb
+
+    from etl_scripts_spark.oracle import batch_retrieval_sql
+
+    docs = _docs(spark)
+    qrows = [
+        ("q1", "cluster data"),
+        ("q2", "gardening soil"),
+        ("q3", "the quick data join"),
+    ]
+    queries = spark.createDataFrame(qrows, "query_id string, query_text string")
+    got = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], str(r["score"]))
+        for r in batch_retrieval(docs, queries, top_k=3).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?,?)", DOCS)
+    con.execute("CREATE TABLE qs(query_id VARCHAR, query_text VARCHAR)")
+    con.executemany("INSERT INTO qs VALUES (?,?)", qrows)
+    want = sorted(
+        (q, int(rk), int(d), str(s))
+        for q, rk, d, s in con.execute(
+            batch_retrieval_sql("docs", "qs", top_k=3)
+        ).fetchall()
+    )
+    assert got == want
