@@ -576,3 +576,37 @@ def test_decode_video_frame_pixels_stage(spark):
     nulls = [r for r in rows if r["px_sum"] is None]
     decoded = [r for r in rows if r["px_sum"] is not None]
     assert len(nulls) >= 1 and len(decoded) >= 1
+
+
+def test_pivot_with_explicit_values_matches_duckdb_filter_agg(spark):
+    """groupBy().pivot(col, VALUES).agg(): the explicit value list keeps
+    the pivot single-pass (no hidden collect-distinct job), and the
+    result equals DuckDB's FILTER-aggregation formulation exactly —
+    the oracle shape a pivot registration would use."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    got = sorted(
+        tuple(r)
+        for r in orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, prios)
+        .collect()
+    )
+    con = duckdb.connect()
+    filters = ", ".join(
+        f"count(*) FILTER (WHERE o_orderpriority = '{p}') AS p{i}"
+        for i, p in enumerate(prios)
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"SELECT o_orderstatus, {filters} "
+            f"FROM '{sf}/orders.parquet' GROUP BY o_orderstatus"
+        ).fetchall()
+    )
+    assert got == want
