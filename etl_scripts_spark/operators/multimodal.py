@@ -1122,12 +1122,12 @@ def _ahash64(img) -> int:
     return val - (1 << 64) if val >= 1 << 63 else val
 
 
-def image_ahash(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
-    """(doc_id, ahash): perceptual signature per image, Arrow-batched over
-    the caller's partitioning; undecodable payloads yield NULL (the
-    pair stage drops them).  Near-identical images (recompressions,
-    small edits) land within a few bits of each other — the image analog
-    of the text SimHash."""
+def _payload_signature_stage(df: DataFrame, hasher, id_col: str, bin_col: str) -> DataFrame:
+    """The ONE signature-stage kernel behind image_ahash and audio_ehash:
+    Arrow-batched map over the caller's partitioning, calling
+    `hasher(payload_bytes) -> int | None`.  Undecodable payloads yield a
+    NULL signature (the pair stage drops them); rows with a NULL id are
+    skipped the same way — both quarantine, neither fails the task."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -1135,9 +1135,10 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload")
         for pdf in it:
             ids, hashes = [], []
             for did, b in zip(pdf[id_col], pdf[bin_col]):
-                _fmt, img = decode_image_pixels(bytes(b) if b is not None else b"")
+                if did is None or pd.isna(did):
+                    continue
                 ids.append(int(did))
-                hashes.append(None if img is None else _ahash64(img))
+                hashes.append(hasher(bytes(b) if b is not None else b""))
             yield pd.DataFrame(
                 {
                     "doc_id": pd.array(ids, dtype="Int64"),
@@ -1146,6 +1147,25 @@ def image_ahash(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload")
             )
 
     return df.select(id_col, bin_col).mapInPandas(batches, AHASH_SCHEMA)
+
+
+def _sig_pairs(df: DataFrame, sig_fn, id_col: str, bin_col: str, max_hamming: int) -> DataFrame:
+    from .text import hamming_near_dup_pairs
+
+    sig = sig_fn(df, id_col, bin_col).filter(F.col("ahash").isNotNull())
+    return hamming_near_dup_pairs(sig, sig_col="ahash", max_hamming=max_hamming)
+
+
+def _image_hasher(payload: bytes):
+    _fmt, img = decode_image_pixels(payload)
+    return None if img is None else _ahash64(img)
+
+
+def image_ahash(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """(doc_id, ahash): perceptual signature per image.  Near-identical
+    images (recompressions, small edits) land within a few bits of each
+    other — the image analog of the text SimHash."""
+    return _payload_signature_stage(df, _image_hasher, id_col, bin_col)
 
 
 def image_near_dup_pairs(
@@ -1159,10 +1179,7 @@ def image_near_dup_pairs(
     (text.hamming_near_dup_pairs — the banding law lives once).  Scale
     shape is inherited: banded equi-joins bound candidates, bit_count
     verifies in-join, output grows with true near-dups."""
-    from .text import hamming_near_dup_pairs
-
-    sig = image_ahash(df, id_col, bin_col).filter(F.col("ahash").isNotNull())
-    return hamming_near_dup_pairs(sig, sig_col="ahash", max_hamming=max_hamming)
+    return _sig_pairs(df, image_ahash, id_col, bin_col, max_hamming)
 
 
 # --- Perceptual audio hashing: near-duplicate audio -----------------------
@@ -1174,9 +1191,11 @@ def _audio_ehash64(samples) -> int:
     bit j set iff frame j's MEAN energy exceeds the global mean —
     the same exact bigint cross-multiply law as the image aHash
     (frame_sum·total_cnt > total_sum·frame_cnt), so the hash is
-    bit-reproducible and, because both sides of the comparison scale
-    together, invariant under amplitude scaling (a re-levelled copy of
-    the same audio hashes identically).  Signed 64-bit (bit 63 wraps),
+    bit-reproducible and NEAR-invariant under amplitude re-levelling:
+    exact scalings (e.g. a power-of-two gain on even samples) preserve
+    every bit, while rounded integer gains can flip bits whose frame
+    energy sits at the global-mean boundary — a few-bit drift the
+    hamming band join absorbs.  Signed 64-bit (bit 63 wraps),
     ready for text.hamming_near_dup_pairs."""
     import numpy as np
 
@@ -1196,29 +1215,17 @@ def _audio_ehash64(samples) -> int:
     return val - (1 << 64) if val >= 1 << 63 else val
 
 
+def _audio_hasher(payload: bytes):
+    decoded = decode_wav_audio(payload)
+    return None if decoded is None else _audio_ehash64(decoded[1])
+
+
 def audio_ehash(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
-    """(doc_id, ahash): energy-hash signature per WAV payload (NULL for
-    undecodable); the audio member of the modality triple — text
-    SimHash, image aHash, audio energy hash — all three feeding the one
-    shared pigeonhole band join."""
-
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids, hashes = [], []
-            for did, b in zip(pdf[id_col], pdf[bin_col]):
-                decoded = decode_wav_audio(bytes(b) if b is not None else b"")
-                ids.append(int(did))
-                hashes.append(None if decoded is None else _audio_ehash64(decoded[1]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pd.array(ids, dtype="Int64"),
-                    "ahash": pd.array(hashes, dtype="Int64"),
-                }
-            )
-
-    return df.select(id_col, bin_col).mapInPandas(batches, AHASH_SCHEMA)
+    """(doc_id, ahash): energy-hash signature per WAV payload; the audio
+    member of the modality triple — text SimHash, image aHash, audio
+    energy hash — all three feeding the one shared pigeonhole band
+    join (stage plumbing shared via _payload_signature_stage)."""
+    return _payload_signature_stage(df, _audio_hasher, id_col, bin_col)
 
 
 def audio_near_dup_pairs(
@@ -1228,7 +1235,4 @@ def audio_near_dup_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-duplicate AUDIO pairs via the shared band join."""
-    from .text import hamming_near_dup_pairs
-
-    sig = audio_ehash(df, id_col, bin_col).filter(F.col("ahash").isNotNull())
-    return hamming_near_dup_pairs(sig, sig_col="ahash", max_hamming=max_hamming)
+    return _sig_pairs(df, audio_ehash, id_col, bin_col, max_hamming)

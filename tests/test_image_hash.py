@@ -135,3 +135,20 @@ def test_audio_identical_payload_pairs(spark):
     assert pairs == {(1, 2): 0}
     sigs = multimodal.audio_ehash(df).collect()
     assert sum(1 for r in sigs if r["ahash"] is None) == 1
+
+
+def test_null_doc_id_rows_are_skipped_not_fatal(spark):
+    """A NULL id (outer-join debris) quarantines like a bad payload —
+    the Arrow stage never fails the task on it."""
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": pd.array([1, None], dtype="Int64"),
+                "payload": [multimodal.synthetic_pixel_image_bytes(3)] * 2,
+            }
+        )
+    )
+    rows = multimodal.image_ahash(df).collect()
+    assert len(rows) == 1 and rows[0]["doc_id"] == 1
