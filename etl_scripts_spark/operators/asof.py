@@ -196,3 +196,45 @@ def asof_join_sliced(
         *left_cols,
         *[F.col(f"_match.{c}").alias(f"{c}{suffix}") for c in payload_cols],
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    by: str,
+    on: str = "ts",
+    step: int = 60,
+    suffix: str = "_ff",
+) -> DataFrame:
+    """Fixed-grid resampling with per-key forward fill — the time-series
+    companion to the as-of join: one output row per key per `step` tick,
+    carrying the latest observation at or before the tick.
+
+    Grid law (deterministic, engine-portable): per key, ticks run from
+    the first multiple of `step` at or after the key's min timestamp to
+    its max timestamp inclusive — so every tick has an observation at or
+    before it (no leading nulls) and keys are never extrapolated past
+    their last observation.  A key whose span contains no step multiple
+    produces no rows.
+
+    Scale shape: the grid is sequence()/explode per key — rows = keys ×
+    ticks, built map-side from the (key, min, max) aggregate, never a
+    driver loop — and the carry is asof_join's tagged union: ONE shuffle
+    on the key.  `sequence` is guarded for the empty case (Spark counts
+    DOWN when start > stop rather than returning an empty array).
+
+    Returns (by, on, <obs columns suffixed>) — the observation's own
+    timestamp comes back as `{on}{suffix}`, so staleness at each tick is
+    inspectable.  DuckDB mirrors this with generate_series + ASOF JOIN.
+    """
+    bounds = df.groupBy(by).agg(
+        F.min(on).alias("_lo"), F.max(on).alias("_hi")
+    )
+    first = F.expr(f"((_lo + {step - 1}) DIV {step}) * {step}")
+    ticks = F.when(
+        first <= F.col("_hi"),
+        F.sequence(first, F.col("_hi"), F.lit(step)),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    grid = bounds.select(
+        F.col(by), F.explode(ticks.cast("array<bigint>")).alias(on)
+    )
+    return asof_join(grid, df, on=on, by=by, suffix=suffix)

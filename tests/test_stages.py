@@ -610,3 +610,85 @@ def test_pivot_with_explicit_values_matches_duckdb_filter_agg(spark):
         ).fetchall()
     )
     assert got == want
+
+
+
+def test_resample_ffill_grid_and_carry(spark):
+    """Hand-checked grid law: ticks are step multiples in
+    [ceil(min/step)*step, max]; each tick carries the latest observation
+    at or before it, with the observation's own ts inspectable."""
+    from pyspark.sql import functions as F
+
+    from etl_scripts_spark.operators.asof import resample_ffill
+
+    obs = spark.createDataFrame(
+        [("a", 95, 1.0), ("a", 130, 2.0), ("a", 305, 3.0), ("b", 42, 9.0)],
+        "k string, ts bigint, v double",
+    )
+    got = {
+        (r["k"], r["ts"]): (r["v_ff"], r["ts_ff"])
+        for r in resample_ffill(obs, by="k", on="ts", step=100).collect()
+    }
+    # key b spans [42, 42]: first tick 100 > max, so no rows for b
+    assert got == {
+        ("a", 100): (1.0, 95),
+        ("a", 200): (2.0, 130),
+        ("a", 300): (2.0, 130),
+    }
+
+
+def test_resample_ffill_no_grid_when_span_has_no_tick(spark):
+    """Key b spans [42, 42] with step 100: no multiple of 100 in range,
+    so no rows — keys are never extrapolated."""
+    from etl_scripts_spark.operators.asof import resample_ffill
+
+    obs = spark.createDataFrame(
+        [("b", 42, 9.0), ("b", 77, 8.0)], "k string, ts bigint, v double"
+    )
+    assert resample_ffill(obs, by="k", on="ts", step=100).count() == 0
+
+
+def test_resample_ffill_duckdb_asof_oracle_parity(spark):
+    """DuckDB generate_series + native ASOF JOIN reproduces the whole
+    resample exactly on seeded irregular series — the oracle a
+    registration would use."""
+    import random
+
+    import duckdb
+
+    from etl_scripts_spark.operators.asof import resample_ffill
+
+    rng = random.Random(3)
+    rows = []
+    for k in "abcde":
+        t = rng.randrange(50)
+        for _ in range(rng.randrange(3, 12)):
+            rows.append((k, t, float(rng.randrange(100))))
+            t += rng.randrange(1, 90)
+    obs = spark.createDataFrame(rows, "k string, ts bigint, v double")
+    got = sorted(
+        (r["k"], r["ts"], r["v_ff"], r["ts_ff"])
+        for r in resample_ffill(obs, by="k", on="ts", step=60).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE obs(k VARCHAR, ts BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO obs VALUES (?,?,?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH bounds AS (
+              SELECT k, ((min(ts) + 59) // 60) * 60 AS lo, max(ts) AS hi
+              FROM obs GROUP BY k
+            ),
+            grid AS (
+              SELECT k, unnest(generate_series(lo, hi, 60)) AS ts
+              FROM bounds WHERE lo <= hi
+            )
+            SELECT g.k, g.ts, o.v, o.ts
+            FROM grid g ASOF LEFT JOIN obs o
+              ON g.k = o.k AND o.ts <= g.ts
+            """
+        ).fetchall()
+    )
+    assert got == want
