@@ -1236,3 +1236,59 @@ def audio_near_dup_pairs(
 ) -> DataFrame:
     """Near-duplicate AUDIO pairs via the shared band join."""
     return _sig_pairs(df, audio_ehash, id_col, bin_col, max_hamming)
+
+
+def signature_dup_clusters(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "ahash",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_id, cluster): near-dup clustering that is SAFE for corpora
+    with huge identical-content groups — the failure mode the pairwise
+    API cannot avoid.
+
+    image_near_dup_pairs emits one row per near pair, which is the right
+    product for measurement but inherently QUADRATIC in identical-
+    signature group size: a logo repeated a million times is ~5·10^11
+    pairs no matter how clever the banding (the 10× probe measured
+    exactly this blowup on the duplicate-heavy fixture corpus).  This
+    clusterer collapses FIRST: one groupBy deduplicates signatures
+    (identical images never meet pairwise), the band join runs over
+    DISTINCT signatures only, min-label connected components label the
+    signature graph (diameter 2-3 for near-dup shapes), and members
+    re-attach by signature — work is O(docs + distinct_sigs + sig_pairs),
+    never O(group²).  Same relationship as dedup.span_dup_clusters to
+    its pair generator.
+    """
+    from .dedup import connected_components
+    from .text import hamming_near_dup_pairs
+
+    s = sig.filter(F.col(sig_col).isNotNull())
+    distinct_sigs = s.groupBy(sig_col).agg(F.min(id_col).alias("_rep"))
+    pairs = hamming_near_dup_pairs(
+        distinct_sigs.select(F.col("_rep").alias("doc_id"), F.col(sig_col)),
+        sig_col=sig_col,
+        max_hamming=max_hamming,
+    )
+    comp = connected_components(pairs.select("id_a", "id_b"))
+    reps = distinct_sigs.join(
+        comp, distinct_sigs["_rep"] == comp["id"], "left"
+    ).select(
+        sig_col,
+        F.coalesce(F.col("component"), F.col("_rep")).alias("cluster"),
+    )
+    return s.join(reps, sig_col).select(id_col, "cluster")
+
+
+def image_dup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(doc_id, cluster) over image payloads — decode + aHash, then the
+    group-size-safe signature clusterer."""
+    return signature_dup_clusters(
+        image_ahash(df, id_col, bin_col), id_col, "ahash", max_hamming
+    )

@@ -152,3 +152,58 @@ def test_null_doc_id_rows_are_skipped_not_fatal(spark):
     )
     rows = multimodal.image_ahash(df).collect()
     assert len(rows) == 1 and rows[0]["doc_id"] == 1
+
+
+def test_signature_dup_clusters_group_size_safe(spark):
+    """Clusters match the pairwise ground truth, but work never goes
+    quadratic in identical-signature group size: 60 copies of one image
+    + 2 copies of a near variant + distinct others."""
+    import pandas as pd
+
+    base = multimodal.synthetic_pixel_image_bytes(5)
+    rows = [(i, base) for i in range(60)]
+    rows += [(100, multimodal.synthetic_pixel_image_bytes(23))] * 1
+    rows += [(101, multimodal.synthetic_pixel_image_bytes(23))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in multimodal.image_dup_clusters(df, max_hamming=0).collect()
+    }
+    assert len(got) == 62
+    # the 60 copies share one cluster; the 2 variants share another
+    assert len({got[i] for i in range(60)}) == 1
+    assert got[100] == got[101]
+    assert got[0] != got[100]
+
+
+def test_signature_clusters_agree_with_pairwise_truth(spark):
+    """On a mixed corpus, cluster co-membership equals the transitive
+    closure of the pairwise near-dup relation."""
+    import pandas as pd
+
+    from etl_scripts_spark.operators.dedup import connected_components
+
+    payloads = [multimodal.synthetic_pixel_image_bytes(d) for d in range(20)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(20)), "payload": payloads})
+    )
+    pairs = multimodal.image_near_dup_pairs(df, max_hamming=3)
+    want_comp = {
+        r["id"]: r["component"]
+        for r in connected_components(pairs.select("id_a", "id_b")).collect()
+    }
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in multimodal.image_dup_clusters(df, max_hamming=3).collect()
+    }
+    # same partition of doc ids (labels may differ only by representative)
+    def parts(m):
+        inv = {}
+        for k, v in m.items():
+            inv.setdefault(v, set()).add(k)
+        return {frozenset(v) for v in inv.values()}
+
+    full_got = parts(got)
+    # pairwise CC omits singletons; add them from got's domain
+    want = parts({k: want_comp.get(k, k) for k in got})
+    assert full_got == want
