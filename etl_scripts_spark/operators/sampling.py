@@ -125,3 +125,47 @@ def deterministic_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_group)
     )
+
+
+def weighted_bernoulli_sample(
+    df: DataFrame,
+    weight_col: str,
+    rate_num: int,
+    rate_den: int,
+    id_col: str = "doc_id",
+    salt: str = "wbs-v1",
+) -> DataFrame:
+    """Keep each row independently with probability
+    min(1, weight · rate_num / rate_den) — per-DOCUMENT importance
+    resampling, the selection step the DSIR pipeline needs downstream of
+    corpus.dsir_logweights (quantize the importance weight to an integer
+    first, e.g. round(exp(logw)·10^6); source_mix handles per-SOURCE
+    weights, this handles per-row ones).
+
+    Exact integer law, no float RNG: keep iff
+
+        u · rate_den  <  weight · rate_num · 2^48,
+
+    u = first 48 bits of md5(salt|id) (the split_hash idiom widened).
+    Both sides are DECIMAL(38,0) products — exact for
+    weight · rate_num up to ~10^17 (beyond that the comparison would
+    need a wider scale; raise your quantization instead).  Map-only:
+    zero shuffles, composes under any partitioning, and the DuckDB
+    oracle recomputes membership bit-identically.  Weights whose
+    probability reaches 1 are always kept; NULL or negative weights
+    drop the row (an importance weight of 'unknown' keeps nothing)."""
+    if rate_num <= 0 or rate_den <= 0:
+        raise ValueError("rate_num and rate_den must be positive integers")
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    lhs = u * F.expr(f"CAST({int(rate_den)} AS DECIMAL(38,0))")
+    scale = int(rate_num) * (1 << 48)
+    rhs = F.col(weight_col).cast("decimal(38,0)") * F.expr(
+        f"CAST('{scale}' AS DECIMAL(38,0))"
+    )
+    return df.filter(F.col(weight_col).isNotNull() & (lhs < rhs))

@@ -600,3 +600,58 @@ def test_vacuum_retention_gc(spark, tmp_path):
     # a later writer continues the chain normally after GC
     up = spark.createDataFrame([("S9", "w9")], "code string, src string")
     assert optimistic_upsert(spark, root, up, ["code"]) == 5
+
+
+def test_weighted_bernoulli_sample_exact_law_and_proportionality(spark):
+    """Membership equals a Python-bigint reference of the integer law;
+    probability-1 weights always keep; NULL weights drop; realized rates
+    track weight proportionally; DuckDB recomputes the set exactly."""
+    import hashlib
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from etl_scripts_spark.operators.sampling import weighted_bernoulli_sample
+
+    rows = [(i, [1, 2, 4, None, 100][i % 5]) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    num, den = 1, 10  # p = w/10, so w=100 -> always kept
+    got = sorted(
+        r["doc_id"]
+        for r in weighted_bernoulli_sample(df, "w", num, den).collect()
+    )
+
+    def u48(i):
+        return int(hashlib.md5(f"wbs-v1|{i}".encode()).hexdigest()[:12], 16)
+
+    want = [
+        i
+        for i, w in rows
+        if w is not None and u48(i) * den < w * num * (1 << 48)
+    ]
+    assert got == want
+    # every weight-100 row (p=10) kept; NULL weights all dropped
+    assert all(i in got for i, w in rows if w == 100)
+    assert all(i not in got for i, w in rows if w is None)
+    # proportionality: rate(w=2) ~ 2x rate(w=1) on the uniform hash
+    n1 = sum(1 for i in got if rows[i][1] == 1)
+    n2 = sum(1 for i in got if rows[i][1] == 2)
+    assert 1.3 < n2 / max(n1, 1) < 2.9
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, w BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    oracle = [
+        r[0]
+        for r in con.execute(
+            f"""
+            SELECT doc_id FROM t
+            WHERE w IS NOT NULL
+              AND ('0x' || substr(md5('wbs-v1|' || doc_id), 1, 12))::BIGINT
+                  * {den}::HUGEINT
+                  < w::HUGEINT * {num * (1 << 48)}::HUGEINT
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert got == oracle
