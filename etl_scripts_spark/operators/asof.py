@@ -238,3 +238,51 @@ def resample_ffill(
         F.col(by), F.explode(ticks.cast("array<bigint>")).alias(on)
     )
     return asof_join(grid, df, on=on, by=by, suffix=suffix)
+
+
+def resample_interp(
+    df: DataFrame,
+    by: str,
+    on: str = "ts",
+    value_col: str = "v",
+    step: int = 60,
+) -> DataFrame:
+    """Fixed-grid LINEAR interpolation per key — the smooth companion to
+    resample_ffill: each tick gets
+
+        v = v_prev + (v_next − v_prev) · (t − t_prev) / (t_next − t_prev)
+
+    between the bracketing observations (rounded to 6 dp; both engines
+    divide IEEE-identically).  Grid law is resample_ffill's, so every
+    tick has a preceding observation, and the following one is found by
+    a SECOND as-of pass over the NEGATED timeline (latest -obs ≤ -tick ⟺
+    earliest obs ≥ tick) — two tagged-union carries, both shuffling on
+    the same key.  A tick that lands exactly on an observation (or at
+    the key's last observation, where prev == next) returns that value
+    (the t_next == t_prev guard).
+
+    Returns (by, on, v_interp).  DuckDB mirror: generate_series grid +
+    one ASOF JOIN forward + one ASOF JOIN on negated ts.
+    """
+    obs = df.select(by, on, value_col)
+    prev = resample_ffill(obs, by=by, on=on, step=step, suffix="_p")
+    neg_obs = obs.select(
+        F.col(by), (-F.col(on)).alias("_neg"), F.col(value_col)
+    )
+    nxt = asof_join(
+        prev.select(by, on, (-F.col(on)).alias("_neg")),
+        neg_obs,
+        on="_neg",
+        by=by,
+        suffix="_n",
+    )
+    j = prev.join(nxt.select(by, on, f"{value_col}_n", "_neg_n"), [by, on])
+    t_prev = F.col(f"{on}_p").cast("double")
+    t_next = (-F.col("_neg_n")).cast("double")
+    v_prev = F.col(f"{value_col}_p").cast("double")
+    v_next = F.col(f"{value_col}_n").cast("double")
+    interp = F.when(t_next == t_prev, v_prev).otherwise(
+        v_prev
+        + (v_next - v_prev) * (F.col(on).cast("double") - t_prev) / (t_next - t_prev)
+    )
+    return j.select(by, on, F.round(interp, 6).alias("v_interp"))

@@ -692,3 +692,74 @@ def test_resample_ffill_duckdb_asof_oracle_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_resample_interp_hand_checked_and_duckdb_parity(spark):
+    """Linear interpolation between bracketing observations, exact-hit
+    and endpoint guards, and parity with DuckDB's double-ASOF mirror on
+    seeded irregular series."""
+    import random
+
+    import duckdb
+
+    from etl_scripts_spark.operators.asof import resample_interp
+
+    obs = spark.createDataFrame(
+        [("a", 90, 10.0), ("a", 110, 30.0), ("a", 300, 68.0)],
+        "k string, ts bigint, v double",
+    )
+    got = {
+        (r["k"], r["ts"]): r["v_interp"]
+        for r in resample_interp(obs, by="k", on="ts", value_col="v", step=100).collect()
+    }
+    # tick 100: between (90,10) and (110,30) -> 10 + 20*10/20 = 20
+    # tick 200: between (110,30) and (300,68) -> 30 + 38*90/190 = 48
+    # tick 300: exact hit on (300,68) -> prev == next guard -> 68
+    assert got == {("a", 100): 20.0, ("a", 200): 48.0, ("a", 300): 68.0}
+
+    rng = random.Random(11)
+    rows = []
+    for k in "pqr":
+        t = rng.randrange(40)
+        for _ in range(rng.randrange(4, 10)):
+            rows.append((k, t, float(rng.randrange(1000))))
+            t += rng.randrange(1, 120)
+    big = spark.createDataFrame(rows, "k string, ts bigint, v double")
+    got2 = sorted(
+        (r["k"], r["ts"], r["v_interp"])
+        for r in resample_interp(big, by="k", on="ts", value_col="v", step=50).collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE obs(k VARCHAR, ts BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO obs VALUES (?,?,?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            """
+            WITH bounds AS (
+              SELECT k, ((min(ts) + 49) // 50) * 50 AS lo, max(ts) AS hi
+              FROM obs GROUP BY k
+            ),
+            grid AS (
+              SELECT k, unnest(generate_series(lo, hi, 50)) AS ts
+              FROM bounds WHERE lo <= hi
+            ),
+            p AS (
+              SELECT g.k, g.ts, o.ts AS tp, o.v AS vp
+              FROM grid g ASOF LEFT JOIN obs o ON g.k = o.k AND o.ts <= g.ts
+            ),
+            nx AS (
+              SELECT g.k, g.ts, -o.nts AS tn, o.v AS vn
+              FROM grid g ASOF LEFT JOIN
+                   (SELECT k, -ts AS nts, v FROM obs) o
+                ON g.k = o.k AND o.nts <= -g.ts
+            )
+            SELECT p.k, p.ts,
+                   round(CASE WHEN nx.tn = p.tp THEN p.vp
+                         ELSE p.vp + (nx.vn - p.vp) * (p.ts - p.tp)
+                              / (nx.tn - p.tp) END, 6) AS v_interp
+            FROM p JOIN nx ON p.k = nx.k AND p.ts = nx.ts
+            """
+        ).fetchall()
+    )
+    assert got2 == want
