@@ -226,18 +226,32 @@ def resample_ffill(
     timestamp comes back as `{on}{suffix}`, so staleness at each tick is
     inspectable.  DuckDB mirrors this with generate_series + ASOF JOIN.
     """
+    return asof_join(_resample_grid(df, by, on, step), df, on=on, by=by, suffix=suffix)
+
+
+def _resample_grid(df: DataFrame, by: str, on: str, step: int) -> DataFrame:
+    """(by, on) tick rows per the grid law above — shared by
+    resample_ffill and resample_interp so the grid is defined (and, in
+    interp's plan, computed) once.
+
+    Ceiling of _lo/step must respect SIGN: Spark DIV truncates toward
+    zero, which IS the ceiling for negative operands but needs the
+    (+step-1) nudge only for positive ones — the unconditional nudge
+    silently dropped leading ticks for pre-1970 (negative) timestamps."""
     bounds = df.groupBy(by).agg(
         F.min(on).alias("_lo"), F.max(on).alias("_hi")
     )
-    first = F.expr(f"((_lo + {step - 1}) DIV {step}) * {step}")
+    first = F.expr(
+        f"(CASE WHEN _lo >= 0 THEN (_lo + {step - 1}) DIV {step} "
+        f"ELSE _lo DIV {step} END) * {step}"
+    )
     ticks = F.when(
         first <= F.col("_hi"),
         F.sequence(first, F.col("_hi"), F.lit(step)),
     ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
-    grid = bounds.select(
+    return bounds.select(
         F.col(by), F.explode(ticks.cast("array<bigint>")).alias(on)
     )
-    return asof_join(grid, df, on=on, by=by, suffix=suffix)
 
 
 def resample_interp(
@@ -265,12 +279,16 @@ def resample_interp(
     one ASOF JOIN forward + one ASOF JOIN on negated ts.
     """
     obs = df.select(by, on, value_col)
-    prev = resample_ffill(obs, by=by, on=on, step=step, suffix="_p")
+    # ONE grid feeds both as-of passes: deriving the second pass's left
+    # side from `prev` would re-run the entire ffill window carry just
+    # to recover the tick list
+    grid = _resample_grid(obs, by, on, step)
+    prev = asof_join(grid, obs, on=on, by=by, suffix="_p")
     neg_obs = obs.select(
         F.col(by), (-F.col(on)).alias("_neg"), F.col(value_col)
     )
     nxt = asof_join(
-        prev.select(by, on, (-F.col(on)).alias("_neg")),
+        grid.select(by, on, (-F.col(on)).alias("_neg")),
         neg_obs,
         on="_neg",
         by=by,

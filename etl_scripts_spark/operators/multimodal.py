@@ -1287,8 +1287,11 @@ def image_dup_clusters(
     bin_col: str = "payload",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """(doc_id, cluster) over image payloads — decode + aHash, then the
-    group-size-safe signature clusterer."""
-    return signature_dup_clusters(
-        image_ahash(df, id_col, bin_col), id_col, "ahash", max_hamming
+    """(id_col, cluster) over image payloads — decode + aHash, then the
+    group-size-safe signature clusterer.  The signature stage always
+    emits its id as `doc_id` (AHASH_SCHEMA); a caller's custom id name
+    is restored on the way out."""
+    out = signature_dup_clusters(
+        image_ahash(df, id_col, bin_col), "doc_id", "ahash", max_hamming
     )
+    return out if id_col == "doc_id" else out.withColumnRenamed("doc_id", id_col)

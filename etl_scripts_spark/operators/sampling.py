@@ -22,17 +22,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _salted_hex_bits(id_col: Column, salt: str, nhex: int) -> Column:
+    """First `nhex` hex chars of md5(salt|id) as a BIGINT — the ONE
+    uniform-hash law behind split_hash (6 hex, mod basis) and
+    weighted_bernoulli_sample (12 hex, raw 48 bits), kept in one place
+    so the DuckDB twins — ('0x' || substring(md5(...), 1, n))::BIGINT —
+    can never drift from a single copy."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, nhex
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
 def split_hash(id_col: Column, salt: str = "split-v1", basis: int = 100) -> Column:
     """Uniform [0, basis) bucket from a salted md5 of the id — engine-
     portable (DuckDB: ('0x' || substring(md5(...),1,6))::BIGINT % basis).
     basis=100 for percent splits; source_mix uses basis=10000 so
     fractional weights resolve to 0.01%."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 6),
-        16,
-        10,
-    ).cast("bigint")
-    return h % basis
+    return _salted_hex_bits(id_col, salt, 6) % basis
 
 
 def split_assign(id_col: Column, train_pct: int = 90, salt: str = "split-v1") -> Column:
@@ -153,19 +163,36 @@ def weighted_bernoulli_sample(
     zero shuffles, composes under any partitioning, and the DuckDB
     oracle recomputes membership bit-identically.  Weights whose
     probability reaches 1 are always kept; NULL or negative weights
-    drop the row (an importance weight of 'unknown' keeps nothing)."""
+    drop the row (an importance weight of 'unknown' keeps nothing), and
+    so does a NULL id — with no identity there is no deterministic coin
+    to flip (outer-join debris quarantines, mirroring the signature
+    stages).  A weight whose scaled product would overflow the decimal
+    comparison raises loudly instead of silently dropping the heaviest
+    rows."""
     if rate_num <= 0 or rate_den <= 0:
         raise ValueError("rate_num and rate_den must be positive integers")
-    u = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))), 1, 12
-        ),
-        16,
-        10,
-    ).cast("decimal(38,0)")
+    u = _salted_hex_bits(F.col(id_col), salt, 12).cast("decimal(38,0)")
     lhs = u * F.expr(f"CAST({int(rate_den)} AS DECIMAL(38,0))")
     scale = int(rate_num) * (1 << 48)
+    # loud overflow bound: weight·scale past 10^38 would go NULL under
+    # non-ANSI decimal overflow and silently DROP exactly the heaviest
+    # rows (the probability-1 ones) — raise instead, like pagerank's
+    # hub-sum guard
+    w_max = (10**38 - 1) // scale
     rhs = F.col(weight_col).cast("decimal(38,0)") * F.expr(
         f"CAST('{scale}' AS DECIMAL(38,0))"
     )
-    return df.filter(F.col(weight_col).isNotNull() & (lhs < rhs))
+    keep = (
+        F.when(
+            F.col(weight_col).cast("decimal(38,0)")
+            > F.expr(f"CAST('{w_max}' AS DECIMAL(38,0))"),
+            F.raise_error(
+                F.lit(
+                    "weighted_bernoulli_sample: weight overflows the decimal "
+                    "comparison — lower the quantization or rate_num"
+                )
+            ),
+        )
+        .otherwise(lhs < rhs)
+    )
+    return df.filter(F.col(weight_col).isNotNull() & keep)

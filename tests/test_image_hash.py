@@ -207,3 +207,17 @@ def test_signature_clusters_agree_with_pairwise_truth(spark):
     # pairwise CC omits singletons; add them from got's domain
     want = parts({k: want_comp.get(k, k) for k in got})
     assert full_got == want
+
+
+def test_image_dup_clusters_custom_id_col(spark):
+    import pandas as pd
+
+    payload = multimodal.synthetic_pixel_image_bytes(4)
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": [7, 8], "payload": [payload, payload]})
+    )
+    got = {
+        r["image_id"]: r["cluster"]
+        for r in multimodal.image_dup_clusters(df, id_col="image_id").collect()
+    }
+    assert set(got) == {7, 8} and got[7] == got[8]

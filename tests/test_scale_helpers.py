@@ -655,3 +655,20 @@ def test_weighted_bernoulli_sample_exact_law_and_proportionality(spark):
         ).fetchall()
     ]
     assert got == oracle
+
+
+def test_weighted_bernoulli_sample_overflow_raises_loudly(spark):
+    """A weight whose scaled product would overflow DECIMAL(38,0) must
+    raise, not silently drop the heaviest (probability-1) rows."""
+    import pytest as _pt
+
+    from pyspark.sql import functions as F
+
+    from etl_scripts_spark.operators.sampling import weighted_bernoulli_sample
+
+    df = spark.range(1).select(
+        F.col("id").alias("doc_id"),
+        F.expr("CAST('99999999999999999999999999' AS DECIMAL(38,0))").alias("w"),
+    )
+    with _pt.raises(Exception, match="overflows"):
+        weighted_bernoulli_sample(df, "w", 1, 10).collect()

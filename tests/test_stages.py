@@ -763,3 +763,19 @@ def test_resample_interp_hand_checked_and_duckdb_parity(spark):
         ).fetchall()
     )
     assert got2 == want
+
+
+def test_resample_ffill_negative_timestamps(spark):
+    """Pre-1970 (negative) timestamps: DIV truncates toward zero, which
+    is already the ceiling for negative operands — the positive-side
+    nudge must not apply, or the leading tick silently vanishes."""
+    from etl_scripts_spark.operators.asof import resample_ffill
+
+    obs = spark.createDataFrame(
+        [("a", -120, 1.0), ("a", -10, 2.0)], "k string, ts bigint, v double"
+    )
+    got = sorted(
+        (r["ts"], r["v_ff"])
+        for r in resample_ffill(obs, by="k", on="ts", step=60).collect()
+    )
+    assert got == [(-120, 1.0), (-60, 1.0)]
