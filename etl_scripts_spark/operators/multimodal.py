@@ -423,6 +423,14 @@ def decode_wav_audio(payload: bytes):
     standard (x - 128) << 8 centering, so downstream stat laws see one
     numeric domain regardless of source depth.
     """
+    dec = decode_wav_pcm(payload)
+    return None if dec is None else (dec[0], dec[2])
+
+
+def decode_wav_pcm(payload: bytes):
+    """WAV PCM → (sample_rate, channels, flat int16 ndarray), or None.
+    The channel-aware form of decode_wav_audio — spectral operators must
+    de-interleave (a stereo stream read flat halves every frequency)."""
     import numpy as np
 
     try:
@@ -446,8 +454,8 @@ def decode_wav_audio(payload: bytes):
             return None
         if bits == 8:
             raw = np.frombuffer(data, dtype=np.uint8)
-            return rate, ((raw.astype(np.int16) - 128) << 8)
-        return rate, np.frombuffer(data[: len(data) & ~1], dtype="<i2")
+            return rate, channels, ((raw.astype(np.int16) - 128) << 8)
+        return rate, channels, np.frombuffer(data[: len(data) & ~1], dtype="<i2")
     except Exception:
         return None
 
@@ -1295,3 +1303,130 @@ def image_dup_clusters(
         image_ahash(df, id_col, bin_col), "doc_id", "ahash", max_hamming
     )
     return out if id_col == "doc_id" else out.withColumnRenamed("doc_id", id_col)
+
+
+def synthetic_square_wav_bytes(doc_id: int) -> bytes:
+    """Deterministic 16-bit mono WAV holding a SQUARE tone: amplitude
+    ±12000, fundamental bin k = 3 + doc_id % 60 of a 256-sample frame,
+    n = 256 * (1 + doc_id % 4) samples, rate 8000 + (doc_id % 4) * 4000.
+
+    A square wave keeps the spectral law integer-exact with zero floats
+    in either engine: s(i) = +A iff (k*i mod 256) < 128, duty is exactly
+    half for every k (128 is a multiple of gcd(k, 256)), so DC = 0; the
+    fundamental 4A/pi at bin k dominates every (possibly alias-folded)
+    odd harmonic (<= 1/3 of it), so dominant_bin == k for k in 3..62;
+    and per-frame energy is exactly 256 * A^2."""
+    import numpy as np
+
+    n = 256 * (1 + doc_id % 4)
+    rate = 8000 + (doc_id % 4) * 4000
+    k = 3 + doc_id % 60
+    i = np.arange(n, dtype=np.int64)
+    samples = np.where((k * i) % 256 < 128, 12000, -12000).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def with_square_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture source for the spectral path (map-only, Arrow-batched)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [synthetic_square_wav_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+
+
+SPECTROGRAM_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("dominant_bin", T.IntegerType()),
+        T.StructField("frame_energy", T.LongType()),
+    ]
+)
+
+
+def audio_spectrogram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    frame: int = 256,
+) -> DataFrame:
+    """binary WAV → per-frame spectral rows: a REAL rFFT (numpy, inside
+    the Arrow stage — payloads never leave it) over non-overlapping
+    rectangular frames of channel 0.
+
+    Per frame: `dominant_bin` = argmax_k |X_k|^2 over k = 1..frame/2
+    (DC excluded — a biased signal would otherwise always "peak" at 0),
+    and `frame_energy` = sum(s_i^2) — exact int64 time-domain energy,
+    which Parseval ties to the spectrum the FFT just computed (the unit
+    test asserts the identity, so a broken transform cannot pass).
+
+    The language-id/quality analog for audio: frequency fingerprints
+    cheap enough to run corpus-wide, per-frame rows ready for groupBy
+    laws (modal bin per doc, band histograms).  Map-only — scales with
+    bytes scanned, no shuffle.  Stereo de-interleaves to channel 0;
+    undecodable or shorter-than-one-frame payloads emit one NULL-stat
+    row so the doc stays visible downstream.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in SPECTROGRAM_SCHEMA}
+
+            def null_row(did: int) -> None:
+                out["doc_id"].append(did)
+                for k in ("sample_rate", "frame_idx", "dominant_bin", "frame_energy"):
+                    out[k].append(None)
+
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                did = int(did)
+                dec = decode_wav_pcm(bytes(b) if b is not None else b"")
+                if dec is None:
+                    null_row(did)
+                    continue
+                rate, channels, s = dec
+                mono = s[0::channels].astype(np.int64)
+                n_frames = len(mono) // frame
+                if n_frames == 0:
+                    null_row(did)
+                    continue
+                frames = mono[: n_frames * frame].reshape(n_frames, frame)
+                mag2 = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+                dom = np.argmax(mag2[:, 1:], axis=1) + 1
+                energy = (frames * frames).sum(axis=1)
+                out["doc_id"].extend([did] * n_frames)
+                out["sample_rate"].extend([rate] * n_frames)
+                out["frame_idx"].extend(range(n_frames))
+                out["dominant_bin"].extend(int(x) for x in dom)
+                out["frame_energy"].extend(int(x) for x in energy)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.array(out["doc_id"], dtype="Int64"),
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                    "dominant_bin": pd.array(out["dominant_bin"], dtype="Int32"),
+                    "frame_energy": pd.array(out["frame_energy"], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, SPECTROGRAM_SCHEMA)

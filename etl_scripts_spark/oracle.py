@@ -386,3 +386,55 @@ ranked AS (
 )
 SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= {top_k}
 """
+
+def table_changes_sql(
+    old_cte: str, new_cte: str, keys: list[str], attrs: list[str]
+) -> str:
+    """DuckDB mirror of sinks/cdc.snapshot_changes: full-outer join the two
+    snapshots on the key, classify with IS NOT DISTINCT FROM (== Spark
+    eqNullSafe), emit insert / delete / update_preimage / update_postimage
+    via 4-way UNION ALL.  `old_cte` / `new_cte` provide keys + attrs.
+    Prepared for the r8/r9 registration (snapshot_changes is banked,
+    unit- and parity-tested)."""
+    key_eq = " AND ".join(f"o.{k} IS NOT DISTINCT FROM n.{k}" for k in keys)
+    k_o = ", ".join(f"o.{k}" for k in keys)
+    k_n = ", ".join(f"n.{k}" for k in keys)
+    kcols = ", ".join(keys)
+    same = (
+        " AND ".join(f"o.{a} IS NOT DISTINCT FROM n.{a}" for a in attrs)
+        if attrs
+        else "TRUE"
+    )
+    n_attrs = "".join(f", n.{a}" for a in attrs)
+    o_attrs = "".join(f", o.{a}" for a in attrs)
+    return f"""
+WITH o AS ({old_cte}), n AS ({new_cte})
+SELECT {k_n}{n_attrs}, 'insert' AS _change_type
+FROM n WHERE NOT EXISTS (SELECT 1 FROM o WHERE {key_eq})
+UNION ALL
+SELECT {k_o}{o_attrs}, 'delete' AS _change_type
+FROM o WHERE NOT EXISTS (SELECT 1 FROM n WHERE {key_eq})
+UNION ALL
+SELECT {k_o}{o_attrs}, 'update_preimage' AS _change_type
+FROM o JOIN n ON {key_eq} WHERE NOT ({same})
+UNION ALL
+SELECT {k_n}{n_attrs}, 'update_postimage' AS _change_type
+FROM n JOIN o ON {key_eq} WHERE NOT ({same})
+"""
+
+def spectrogram_law_sql(ids_cte: str) -> str:
+    """DuckDB mirror of multimodal.audio_spectrogram over the SQUARE-tone
+    fixture (synthetic_square_wav_bytes): every law is integer-exact —
+    n_frames = 1 + doc_id % 4, dominant bin = the fundamental 3 + doc_id
+    % 60 (square-wave harmonics, folded or not, are <= 1/3 of it), and
+    per-frame energy = 256 * 12000^2 (the wave is ±A everywhere).
+    `ids_cte` provides doc_id.  Prepared for the r8/r9 registration
+    (audio_spectrogram is banked, unit- and parity-tested)."""
+    return f"""
+SELECT doc_id,
+       CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+       CAST(unnest(generate_series(0, doc_id % 4)) AS INTEGER) AS frame_idx,
+       CAST(3 + doc_id % 60 AS INTEGER) AS dominant_bin,
+       CAST(36864000000 AS BIGINT) AS frame_energy
+FROM ({ids_cte})
+"""
