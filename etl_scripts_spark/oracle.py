@@ -438,3 +438,46 @@ SELECT doc_id,
        CAST(36864000000 AS BIGINT) AS frame_energy
 FROM ({ids_cte})
 """
+
+
+def interval_join_sql(
+    left_cte: str,
+    right_cte: str,
+    l_cols: list[str],
+    r_cols: list[str],
+    by: str | None = None,
+    left_bounds: tuple[str, str] = ("start", "end"),
+    right_bounds: tuple[str, str] = ("start", "end"),
+    suffix: str = "_r",
+    point: str | None = None,
+) -> str:
+    """DuckDB mirror of operators/intervals.interval_join (and, with
+    `point` set, point_in_interval_join): the PLAIN closed-interval
+    inequality join, which DuckDB executes natively (IEJoin) — the
+    binning + emit-once machinery is internal to the Spark side, so the
+    oracle never sees it; matching output proves each overlapping pair
+    is emitted exactly once.  `l_cols` / `r_cols` are the full column
+    lists of the two relations; right columns (except `by`) come back
+    with `suffix`, same as the operator.  Every identifier is
+    double-quoted — interval columns are routinely named `end`, reserved
+    in DuckDB."""
+
+    def q(c: str) -> str:
+        return '"' + c + '"'
+
+    ls, le = left_bounds
+    rs, re_ = right_bounds
+    overlap = (
+        f"r.{q(rs)} <= l.{q(point)} AND l.{q(point)} <= r.{q(re_)}"
+        if point
+        else f"l.{q(ls)} <= r.{q(re_)} AND r.{q(rs)} <= l.{q(le)}"
+    )
+    on = (f"l.{q(by)} = r.{q(by)} AND " if by else "") + overlap
+    sel = ", ".join(
+        [f"l.{q(c)}" for c in l_cols]
+        + [f"r.{q(c)} AS {q(c + suffix)}" for c in r_cols if c != by]
+    )
+    return f"""
+WITH l AS ({left_cte}), r AS ({right_cte})
+SELECT {sel} FROM l JOIN r ON {on}
+"""
