@@ -108,7 +108,23 @@ def _suffix_map(
         raise ValueError(
             f"interval_join: suffixed right columns collide with left: {clash}"
         )
+    reserved = {"_bin"} & (set(left_cols) | set(right_cols) | set(renamed.values()))
+    if reserved:
+        raise ValueError(
+            "interval_join: '_bin' is a reserved working column name"
+        )
     return renamed
+
+
+def _check_widths(bin_width: int, max_bins: int) -> None:
+    """Loud up-front validation: a negative width makes bins DECREASE with
+    coordinates (sequence() counts down, the emit-once bin falls outside
+    the other side's bin set — overlapping pairs silently vanish), and
+    zero dies as a raw divide-by-zero deep in codegen."""
+    if bin_width <= 0:
+        raise ValueError(f"interval_join: bin_width must be positive, got {bin_width}")
+    if max_bins <= 0:
+        raise ValueError(f"interval_join: max_bins must be positive, got {max_bins}")
 
 
 def interval_join(
@@ -128,6 +144,7 @@ def interval_join(
     """
     ls, le = left_bounds
     rs, re_ = right_bounds
+    _check_widths(bin_width, max_bins)
     renamed = _suffix_map(left.columns, right.columns, by, suffix)
     rdf = right.select([F.col(c).alias(renamed[c]) for c in right.columns])
 
@@ -169,6 +186,7 @@ def point_in_interval_join(
     Only the interval side pays the bin fan-out.
     """
     s, e = bounds
+    _check_widths(bin_width, max_bins)
     renamed = _suffix_map(points.columns, intervals.columns, by, suffix)
     idf = intervals.select([F.col(c).alias(renamed[c]) for c in intervals.columns])
 

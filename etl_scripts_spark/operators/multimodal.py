@@ -452,6 +452,8 @@ def decode_wav_pcm(payload: bytes):
             pos += 8 + size + (size & 1)
         if rate is None or data is None or bits not in (8, 16) or channels not in (1, 2):
             return None
+        if not 0 < rate < 2**31:  # corrupt fmt header; rate must fit INT32
+            return None
         if bits == 8:
             raw = np.frombuffer(data, dtype=np.uint8)
             return rate, channels, ((raw.astype(np.int16) - 128) << 8)

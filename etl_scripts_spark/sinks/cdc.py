@@ -62,12 +62,33 @@ def snapshot_changes(
         raise ValueError(
             f"snapshot schemas differ: {sorted(old.columns)} vs {sorted(new.columns)}"
         )
-    if old is None:
-        return new.select(
-            *keys, *attrs, F.lit("insert").alias("_change_type")
+    reserved = {"_o", "_n", "_oc", "_nc", "_c", "_change_type"}
+    clash = reserved & set(new.columns)
+    if clash:
+        raise ValueError(
+            f"snapshot_changes: column names collide with internals: {sorted(clash)}"
         )
 
     w = Window.partitionBy(*keys)
+    if old is None:
+        # "from empty": every row is an insert — but the key-uniqueness
+        # contract still holds (a dup/NULL key replays into a table that
+        # violates it), so the same lazy guard runs on the one side present.
+        bad = F.count(F.lit(1)).over(w) > 1
+        for k in keys:
+            bad = bad | F.col(k).isNull()
+        return new.select(
+            *keys,
+            *attrs,
+            F.when(
+                bad,
+                F.raise_error(
+                    F.lit("snapshot_changes: duplicate or NULL key in a snapshot")
+                ),
+            )
+            .otherwise(F.lit("insert"))
+            .alias("_change_type"),
+        )
     o = (
         old.select(*keys, *[F.col(a).alias(f"_o_{a}") for a in attrs])
         .withColumn("_o", F.lit(1))
@@ -109,7 +130,12 @@ def snapshot_changes(
         else "array<struct<_change_type:string>>"
     )
     changes = (
-        F.when(dup, F.raise_error(F.lit("snapshot_changes: duplicate key in a snapshot")))
+        F.when(
+            dup,
+            F.raise_error(
+                F.lit("snapshot_changes: duplicate or NULL key in a snapshot")
+            ),
+        )
         .when(F.col("_o").isNull(), F.array(image("insert", "n")))
         .when(F.col("_n").isNull(), F.array(image("delete", "o")))
         .when(

@@ -5,7 +5,6 @@ round-trip, the commit-chain end-to-end path, and DuckDB oracle parity
 
 from __future__ import annotations
 
-import json
 import os
 
 import pytest
@@ -75,15 +74,32 @@ def test_key_only_table_is_presence_diff(spark):
 def test_duplicate_key_raises(spark):
     old = _df(spark, [("a", "red", 1)])
     new = _df(spark, [("a", "red", 1), ("a", "blue", 2)])
-    with pytest.raises(Exception, match="duplicate key"):
+    with pytest.raises(Exception, match="duplicate or NULL key"):
         snapshot_changes(old, new, ["k"]).collect()
 
 
 def test_null_key_raises(spark):
     old = _df(spark, [("a", "red", 1)])
     new = _df(spark, [(None, "red", 1)])
-    with pytest.raises(Exception, match="duplicate key"):
+    with pytest.raises(Exception, match="duplicate or NULL key"):
         snapshot_changes(old, new, ["k"]).collect()
+
+
+def test_from_empty_still_guards_keys(spark):
+    # old=None must enforce the same key contract: a dup/NULL key replayed
+    # from the all-insert feed would build a table violating uniqueness
+    dup = _df(spark, [("a", "red", 1), ("a", "blue", 2)])
+    with pytest.raises(Exception, match="duplicate or NULL key"):
+        snapshot_changes(None, dup, ["k"]).collect()
+    nul = _df(spark, [(None, "red", 1)])
+    with pytest.raises(Exception, match="duplicate or NULL key"):
+        snapshot_changes(None, nul, ["k"]).collect()
+
+
+def test_internal_name_collision_raises(spark):
+    bad = spark.createDataFrame([(1, 1)], "_o bigint, v bigint")
+    with pytest.raises(ValueError, match="collide with internals"):
+        snapshot_changes(bad, bad, ["_o"])
 
 
 def test_schema_mismatch_raises(spark):

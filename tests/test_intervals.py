@@ -130,6 +130,26 @@ def test_max_bins_raises(spark):
         df.collect()
 
 
+def test_nonpositive_bin_width_raises(spark):
+    l, r = _mk(spark, [(1, "a", 3, 7)], L_SCHEMA), _mk(spark, [(10, "a", 7, 12)], R_SCHEMA)
+    # negative W silently dropped overlapping pairs before the guard
+    with pytest.raises(ValueError, match="bin_width"):
+        interval_join(l, r, by="chrom", bin_width=-5)
+    with pytest.raises(ValueError, match="bin_width"):
+        interval_join(l, r, by="chrom", bin_width=0)
+    with pytest.raises(ValueError, match="max_bins"):
+        interval_join(l, r, by="chrom", bin_width=5, max_bins=0)
+
+
+def test_reserved_bin_column_raises(spark):
+    l = _mk(spark, [(1, "a", 3, 7)], L_SCHEMA).withColumn("_bin", F.lit(9))
+    r = _mk(spark, [(10, "a", 7, 12)], R_SCHEMA)
+    with pytest.raises(ValueError, match="_bin"):
+        interval_join(l, r, by="chrom")
+    with pytest.raises(ValueError, match="_bin"):
+        interval_join(r, l, by="chrom")
+
+
 def test_column_collision_raises(spark):
     left = _mk(spark, [(1, "a", 0, 10)], L_SCHEMA).withColumnRenamed("lid", "rid_r")
     with pytest.raises(ValueError, match="collide"):

@@ -55,7 +55,8 @@ def test_parseval_ties_energy_to_spectrum():
 
 
 def _wav(channels: int, interleaved: bytes, rate: int = 8000) -> bytes:
-    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels, 2 * channels, 16)
+    byte_rate = (rate * 2 * channels) % 2**32  # field is u32; decode ignores it
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, byte_rate, 2 * channels, 16)
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -79,12 +80,20 @@ def test_stereo_uses_channel_zero(spark):
 
 def test_quarantine_rows(spark):
     short = _wav(1, b"\x00\x00" * 100)  # < one frame
+    # a parseable header with a rate past INT32 is corrupt, not a crash:
+    # it must quarantine like any undecodable payload (the Int32 Arrow
+    # conversion would otherwise kill the whole task)
+    huge_rate = _wav(1, b"\x00\x00" * 256, rate=3_000_000_000)
     df = spark.createDataFrame(
-        [(1, bytearray(b"not a wav")), (2, bytearray(short))],
+        [(1, bytearray(b"not a wav")), (2, bytearray(short)), (3, bytearray(huge_rate))],
         "doc_id bigint, payload binary",
     )
     rows = sorted(tuple(r) for r in audio_spectrogram(df).collect())
-    assert rows == [(1, None, None, None, None), (2, None, None, None, None)]
+    assert rows == [
+        (1, None, None, None, None),
+        (2, None, None, None, None),
+        (3, None, None, None, None),
+    ]
 
 
 def test_oracle_law_parity(spark):
