@@ -99,7 +99,11 @@ def table_version(root: str) -> int:
 
 
 def try_publish_version(
-    root: str, version: int, data_path: str, base: int | None = None
+    root: str,
+    version: int,
+    data_path: str,
+    base: int | None = None,
+    extra: dict | None = None,
 ) -> bool:
     """Compare-and-swap: atomically publish `_versions/v{version}.json`.
     Returns False (no side effects on the chain) if another writer already
@@ -130,6 +134,14 @@ def try_publish_version(
     record = {"version": version, "data": data_path, "committed_at": time.time()}
     if base is not None:
         record["base"] = base
+    if extra:
+        overlap = set(extra) & set(record)
+        if overlap:
+            raise ValueError(f"extra keys shadow manifest fields: {sorted(overlap)}")
+        # rides the SAME atomic manifest as the data pointer — this is how
+        # a stream's applied-batch watermark commits in the one transaction
+        # that publishes the batch's effect (foreachBatch idempotence)
+        record.update(extra)
     payload = json.dumps(record)
     with open(tmp, "w") as fh:
         fh.write(payload)
@@ -179,6 +191,13 @@ def latest_committed_version(root: str) -> int:
         except (ValueError, FileNotFoundError):
             v -= 1
     return 0
+
+
+def version_record(root: str, version: int) -> dict:
+    """The parsed manifest of a committed version (raises on torn/missing —
+    callers name a version they believe committed)."""
+    with open(os.path.join(_versions_dir(root), f"v{version}.json")) as fh:
+        return json.load(fh)
 
 
 def read_version(spark, root: str, version: int | None = None):
