@@ -481,3 +481,43 @@ def interval_join_sql(
 WITH l AS ({left_cte}), r AS ({right_cte})
 SELECT {sel} FROM l JOIN r ON {on}
 """
+
+
+def grouped_ols_sql(source_cte: str, y: str, x: str, by: list[str]) -> str:
+    """DuckDB mirror of reports/regression.grouped_ols: the same five
+    HUGEINT moment sums (exact, order-independent), the same closed
+    forms with double division as the only float step, the same 9-dp
+    round — NOT DuckDB's regr_* (those accumulate in floating point, so
+    their last bits depend on scan order).  Degenerate laws match:
+    zero x-variance → NULL slope/intercept/r2; zero y-variance →
+    slope 0, r2 NULL."""
+    keys = ", ".join(by)
+    return f"""
+WITH src AS ({source_cte}),
+m AS (
+  SELECT {keys},
+         count(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN 1 END) AS n,
+         sum(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN CAST({x} AS HUGEINT) END) AS sx,
+         sum(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN CAST({y} AS HUGEINT) END) AS sy,
+         sum(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN CAST({x} AS HUGEINT) * CAST({y} AS HUGEINT) END) AS sxy,
+         sum(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN CAST({x} AS HUGEINT) * CAST({x} AS HUGEINT) END) AS sxx,
+         sum(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN CAST({y} AS HUGEINT) * CAST({y} AS HUGEINT) END) AS syy
+  FROM src GROUP BY {keys}
+),
+d AS (
+  SELECT {keys}, n,
+         CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
+         CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
+         CAST(n * syy - sy * sy AS DOUBLE) AS vary,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(n AS DOUBLE) AS nd
+  FROM m WHERE n > 0
+)
+SELECT {keys}, n,
+       CASE WHEN varx > 0 THEN round(covn / varx, 9) END AS slope,
+       CASE WHEN varx > 0
+            THEN round((syd - (covn / varx) * sxd) / nd, 9) END AS intercept,
+       CASE WHEN varx > 0 AND vary > 0
+            THEN round(covn * covn / (varx * vary), 9) END AS r2
+FROM d
+"""

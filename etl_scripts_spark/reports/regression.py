@@ -1,0 +1,116 @@
+"""Per-group simple linear regression — exact moment sums, one shuffle.
+
+The corpus-analytics layer scores documents (quality, perplexity,
+repetition); what it lacks is the TREND report a data operator runs over
+those scores: "is quality drifting with document length per source?",
+"does token count predict dedup survival per domain?".  Grouped ordinary
+least squares answers those with one aggregation.
+
+Engine-portable exactness, the repo's standard recipe:
+
+* the five moment sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as
+  DECIMAL(38,0) over integer inputs — order-independent and exact, so
+  any partitioning gives bit-identical sums (a float accumulation would
+  make the oracle comparison depend on Spark's reduction tree);
+* the closed forms divide those exact integers as doubles and round to
+  9 dp — the same 9-dp division/log parity the PSI report pins between
+  the JVM and DuckDB libm;
+* 38-digit overflow is loud on every config: ANSI mode (the Spark 4
+  default) throws NUMERIC_VALUE_OUT_OF_RANGE at the decimal op itself,
+  and under non-ANSI (where decimal overflow NULLs silently — the known
+  trap) the in-plan raise_error guard fires instead.
+
+Degenerate groups follow SQL `regr_*` semantics: n == 0 emits nothing
+(no group), zero x-variance yields NULL slope/intercept/r2 (vertical
+line), zero y-variance with positive x-variance yields slope 0 and r2
+NULL (0/0 in the r² quotient — DuckDB's regr_r2 agrees).
+
+One `groupBy` with map-side combine — at 100 TB this is the cheapest
+shape a regression can take: no second pass, no per-group sort, no
+residual materialization.  Float inputs are rejected loudly: snap to a
+fixed-point integer grid first (the exactness contract is the point).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_D = "decimal(38,0)"
+
+
+def _guard(expr):
+    """NULL out of an exact decimal step with non-null inputs means a
+    38-digit overflow — raise instead of emitting a silently-NULL stat.
+    (Inputs are non-null by construction here: n>0 rows carry non-null
+    moments, so any NULL IS the overflow.)"""
+    return F.when(
+        expr.isNull(),
+        F.raise_error(
+            F.lit("grouped_ols: exact moment arithmetic overflowed decimal(38,0)")
+        ),
+    ).otherwise(expr)
+
+
+def grouped_ols(
+    df: DataFrame, y: str, x: str, by: list[str] | None = None
+) -> DataFrame:
+    """Per-group OLS of `y` on `x`: (by..., n, slope, intercept, r2).
+
+    NULL x or y rows are excluded pairwise (both moments must see the
+    same rows or the normal equations stop being consistent).
+    """
+    ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)
+    for c in (x, y):
+        dt = df.schema[c].dataType
+        if not isinstance(dt, ok):
+            raise ValueError(
+                f"grouped_ols input `{c}` is {dt.simpleString()}: float moments "
+                "are partitioning-dependent — snap to an integer grid first"
+            )
+    by = by or []
+    both = F.col(x).isNotNull() & F.col(y).isNotNull()
+    xd = F.when(both, F.col(x).cast(_D))
+    yd = F.when(both, F.col(y).cast(_D))
+
+    sums = df.groupBy(*by).agg(
+        F.count(F.when(both, F.lit(1))).alias("n"),
+        F.sum(xd).alias("_sx"),
+        F.sum(yd).alias("_sy"),
+        F.sum(xd * yd).alias("_sxy"),
+        F.sum(xd * xd).alias("_sxx"),
+        F.sum(yd * yd).alias("_syy"),
+    )
+    sums = sums.where(F.col("n") > 0)
+
+    n, sx, sy = F.col("n").cast(_D), F.col("_sx"), F.col("_sy")
+    # exact integer numerators/denominators; division is the ONLY float
+    # step.  Decimal sums AND decimal products return NULL on overflow
+    # (the silent Spark trap), so every exact intermediate gets the loud
+    # guard before the cast to double.
+    sums = sums.withColumn(
+        "_covn", _guard(n * F.col("_sxy") - sx * sy)
+    ).withColumn(
+        "_varx", _guard(n * F.col("_sxx") - sx * sx)
+    ).withColumn(
+        "_vary", _guard(n * F.col("_syy") - sy * sy)
+    )
+    cov_n = F.col("_covn").cast("double")
+    var_x = F.col("_varx").cast("double")
+    var_y = F.col("_vary").cast("double")
+
+    slope = F.when(var_x > 0, F.round(cov_n / var_x, 9))
+    intercept = F.when(
+        var_x > 0,
+        F.round((sy.cast("double") - (cov_n / var_x) * sx.cast("double")) / n.cast("double"), 9),
+    )
+    r2 = F.when((var_x > 0) & (var_y > 0), F.round(cov_n * cov_n / (var_x * var_y), 9))
+
+    return sums.select(
+        *by,
+        F.col("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )

@@ -1,0 +1,127 @@
+"""Grouped OLS (reports/regression.py): exact-line fixture, python-exact
+reference on randomized data, pairwise NULL exclusion, degenerate-variance
+laws, float rejection, partitioning invariance, decimal-overflow raise,
+and DuckDB oracle parity (oracle.grouped_ols_sql)."""
+
+from __future__ import annotations
+
+import random
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_scripts_spark import oracle
+from etl_scripts_spark.reports.regression import grouped_ols
+
+SCHEMA = "g string, x bigint, y bigint"
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: tuple((v is not None, v) for v in t),
+    )
+
+
+def test_exact_line(spark):
+    rows = [("a", x, 3 * x + 2) for x in range(-5, 6)]
+    got = _rows(grouped_ols(_df(spark, rows), "y", "x", ["g"]))
+    assert got == [("a", 11, 3.0, 2.0, 1.0)]
+
+
+def test_randomized_matches_python_exact(spark):
+    rng = random.Random(3)
+    rows = [
+        (f"g{i % 4}", rng.randint(-100, 100), rng.randint(-100, 100))
+        for i in range(400)
+    ]
+    got = {r[0]: r[1:] for r in grouped_ols(_df(spark, rows), "y", "x", ["g"]).collect()}
+    for g in {r[0] for r in rows}:
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        n = len(pts)
+        sx, sy = sum(x for x, _ in pts), sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx, syy = sum(x * x for x, _ in pts), sum(y * y for _, y in pts)
+        covn, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+        slope = float(covn) / float(varx)
+        n_got, s_got, i_got, r_got = got[g]
+        assert n_got == n
+        assert abs(s_got - slope) < 1e-9
+        assert abs(i_got - (float(sy) - slope * float(sx)) / float(n)) < 1e-9
+        assert abs(r_got - float(covn) ** 2 / (float(varx) * float(vary))) < 1e-9
+
+
+def test_null_rows_excluded_pairwise(spark):
+    rows = [("a", 1, 10), ("a", 2, 20), ("a", None, 99), ("a", 3, None), ("a", 3, 30)]
+    got = _rows(grouped_ols(_df(spark, rows), "y", "x", ["g"]))
+    assert got == [("a", 3, 10.0, 0.0, 1.0)]
+
+
+def test_degenerate_variances(spark):
+    # zero x-variance: vertical line → all NULL; zero y-variance: slope 0
+    rows = [("v", 5, 1), ("v", 5, 2), ("h", 1, 7), ("h", 2, 7), ("h", 3, 7)]
+    got = {r["g"]: (r["slope"], r["intercept"], r["r2"]) for r in
+           grouped_ols(_df(spark, rows), "y", "x", ["g"]).collect()}
+    assert got["v"] == (None, None, None)
+    assert got["h"] == (0.0, 7.0, None)
+
+
+def test_all_null_group_emits_nothing(spark):
+    rows = [("a", 1, 1), ("z", None, None)]
+    got = _rows(grouped_ols(_df(spark, rows), "y", "x", ["g"]))
+    assert [r[0] for r in got] == ["a"]
+
+
+def test_float_input_raises(spark):
+    df = spark.createDataFrame([("a", 1.5, 2)], "g string, x double, y bigint")
+    with pytest.raises(ValueError, match="integer grid"):
+        grouped_ols(df, "y", "x", ["g"])
+
+
+def test_partitioning_invariance(spark):
+    rng = random.Random(9)
+    rows = [(f"g{i % 3}", rng.randint(-50, 50), rng.randint(-50, 50)) for i in range(300)]
+    a = _rows(grouped_ols(_df(spark, rows).repartition(1), "y", "x", ["g"]))
+    b = _rows(grouped_ols(_df(spark, rows).repartition(16), "y", "x", ["g"]))
+    assert a == b
+
+
+def test_overflow_raises_not_nulls(spark):
+    # ANSI mode (Spark 4 default) throws NUMERIC_VALUE_OUT_OF_RANGE at the
+    # decimal multiply itself; under non-ANSI the in-plan raise_error guard
+    # fires instead — either way the overflow is LOUD, never a NULL stat
+    big = 5 * 10**18
+    rows = [("a", big, 1), ("a", big - 1, 2), ("a", big - 2, 3)]
+    with pytest.raises(Exception, match="overflowed|cannot be represented"):
+        grouped_ols(_df(spark, rows), "y", "x", ["g"]).collect()
+
+
+def test_ungrouped_whole_table(spark):
+    rows = [("a", x, 2 * x - 1) for x in range(10)]
+    got = grouped_ols(_df(spark, rows), "y", "x").collect()
+    assert len(got) == 1 and got[0]["slope"] == 2.0 and got[0]["intercept"] == -1.0
+
+
+def test_duckdb_oracle_parity(spark):
+    import duckdb
+
+    from tests.parity import compare
+
+    rng = random.Random(31)
+    rows = [
+        (f"g{i % 5}", rng.randint(-1000, 1000), rng.randint(-1000, 1000))
+        for i in range(500)
+    ] + [("vert", 7, v) for v in (1, 2, 3)] + [("flat", v, 5) for v in (1, 2, 4)]
+    spark_pdf = grouped_ols(_df(spark, rows), "y", "x", ["g"]).toPandas()
+    vals = ", ".join(f"('{g}', {x}, {y})" for g, x, y in rows)
+    sql = oracle.grouped_ols_sql(
+        f"SELECT * FROM (VALUES {vals}) t(g, x, y)", "y", "x", ["g"]
+    )
+    oracle_pdf = duckdb.connect().execute(sql).fetchdf()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert problems == [], problems
