@@ -521,3 +521,29 @@ SELECT {keys}, n,
             THEN round(covn * covn / (varx * vary), 9) END AS r2
 FROM d
 """
+
+
+def expectation_report_sql(source_cte: str, rules: list[tuple[str, str]]) -> str:
+    """DuckDB mirror of reports/expectations.expectation_report: every
+    rule is a conditional count in ONE aggregate over ONE scan, pass iff
+    the predicate `IS TRUE` (NULL fails — the closed-world law), fail
+    rate rounded to 9 dp with the zero-rows → 0.0 convention.  `rules`
+    pairs each name with a DuckDB boolean expression over the source
+    columns."""
+    counts = ", ".join(
+        f"count(CASE WHEN ({pred}) IS TRUE THEN 1 END) AS p_{i}, "
+        f"count(CASE WHEN NOT (({pred}) IS TRUE) THEN 1 END) AS f_{i}"
+        for i, (_, pred) in enumerate(rules)
+    )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS rule, p_{i} AS n_pass, f_{i} AS n_fail, "
+        f"CASE WHEN p_{i} + f_{i} > 0 "
+        f"THEN round(f_{i}::DOUBLE / (p_{i} + f_{i}), 9) ELSE 0.0 END AS fail_rate "
+        f"FROM wide"
+        for i, (name, _) in enumerate(rules)
+    )
+    return f"""
+WITH src AS ({source_cte}),
+wide AS (SELECT {counts} FROM src)
+{arms}
+"""
