@@ -952,3 +952,79 @@ def batch_retrieval(
         .filter(F.col("rank") <= top_k)
         .select(query_id_col, "rank", id_col, "score")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Collocation mining: consecutive word pairs scored by PMI and NPMI
+    — the phrase-detection step (word2vec-style "new_york" merging,
+    boilerplate-phrase discovery) a pretraining pipeline runs between
+    tokenization and vocabulary construction.
+
+    Law (engine-portable, both engines compute it identically):
+
+      pmi  = round(ln((c_ab / N_bi) / ((c_a / N_uni) * (c_b / N_uni))), 9)
+      npmi = round(pmi_unrounded / -ln(c_ab / N_bi), 9)   in [-1, 1]
+
+    with exact integer counts (c_ab, c_a, c_b, N_bi, N_uni) and double
+    division/log as the only float steps (the PSI-pinned 9-dp parity).
+
+    Scale shape: tokenize ONCE (staged `_w`, never inlined into the HOF
+    — the plan-guarded pattern), one explode+groupBy per n-gram order
+    (map-side combine collapses to vocabulary size), `min_count` prunes
+    the bigram tail BEFORE the two vocabulary-keyed joins, and the two
+    corpus totals attach as 1-row broadcasts (join_singleton).  Nothing
+    downstream of the explodes is corpus-sized — at 100 TB the joins
+    move vocabulary tables, not documents.
+    """
+    w = df.select(words(F.col(text_col)).alias("_w"))
+
+    uni = w.select(F.explode("_w").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("c_uni")
+    )
+    n_uni = uni.agg(F.sum("c_uni").alias("n_uni"))
+
+    toks = F.col("_w")
+    pairs = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.struct(
+                t.alias("w1"), F.try_element_at(toks, i + 2).alias("w2")
+            ),
+        ),
+        lambda p: p["w2"].isNotNull(),
+    )
+    bi = (
+        w.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_bi = bi.agg(F.sum("c_ab").alias("n_bi"))
+
+    scored = (
+        bi.where(F.col("c_ab") >= min_count)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c_uni", "c_a"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c_uni", "c_b"), "w2")
+    )
+    scored = join_singleton(join_singleton(scored, n_uni), n_bi)
+
+    p_ab = F.col("c_ab").cast("double") / F.col("n_bi").cast("double")
+    p_a = F.col("c_a").cast("double") / F.col("n_uni").cast("double")
+    p_b = F.col("c_b").cast("double") / F.col("n_uni").cast("double")
+    pmi_raw = F.log(p_ab / (p_a * p_b))
+    return scored.select(
+        "w1",
+        "w2",
+        "c_ab",
+        "c_a",
+        "c_b",
+        F.round(pmi_raw, 9).alias("pmi"),
+        # a corpus whose every bigram is this one pair has -ln(p_ab) = 0:
+        # NPMI is undefined there (NULL), not an inf that poisons sorts
+        F.when(F.col("c_ab") < F.col("n_bi"), F.round(pmi_raw / -F.log(p_ab), 9))
+        .alias("npmi"),
+    )

@@ -547,3 +547,37 @@ WITH src AS ({source_cte}),
 wide AS (SELECT {counts} FROM src)
 {arms}
 """
+
+
+def pmi_collocations_sql(source_cte: str, min_count: int = 5) -> str:
+    """DuckDB mirror of corpus.pmi_collocations: the same staged-words
+    law (words_sql), bigram pairs via two zipped slice unnests, exact
+    counts, and the identical double ln/division law at 9 dp.  NPMI is
+    NULL when this pair is the whole bigram population (-ln(p_ab) = 0)."""
+    return f"""
+WITH src AS ({source_cte}),
+w AS (SELECT {words_sql('text')} AS ws FROM src),
+uni AS (SELECT unnest(ws) AS w FROM w),
+uc AS (SELECT w, count(*) AS c_uni FROM uni GROUP BY w),
+nu AS (SELECT sum(c_uni) AS n_uni FROM uc),
+bip AS (
+  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2 FROM w
+),
+bc AS (SELECT w1, w2, count(*) AS c_ab FROM bip GROUP BY w1, w2),
+nb AS (SELECT sum(c_ab) AS n_bi FROM bc)
+SELECT bc.w1, bc.w2, bc.c_ab, a.c_uni AS c_a, b.c_uni AS c_b,
+       round(ln((bc.c_ab::DOUBLE / n_bi::DOUBLE)
+                / ((a.c_uni::DOUBLE / n_uni::DOUBLE)
+                   * (b.c_uni::DOUBLE / n_uni::DOUBLE))), 9) AS pmi,
+       CASE WHEN bc.c_ab < n_bi THEN
+         round(ln((bc.c_ab::DOUBLE / n_bi::DOUBLE)
+                  / ((a.c_uni::DOUBLE / n_uni::DOUBLE)
+                     * (b.c_uni::DOUBLE / n_uni::DOUBLE)))
+               / -ln(bc.c_ab::DOUBLE / n_bi::DOUBLE), 9)
+       END AS npmi
+FROM bc
+JOIN uc a ON a.w = bc.w1
+JOIN uc b ON b.w = bc.w2
+CROSS JOIN nu CROSS JOIN nb
+WHERE bc.c_ab >= {min_count}
+"""
