@@ -490,22 +490,23 @@ def grouped_ols_sql(source_cte: str, y: str, x: str, by: list[str]) -> str:
     round — NOT DuckDB's regr_* (those accumulate in floating point, so
     their last bits depend on scan order).  Degenerate laws match:
     zero x-variance → NULL slope/intercept/r2; zero y-variance →
-    slope 0, r2 NULL."""
+    slope 0, r2 NULL.  `by=[]` emits the ungrouped whole-table form."""
     keys = ", ".join(by)
+    key_sel = f"{keys}, " if by else ""
+    group_by = f"GROUP BY {keys}" if by else ""
     return f"""
 WITH src AS ({source_cte}),
 m AS (
-  SELECT {keys},
-         count(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN 1 END) AS n,
+  SELECT {key_sel}count(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN 1 END) AS n,
          sum(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN CAST({x} AS HUGEINT) END) AS sx,
          sum(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN CAST({y} AS HUGEINT) END) AS sy,
          sum(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN CAST({x} AS HUGEINT) * CAST({y} AS HUGEINT) END) AS sxy,
          sum(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN CAST({x} AS HUGEINT) * CAST({x} AS HUGEINT) END) AS sxx,
          sum(CASE WHEN {x} IS NOT NULL AND {y} IS NOT NULL THEN CAST({y} AS HUGEINT) * CAST({y} AS HUGEINT) END) AS syy
-  FROM src GROUP BY {keys}
+  FROM src {group_by}
 ),
 d AS (
-  SELECT {keys}, n,
+  SELECT {key_sel}n,
          CAST(n * sxy - sx * sy AS DOUBLE) AS covn,
          CAST(n * sxx - sx * sx AS DOUBLE) AS varx,
          CAST(n * syy - sy * sy AS DOUBLE) AS vary,
@@ -513,7 +514,7 @@ d AS (
          CAST(n AS DOUBLE) AS nd
   FROM m WHERE n > 0
 )
-SELECT {keys}, n,
+SELECT {key_sel}n,
        CASE WHEN varx > 0 THEN round(covn / varx, 9) END AS slope,
        CASE WHEN varx > 0
             THEN round((syd - (covn / varx) * sxd) / nd, 9) END AS intercept,

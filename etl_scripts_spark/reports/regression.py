@@ -35,7 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+from ..exactness import require_integral_columns
 
 _D = "decimal(38,0)"
 
@@ -61,26 +62,31 @@ def grouped_ols(
     NULL x or y rows are excluded pairwise (both moments must see the
     same rows or the normal equations stop being consistent).
     """
-    ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)
-    for c in (x, y):
-        dt = df.schema[c].dataType
-        if not isinstance(dt, ok):
-            raise ValueError(
-                f"grouped_ols input `{c}` is {dt.simpleString()}: float moments "
-                "are partitioning-dependent — snap to an integer grid first"
-            )
+    require_integral_columns(df, [x, y], "grouped_ols")
     by = by or []
     both = F.col(x).isNotNull() & F.col(y).isNotNull()
     xd = F.when(both, F.col(x).cast(_D))
     yd = F.when(both, F.col(y).cast(_D))
 
+    def prod(a, b):
+        # per-row product overflow NULLs under non-ANSI and would be
+        # silently SKIPPED by sum while n still counts the row — the
+        # worst failure shape (a plausible, wrong regression).  Raise.
+        p = a * b
+        return F.when(
+            both & p.isNull(),
+            F.raise_error(
+                F.lit("grouped_ols: per-row moment product overflowed decimal(38,0)")
+            ),
+        ).otherwise(p)
+
     sums = df.groupBy(*by).agg(
         F.count(F.when(both, F.lit(1))).alias("n"),
         F.sum(xd).alias("_sx"),
         F.sum(yd).alias("_sy"),
-        F.sum(xd * yd).alias("_sxy"),
-        F.sum(xd * xd).alias("_sxx"),
-        F.sum(yd * yd).alias("_syy"),
+        F.sum(prod(xd, yd)).alias("_sxy"),
+        F.sum(prod(xd, xd)).alias("_sxx"),
+        F.sum(prod(yd, yd)).alias("_syy"),
     )
     sums = sums.where(F.col("n") > 0)
 

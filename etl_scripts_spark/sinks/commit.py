@@ -135,7 +135,11 @@ def try_publish_version(
     if base is not None:
         record["base"] = base
     if extra:
-        overlap = set(extra) & set(record)
+        # check against the FULL manifest field set, not just the keys
+        # present on this call: extra={"base": ...} alongside base=None
+        # would otherwise forge lineage that optimistic_upsert's
+        # withdrawal logic reads as real
+        overlap = set(extra) & {"version", "data", "committed_at", "base"}
         if overlap:
             raise ValueError(f"extra keys shadow manifest fields: {sorted(overlap)}")
         # rides the SAME atomic manifest as the data pointer — this is how

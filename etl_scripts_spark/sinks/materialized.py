@@ -23,9 +23,12 @@ version; silently clamping would leave a wrong table that looks fine).
 
 Exactness constraints, enforced loudly rather than documented away:
 
-* measure columns must be integer or decimal — float sums are
-  non-associative, so an incrementally-maintained float rollup drifts
-  from the recompute and the refresh law above stops being testable;
+* measure columns must be integer (or scale-0 decimal) — float sums
+  are non-associative, so an incrementally-maintained float rollup
+  drifts from the recompute and the refresh law above stops being
+  testable; materialized sums are BIGINT, computed through a decimal
+  accumulator with a loud overflow raise on every config (a plain
+  bigint sum would WRAP silently under non-ANSI);
 * measure values must be non-NULL — SQL `sum` skips NULLs, so
   reproducing NULL-sum semantics incrementally needs a per-column
   non-null count; callers with nullable measures should materialize
@@ -39,7 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
+
+from ..exactness import require_integral_columns
 
 #: feed rows that add their payload vs remove it
 _SIGN = {"insert": 1, "update_postimage": 1, "delete": -1, "update_preimage": -1}
@@ -53,21 +57,33 @@ def rollup_table(
     this; rebuild with it only to audit the incremental path."""
     _check_measures(base, sum_cols, count_col)
     aggs = [F.count(F.lit(1)).alias(count_col)] + [
-        F.sum(_guarded(c)).alias(f"sum_{c}") for c in sum_cols
+        _exact_long_sum(_guarded(c)).alias(f"sum_{c}") for c in sum_cols
     ]
     return base.groupBy(*group_keys).agg(*aggs)
 
 
+_LONG_MAX = 2**63 - 1
+
+
+def _exact_long_sum(values):
+    """Overflow-loud BIGINT sum on every config.
+
+    A plain `sum(bigint)` WRAPS silently under non-ANSI; summing as
+    DECIMAL(38,0) turns overflow into NULL instead — and since inputs
+    here are non-null by construction (guarded) and every group has a
+    row, NULL out of the sum IS the overflow.  The guarded downcast then
+    keeps the materialized column BIGINT (a rollup whose sums silently
+    change type per batch would break its own readers)."""
+    s = F.sum(values.cast("decimal(38,0)"))
+    loud = F.when(
+        s.isNull() | (F.abs(s) > _LONG_MAX),
+        F.raise_error(F.lit("rollup: measure sum overflowed bigint")),
+    ).otherwise(s)
+    return loud.cast("long")
+
+
 def _check_measures(df: DataFrame, sum_cols: list[str], count_col: str) -> None:
-    ok = (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.DecimalType)
-    for c in sum_cols:
-        dt = df.schema[c].dataType
-        if not isinstance(dt, ok):
-            raise ValueError(
-                f"rollup measure `{c}` is {dt.simpleString()}: float sums are "
-                "non-associative, so the incremental refresh would drift from "
-                "a recompute — use integer/decimal measures"
-            )
+    require_integral_columns(df, sum_cols, "rollup")
     if count_col in sum_cols:
         raise ValueError(f"count column `{count_col}` collides with a measure")
     internals = {"_sign", "_dn"} | {f"_d_{c}" for c in sum_cols}
@@ -126,10 +142,28 @@ def refresh_rollup(
         .groupBy(*group_keys)
         .agg(
             F.sum("_sign").alias("_dn"),
-            *[F.sum(F.col("_sign") * _guarded(c)).alias(f"_d_{c}") for c in sum_cols],
+            # same overflow-loud law as rollup_table's sums — a silently
+            # wrapped or NULLed delta would commit a corrupt rollup
+            *[
+                _exact_long_sum(F.col("_sign") * _guarded(c)).alias(f"_d_{c}")
+                for c in sum_cols
+            ],
         )
     )
-    j = current.join(deltas, on=group_keys, how="full_outer")
+    # eqNullSafe keys: groupBy puts NULL group keys in ONE group, so the
+    # join must match them too — null-unsafe `on=` would split a NULL
+    # group into an unmatched rollup row + an unmatched delta row (breaking
+    # the refresh law and spuriously tripping the negative-count raise)
+    deltas = deltas.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in group_keys],
+        "_dn",
+        *[f"_d_{c}" for c in sum_cols],
+    )
+    cond = None
+    for k in group_keys:
+        eq = current[k].eqNullSafe(deltas[f"_dk_{k}"])
+        cond = eq if cond is None else (cond & eq)
+    j = current.join(deltas, cond, "full_outer")
     new_n = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(F.col("_dn"), F.lit(0))
     guarded_n = F.when(
         new_n < 0,
@@ -142,10 +176,21 @@ def refresh_rollup(
     ).otherwise(new_n)
 
     def merged(c: str):
-        cur, d = F.col(f"sum_{c}"), F.col(f"_d_{c}")
+        # a NULL current sum WITH a non-null current count means the
+        # committed rollup itself is corrupt (e.g. written by an engine
+        # that let a sum overflow) — refuse to compound it
+        cur = F.when(
+            F.col(f"sum_{c}").isNull() & F.col(count_col).isNotNull(),
+            F.raise_error(
+                F.lit(f"refresh_rollup: committed rollup has NULL sum_{c}")
+            ),
+        ).otherwise(F.col(f"sum_{c}"))
+        d = F.col(f"_d_{c}")
         return (F.coalesce(cur, F.lit(0)) + F.coalesce(d, F.lit(0))).alias(f"sum_{c}")
 
     out = j.select(
-        *group_keys, guarded_n.alias(count_col), *[merged(c) for c in sum_cols]
+        *[F.coalesce(current[k], deltas[f"_dk_{k}"]).alias(k) for k in group_keys],
+        guarded_n.alias(count_col),
+        *[merged(c) for c in sum_cols],
     )
     return out.where(F.col(count_col) > 0)

@@ -18,6 +18,17 @@ below) the latest manifest and skips; a crash BEFORE publish left no
 effect to double.  This is the Delta `txn`/`idempotent writes` pattern
 on the repo's manifest chain.
 
+Feed files must arrive in causal order: Spark's file source orders
+batches by modification time, and the feed's semantics are sequential
+(a delete can only follow the insert it removes).  A producer that
+copies files in with skewed mtimes (rsync -t, clock jumps) can surface
+a delete before its insert; the refresh then fails LOUDLY with the
+negative-count raise — by design the stream wedges rather than commits
+a wrong table, and the fix is re-landing the files in order (the
+already-applied prefix no-ops via the batch watermark).  Producers that
+write through `snapshot_changes` + sequential file lands (this module's
+intended pairing) satisfy the requirement for free.
+
 One checkpoint per table lifetime: batch ids are per-checkpoint, so a
 FRESH checkpoint over the same feed directory replays every file from
 batch 0 — the watermark check correctly skips those replays, which also
@@ -113,4 +124,11 @@ def rollup_maintenance_available_now(
         .start()
     )
     q.awaitTermination()
-    return read_version(spark, root)
+    committed = read_version(spark, root)
+    if committed is not None:
+        return committed
+    # zero feed files drained and nothing previously committed: honor the
+    # "returns the rollup" contract with the (empty) rollup shape rather
+    # than a None that crashes the caller far from the cause
+    empty_base = spark.createDataFrame([], feed_schema).drop("_change_type")
+    return rollup_table(empty_base, group_keys, sum_cols)

@@ -100,8 +100,39 @@ def test_null_measure_raises(spark):
 
 def test_float_measure_raises(spark):
     base = spark.createDataFrame([("a", 1.5)], "grp string, x double")
-    with pytest.raises(ValueError, match="non-associative"):
+    with pytest.raises(ValueError, match="integer grid"):
         rollup_table(base, ["grp"], ["x"])
+    # fractional-scale decimals would TRUNCATE in the decimal(38,0) path
+    dec = spark.createDataFrame([("a",)], "grp string").select(
+        "grp", F.lit(1).cast("decimal(10,2)").alias("x")
+    )
+    with pytest.raises(ValueError, match="integer grid"):
+        rollup_table(dec, ["grp"], ["x"])
+
+
+def test_null_group_key_refresh_law(spark):
+    # groupBy puts NULL keys in ONE group; the refresh join must match
+    # them too (eqNullSafe) — insert into and delete from a NULL group
+    old = _snap(spark, [(1, None, 5, 0), (2, "b", 7, 0)])
+    new = _snap(spark, [(1, None, 5, 0), (3, None, 2, 0)])  # ins NULL, del b
+    current = rollup_table(old, ["grp"], ["x"])
+    got = _rows(refresh_rollup(current, snapshot_changes(old, new, ["k"]), ["grp"], ["x"]))
+    assert got == _rows(rollup_table(new, ["grp"], ["x"]))
+    # and deleting the whole NULL group drops it without a spurious raise
+    gone = _snap(spark, [(2, "b", 7, 0)])
+    got2 = _rows(
+        refresh_rollup(current, snapshot_changes(old, gone, ["k"]), ["grp"], ["x"])
+    )
+    assert got2 == _rows(rollup_table(gone, ["grp"], ["x"]))
+
+
+def test_sum_overflow_is_loud(spark):
+    # ANSI throws at the decimal op; non-ANSI would hit the in-plan raise —
+    # either way a sum past bigint is never silently committed
+    big = 2**62
+    base = _snap(spark, [(1, "a", big, 0), (2, "a", big, 0), (3, "a", big, 0)])
+    with pytest.raises(Exception, match="overflowed|cannot be represented|CAST_OVERFLOW|ARITHMETIC_OVERFLOW"):
+        rollup_table(base, ["grp"], ["x"]).collect()
 
 
 def test_internal_name_collision_raises(spark):

@@ -6,7 +6,6 @@ and DuckDB oracle parity (oracle.grouped_ols_sql)."""
 from __future__ import annotations
 
 import random
-from fractions import Fraction
 
 import pytest
 from pyspark.sql import functions as F
@@ -81,6 +80,11 @@ def test_float_input_raises(spark):
     df = spark.createDataFrame([("a", 1.5, 2)], "g string, x double, y bigint")
     with pytest.raises(ValueError, match="integer grid"):
         grouped_ols(df, "y", "x", ["g"])
+    dec = spark.createDataFrame([("a", 2)], "g string, y bigint").select(
+        "g", F.lit(1).cast("decimal(10,2)").alias("x"), "y"
+    )
+    with pytest.raises(ValueError, match="integer grid"):
+        grouped_ols(dec, "y", "x", ["g"])
 
 
 def test_partitioning_invariance(spark):
@@ -121,6 +125,22 @@ def test_duckdb_oracle_parity(spark):
     vals = ", ".join(f"('{g}', {x}, {y})" for g, x, y in rows)
     sql = oracle.grouped_ols_sql(
         f"SELECT * FROM (VALUES {vals}) t(g, x, y)", "y", "x", ["g"]
+    )
+    oracle_pdf = duckdb.connect().execute(sql).fetchdf()
+    problems = compare(spark_pdf, oracle_pdf)
+    assert problems == [], problems
+
+
+def test_ungrouped_duckdb_oracle_parity(spark):
+    import duckdb
+
+    from tests.parity import compare
+
+    rows = [("a", x, 3 * x - 4) for x in range(-6, 7)]
+    spark_pdf = grouped_ols(_df(spark, rows), "y", "x").toPandas()
+    vals = ", ".join(f"({x}, {y})" for _, x, y in rows)
+    sql = oracle.grouped_ols_sql(
+        f"SELECT * FROM (VALUES {vals}) t(x, y)", "y", "x", []
     )
     oracle_pdf = duckdb.connect().execute(sql).fetchdf()
     problems = compare(spark_pdf, oracle_pdf)

@@ -115,3 +115,9 @@ def test_foreign_writer_raises(spark, tmp_path):
 def test_extra_keys_cannot_shadow_manifest(tmp_path):
     with pytest.raises(ValueError, match="shadow"):
         try_publish_version(str(tmp_path), 1, "d", extra={"data": "evil"})
+
+
+def test_extra_cannot_forge_absent_base(tmp_path):
+    # base=None leaves 'base' off the record — extra must STILL not inject it
+    with pytest.raises(ValueError, match="shadow"):
+        try_publish_version(str(tmp_path), 1, "d", base=None, extra={"base": 0})
