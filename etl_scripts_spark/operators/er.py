@@ -24,7 +24,7 @@ stage, and never compared all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import connected_components
@@ -37,13 +37,21 @@ def blocking_keys(
     id_col: str = "rec_id",
     prefix_len: int = 3,
     initials_len: int = 1,
+    suffix_len: int | None = None,
 ) -> DataFrame:
-    """(id, block_key) under two complementary strategies:
+    """(id, block_key) under complementary strategies:
 
     - ``p:`` normalized `prefix_len`-char prefix + length bucket (catches
       suffix typos: "mueller gmbh" / "mueller gmbh."),
     - ``i:`` sorted `initials_len`-char token prefixes (catches token
-      reorderings: "anna maria" / "maria anna").
+      reorderings: "anna maria" / "maria anna"),
+    - ``s:`` (opt-in via `suffix_len`) `suffix_len`-char SUFFIX + length
+      bucket — the prefix key's mirror: a typo EARLY in the string kills
+      the prefix key at every width, but leaves the suffix intact.  At
+      corpus sizes where the initials key saturates the hot-block cap
+      (its key space is tiny), prefix+suffix is the pair that keeps
+      single-typo recall: one edit cannot break both.  Opt-in because
+      registered queries pin the two-key law in their oracles.
 
     Records missing a usable name emit no key — they can never match.
 
@@ -74,12 +82,22 @@ def blocking_keys(
             "",
         ),
     )
+    keys = [prefix_key, initials_key]
+    if suffix_len is not None:
+        keys.append(
+            F.concat(
+                F.lit("s:"),
+                F.substring(norm, -suffix_len, suffix_len),
+                F.lit("#"),
+                F.floor(F.length(norm) / 4).cast("string"),
+            )
+        )
     keyed = df.select(
         F.col(id_col),
-        F.explode(F.array(prefix_key, initials_key)).alias("block_key"),
+        F.explode(F.array(*keys)).alias("block_key"),
     )
     return keyed.filter(
-        (F.length("block_key") > 2) & ~F.col("block_key").isin("p:#0", "i:")
+        (F.length("block_key") > 2) & ~F.col("block_key").isin("p:#0", "i:", "s:#0")
     ).distinct()
 
 
@@ -125,17 +143,7 @@ def match_pairs(
     each pair costs two levenshtein calls, no retokenization.
     """
 
-    def _lev_sim(a, b):
-        return F.lit(1.0) - F.levenshtein(a, b) / F.greatest(
-            F.length(a), F.length(b), F.lit(1)
-        )
-
-    norm = normalize_text(F.col(name_col))
-    names = df.select(
-        F.col(id_col),
-        norm.alias("_nm"),
-        F.array_join(F.array_sort(F.split(norm, " ")), " ").alias("_ts"),
-    )
+    names = _name_forms(df, name_col, id_col)
     na = names.select(
         F.col(id_col).alias("id_a"), F.col("_nm").alias("_na"), F.col("_ts").alias("_ta")
     )
@@ -146,11 +154,7 @@ def match_pairs(
         cands.join(na, "id_a")
         .join(nb, "id_b")
         .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.greatest(_lev_sim("_na", "_nb"), _lev_sim("_ta", "_tb")), 4
-            ).alias("sim"),
+            "id_a", "id_b", _two_arm_sim("_na", "_ta", "_nb", "_tb").alias("sim")
         )
     )
     return scored.filter(F.col("sim") >= threshold)
@@ -176,4 +180,121 @@ def resolve_entities(
         F.col("id").alias("rec_id"),
         F.col("component").alias("entity_id"),
         (F.col("component") == F.col("id")).alias("is_canonical"),
+    )
+
+
+def _name_forms(df: DataFrame, name_col: str, id_col: str) -> DataFrame:
+    """(id, _nm normalized, _ts sorted-token form) — staged once per
+    record so each candidate pair costs two levenshtein calls, never a
+    retokenization (the match_pairs law, shared with link_records)."""
+    norm = normalize_text(F.col(name_col))
+    return df.select(
+        F.col(id_col),
+        norm.alias("_nm"),
+        F.array_join(F.array_sort(F.split(norm, " ")), " ").alias("_ts"),
+    )
+
+
+def _two_arm_sim(na, ta, nb, tb):
+    """max(raw, sorted-token) normalized Levenshtein — the ONE scoring
+    law (typos via raw; reorderings via sorted tokens), 4-dp rounded."""
+
+    def _lev_sim(a, b):
+        return F.lit(1.0) - F.levenshtein(a, b) / F.greatest(
+            F.length(a), F.length(b), F.lit(1)
+        )
+
+    return F.round(F.greatest(_lev_sim(na, nb), _lev_sim(ta, tb)), 4)
+
+
+def link_candidates(
+    left_keys: DataFrame,
+    right_keys: DataFrame,
+    left_id: str = "rec_id",
+    right_id: str = "rec_id",
+    max_block: int = 50,
+) -> DataFrame:
+    """Bipartite candidate generation: distinct (id_l, id_r) sharing a
+    block key, with keys that are hot on EITHER side excluded before the
+    join (a block with 10k existing records is noise evidence exactly as
+    in the self-join case — and the fan-out is left_n × right_n, so one
+    hot side is enough to blow up)."""
+    hot = (
+        left_keys.groupBy("block_key").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_block)
+        .select("block_key")
+        .union(
+            right_keys.groupBy("block_key").agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_block)
+            .select("block_key")
+        )
+        .distinct()
+    )
+    lk = left_keys.join(hot, "block_key", "left_anti").select(
+        "block_key", F.col(left_id).alias("id_l")
+    )
+    rk = right_keys.join(hot, "block_key", "left_anti").select(
+        "block_key", F.col(right_id).alias("id_r")
+    )
+    return lk.join(rk, "block_key").select("id_l", "id_r").distinct()
+
+
+def link_records(
+    left: DataFrame,
+    right: DataFrame,
+    left_name: str,
+    right_name: str,
+    left_id: str = "rec_id",
+    right_id: str = "rec_id",
+    threshold: float = 0.82,
+    max_block: int = 50,
+    prefix_len: int = 3,
+    initials_len: int = 1,
+    suffix_len: int | None = None,
+) -> DataFrame:
+    """Record linkage across two tables — the reference's register-time
+    decision ("does this incoming record match an existing entity, or is
+    it new?", register-imgag.py:190-218's nested candidate loops): one
+    row per LEFT record with its best right-side match, or NULLs and
+    decision='new' when nothing clears the threshold.
+
+    Best-match law: highest similarity wins, lowest right id breaks
+    ties (deterministic — a re-run can never flip the linkage).  The
+    rank<=1 cut rides WindowGroupLimit per left id.
+
+    Scale shape: blocking keys are map-side; the candidate join is
+    per-block with the either-side hot cap; scoring joins each side's
+    staged name forms ONCE; the final left join returns every left row
+    — O(left + right + candidates), never all-pairs.
+    """
+    lkeys = blocking_keys(left, left_name, left_id, prefix_len, initials_len, suffix_len)
+    rkeys = blocking_keys(right, right_name, right_id, prefix_len, initials_len, suffix_len)
+    cands = link_candidates(lkeys, rkeys, left_id, right_id, max_block)
+
+    ln = _name_forms(left, left_name, left_id).select(
+        F.col(left_id).alias("id_l"), F.col("_nm").alias("_na"), F.col("_ts").alias("_ta")
+    )
+    rn = _name_forms(right, right_name, right_id).select(
+        F.col(right_id).alias("id_r"), F.col("_nm").alias("_nb"), F.col("_ts").alias("_tb")
+    )
+    scored = (
+        cands.join(ln, "id_l")
+        .join(rn, "id_r")
+        .select("id_l", "id_r", _two_arm_sim("_na", "_ta", "_nb", "_tb").alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+    w = Window.partitionBy("id_l").orderBy(F.col("sim").desc(), F.col("id_r").asc())
+    best = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("id_l", "id_r", "sim")
+    )
+    out = left.select(F.col(left_id).alias("id_l")).join(best, "id_l", "left")
+    return out.select(
+        "id_l",
+        "id_r",
+        "sim",
+        F.when(F.col("id_r").isNotNull(), F.lit("matched"))
+        .otherwise(F.lit("new"))
+        .alias("decision"),
     )

@@ -582,3 +582,84 @@ JOIN uc b ON b.w = bc.w2
 CROSS JOIN nu CROSS JOIN nb
 WHERE bc.c_ab >= {min_count}
 """
+
+
+def link_records_sql(
+    left_cte: str,
+    right_cte: str,
+    threshold: float = 0.82,
+    max_block: int = 50,
+    prefix_len: int = 3,
+    suffix_len: int | None = None,
+) -> str:
+    """DuckDB mirror of er.link_records over PRE-NORMALIZED names
+    (lowercase, single spaces — normalize_text is then the identity,
+    the q_resolve_entities convention): same blocking keys, the
+    either-side hot cap, both Levenshtein arms at 4 dp, best match =
+    (sim DESC, id_r ASC) row 1, unmatched lefts decision='new'.
+    The CTEs provide (rec_id, name)."""
+    def keys(src, alias):
+        suffix_arm = (
+            f"""
+    UNION ALL
+    SELECT rec_id,
+           's:' || substr(name, -{suffix_len}, {suffix_len}) || '#' ||
+           (length(name) // 4)::VARCHAR AS key
+    FROM {src}"""
+            if suffix_len is not None
+            else ""
+        )
+        return f"""{alias} AS (
+  SELECT DISTINCT rec_id, key FROM (
+    SELECT rec_id,
+           'p:' || substr(name, 1, {prefix_len}) || '#' ||
+           (length(name) // 4)::VARCHAR AS key
+    FROM {src}
+    UNION ALL
+    SELECT rec_id,
+           'i:' || array_to_string(
+             list_sort(list_transform(string_split(name, ' '),
+                                      t -> substr(t, 1, 1))), '') AS key
+    FROM {src}{suffix_arm}
+  ) WHERE length(key) > 2 AND key NOT IN ('p:#0', 'i:', 's:#0')
+)"""
+
+    return f"""
+WITH l AS ({left_cte}), r AS ({right_cte}),
+{keys('l', 'lk')},
+{keys('r', 'rk')},
+hot AS (
+  SELECT key FROM lk GROUP BY key HAVING count(*) > {max_block}
+  UNION
+  SELECT key FROM rk GROUP BY key HAVING count(*) > {max_block}
+),
+cands AS (
+  SELECT DISTINCT lk.rec_id AS id_l, rk.rec_id AS id_r
+  FROM lk JOIN rk ON lk.key = rk.key
+  WHERE lk.key NOT IN (SELECT key FROM hot)
+),
+lf AS (SELECT rec_id, name AS nm,
+              array_to_string(list_sort(string_split(name, ' ')), ' ') AS ts
+       FROM l),
+rf AS (SELECT rec_id, name AS nm,
+              array_to_string(list_sort(string_split(name, ' ')), ' ') AS ts
+       FROM r),
+scored AS (
+  SELECT id_l, id_r,
+         round(greatest(
+           1.0 - levenshtein(lf.nm, rf.nm)::DOUBLE
+                 / greatest(length(lf.nm), length(rf.nm), 1),
+           1.0 - levenshtein(lf.ts, rf.ts)::DOUBLE
+                 / greatest(length(lf.ts), length(rf.ts), 1)), 4) AS sim
+  FROM cands JOIN lf ON lf.rec_id = id_l JOIN rf ON rf.rec_id = id_r
+),
+best AS (
+  SELECT id_l, id_r, sim,
+         row_number() OVER (PARTITION BY id_l ORDER BY sim DESC, id_r ASC) AS rk
+  FROM scored WHERE sim >= {threshold}
+)
+SELECT l.rec_id AS id_l, b.id_r, b.sim,
+       CASE WHEN b.id_r IS NOT NULL THEN 'matched' ELSE 'new' END AS decision
+FROM l LEFT JOIN (SELECT id_l, id_r, sim FROM best WHERE rk = 1) b
+  ON b.id_l = l.rec_id
+"""
