@@ -141,3 +141,13 @@ def test_suffix_arm_duckdb_parity(spark):
     oracle_pdf = duckdb.connect().execute(sql).fetchdf()
     problems = compare(spark_pdf, oracle_pdf)
     assert problems == [], problems
+
+
+def test_plan_no_cartesian_and_group_limit(spark):
+    left = _df(spark, [(i, f"nm{i:03d} tok") for i in range(40)])
+    right = _df(spark, [(100 + i, f"nm{i:03d} tok") for i in range(40)])
+    out = link_records(left, right, "name", "name")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    # the rank<=1 best-match cut rides WindowGroupLimit, not a full sort+filter
+    assert "WindowGroupLimit" in plan, plan
