@@ -8,7 +8,7 @@ the DuckDB oracle reproduces them bit-identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 #: BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
@@ -367,3 +367,43 @@ def hashed_feature_score(toks: Column, salt: str = "qw") -> tuple[Column, Column
     n = F.greatest(F.size(feats), F.lit(1))
     score = F.round(total / (n.cast("double") * F.lit(float(1 << 47))), 6)
     return F.size(feats).cast("bigint"), score
+
+
+#: one sentence = a maximal run of non-terminators plus its trailing
+#: terminators.  RE2-safe (no lookaround), so DuckDB's regexp_extract_all
+#: produces the identical split — the cross-engine requirement that rules
+#: out lookbehind formulations.  Known heuristic limit (shared by both
+#: engines, by design): abbreviations split ("dr. smith" → two pieces).
+SENTENCE_RE = "[^.!?]+[.!?]*"
+
+
+def sentences(text: Column) -> Column:
+    """Array of trimmed, non-empty sentences of the raw text."""
+    pieces = F.regexp_extract_all(text, F.lit(SENTENCE_RE), 0)
+    return F.filter(F.transform(pieces, lambda s: F.trim(s)), lambda s: s != "")
+
+
+def segment_sentences(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, sent_idx, sentence, n_ws_tokens) — one row per sentence, in
+    document order.  The segmentation step upstream of chunking
+    (corpus.chunk_documents) and packing (sampling.pack_chunks): RAG
+    pipelines embed sentences or sentence-windows, and quality filters
+    score them (a doc whose every "sentence" is 200 tokens long is a
+    table, not prose).
+
+    Map-only fan-out — scales with bytes scanned, no shuffle; documents
+    with no sentence content (empty, terminators only) emit nothing, the
+    same verdict the oracle's unnest reaches.
+    """
+    sents = sentences(F.col(text_col))
+    out = df.select(
+        F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence")
+    )
+    return out.select(
+        id_col,
+        "sent_idx",
+        "sentence",
+        whitespace_token_count(F.col("sentence")).alias("n_ws_tokens"),
+    )

@@ -663,3 +663,32 @@ SELECT l.rec_id AS id_l, b.id_r, b.sim,
 FROM l LEFT JOIN (SELECT id_l, id_r, sim FROM best WHERE rk = 1) b
   ON b.id_l = l.rec_id
 """
+
+
+def segment_sentences_sql(source_cte: str) -> str:
+    """DuckDB mirror of text.segment_sentences: the same RE2 sentence
+    regex (the law is chosen lookaround-free precisely so both engines'
+    extract_all agree), trim + drop-empty, 0-based order index via
+    unnest WITH ORDINALITY, whitespace token count."""
+    return r"""
+WITH src AS ({src}),
+pieces AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           regexp_extract_all(text, '[^.!?]+[.!?]*'), s -> trim(s)),
+           s -> s <> '') AS sents
+  FROM src
+),
+exploded AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(sents))) AS idx,
+         unnest(sents) AS sentence
+  FROM pieces
+)
+SELECT doc_id,
+       CAST(idx - 1 AS INTEGER) AS sent_idx,
+       sentence,
+       CAST(len(regexp_split_to_array(trim(sentence), '\s+')) AS INTEGER)
+         AS n_ws_tokens
+FROM exploded
+""".replace("{src}", source_cte)
