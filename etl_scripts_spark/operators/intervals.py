@@ -204,3 +204,35 @@ def point_in_interval_join(
         ib[renamed[c]] for c in intervals.columns if c != by
     ]
     return pb.join(ib, cond, "inner").select(*out_cols)
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    eps: int,
+    by: str | None = None,
+    suffix: str = "_r",
+    bin_width: int | None = None,
+) -> DataFrame:
+    """Numeric band join: pairs with ``|l.on - r.on| <= eps`` (the
+    tolerance-match shape — mass-spec m/z alignment, timestamp fuzz).
+
+    Delegates to :func:`point_in_interval_join` with the right side
+    widened to ``[v - eps, v + eps]``: the left side stays point-binned
+    (no fan-out), the right side pays ``2*eps/W + 1`` bins per row, and
+    the emit-once property is free (a point meets an interval in exactly
+    one bin).  ``bin_width`` defaults to ``2*eps + 1`` — each widened
+    interval then spans at most two bins, the fan-out sweet spot.
+    """
+    if eps < 0:
+        raise ValueError(f"band_join: eps must be >= 0, got {eps}")
+    w = bin_width if bin_width is not None else 2 * eps + 1
+    widened = right.withColumn("_bs", F.col(on).cast("bigint") - eps).withColumn(
+        "_be", F.col(on).cast("bigint") + eps
+    )
+    out = point_in_interval_join(
+        left, widened, on=on, by=by, bounds=("_bs", "_be"),
+        bin_width=w, suffix=suffix,
+    )
+    return out.drop("_bs" + suffix, "_be" + suffix)

@@ -226,3 +226,35 @@ def test_duckdb_oracle_parity(spark):
     oracle_pdf = duckdb.connect().execute(sql).fetchdf()
     problems = compare(spark_pdf, oracle_pdf)
     assert problems == [], problems
+
+
+def test_band_join_matches_brute_force(spark):
+    rng = random.Random(71)
+    lrows = [(i, f"k{i % 2}", rng.randint(-100, 100)) for i in range(100)]
+    rrows = [(100 + i, f"k{i % 2}", rng.randint(-100, 100)) for i in range(100)]
+    from etl_scripts_spark.operators.intervals import band_join
+
+    ldf = _mk(spark, lrows, "lid bigint, chrom string, v bigint")
+    rdf = _mk(spark, rrows, "rid bigint, chrom string, v bigint")
+    got = sorted(
+        (r["lid"], r["rid_r"])
+        for r in band_join(ldf, rdf, on="v", eps=3, by="chrom").collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, lc, lv in lrows
+        for rid, rc, rv in rrows
+        if lc == rc and abs(lv - rv) <= 3
+    )
+    assert got == want
+
+
+def test_band_join_eps_zero_is_equi(spark):
+    from etl_scripts_spark.operators.intervals import band_join
+
+    ldf = _mk(spark, [(1, "a", 5)], "lid bigint, chrom string, v bigint")
+    rdf = _mk(spark, [(10, "a", 5), (11, "a", 6)], "rid bigint, chrom string, v bigint")
+    got = [(r["lid"], r["rid_r"]) for r in band_join(ldf, rdf, on="v", eps=0).collect()]
+    assert got == [(1, 10)]
+    with pytest.raises(ValueError, match="eps"):
+        band_join(ldf, rdf, on="v", eps=-1)
