@@ -65,6 +65,11 @@ def blocking_keys(
     and reorder matches vanish; initials_len=2 brings them back with
     candidates still sub-linear.
     """
+    if suffix_len is not None and suffix_len <= 0:
+        # substring(norm, 0, 0) = '' would emit a shared degenerate
+        # 's:#<bucket>' key per length bucket: one giant block that
+        # saturates the hot cap and silently disables the suffix arm
+        raise ValueError(f"blocking_keys: suffix_len must be positive, got {suffix_len}")
     norm = normalize_text(F.col(name_col))
     toks = F.split(norm, " ")
     prefix_key = F.concat(

@@ -227,6 +227,12 @@ def band_join(
     """
     if eps < 0:
         raise ValueError(f"band_join: eps must be >= 0, got {eps}")
+    reserved = {"_bs", "_be"} & set(right.columns)
+    if reserved:
+        raise ValueError(
+            f"band_join: right columns collide with the widened-bound "
+            f"working names: {sorted(reserved)}"
+        )
     w = bin_width if bin_width is not None else 2 * eps + 1
     widened = right.withColumn("_bs", F.col(on).cast("bigint") - eps).withColumn(
         "_be", F.col(on).cast("bigint") + eps

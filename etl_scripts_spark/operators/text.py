@@ -401,9 +401,13 @@ def segment_sentences(
     out = df.select(
         F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence")
     )
+    # explicit class, not \s: Java \s includes \x0B, RE2's does not —
+    # the oracle must split on the IDENTICAL set (PDF/Excel-extracted text
+    # really contains vertical tabs)
+    n_toks = F.size(F.split(F.trim(F.col("sentence")), "[ \t\n\x0B\f\r]+"))
     return out.select(
         id_col,
         "sent_idx",
         "sentence",
-        whitespace_token_count(F.col("sentence")).alias("n_ws_tokens"),
+        n_toks.alias("n_ws_tokens"),
     )

@@ -591,6 +591,7 @@ def link_records_sql(
     max_block: int = 50,
     prefix_len: int = 3,
     suffix_len: int | None = None,
+    initials_len: int = 1,
 ) -> str:
     """DuckDB mirror of er.link_records over PRE-NORMALIZED names
     (lowercase, single spaces — normalize_text is then the identity,
@@ -619,7 +620,7 @@ def link_records_sql(
     SELECT rec_id,
            'i:' || array_to_string(
              list_sort(list_transform(string_split(name, ' '),
-                                      t -> substr(t, 1, 1))), '') AS key
+                                      t -> substr(t, 1, {initials_len}))), '') AS key
     FROM {src}{suffix_arm}
   ) WHERE length(key) > 2 AND key NOT IN ('p:#0', 'i:', 's:#0')
 )"""
@@ -688,7 +689,7 @@ exploded AS (
 SELECT doc_id,
        CAST(idx - 1 AS INTEGER) AS sent_idx,
        sentence,
-       CAST(len(regexp_split_to_array(trim(sentence), '\s+')) AS INTEGER)
+       CAST(len(regexp_split_to_array(trim(sentence), '[ \t\n\x0B\f\r]+')) AS INTEGER)
          AS n_ws_tokens
 FROM exploded
 """.replace("{src}", source_cte)

@@ -10,7 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_scripts_spark import oracle
-from etl_scripts_spark.operators.er import link_candidates, link_records
+from etl_scripts_spark.operators.er import blocking_keys, link_candidates, link_records
 
 SCHEMA = "rec_id bigint, name string"
 
@@ -56,8 +56,8 @@ def test_hot_block_cap_either_side(spark):
     left = _df(spark, [(1, "aaa bbb")])
     right = _df(spark, [(10 + i, "aaa bbb") for i in range(100)])
     lk = link_candidates(
-        __import__("etl_scripts_spark.operators.er", fromlist=["blocking_keys"]).blocking_keys(left, "name"),
-        __import__("etl_scripts_spark.operators.er", fromlist=["blocking_keys"]).blocking_keys(right, "name"),
+        blocking_keys(left, "name"),
+        blocking_keys(right, "name"),
         max_block=50,
     )
     assert lk.count() == 0
