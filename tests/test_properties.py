@@ -178,3 +178,28 @@ def test_jpeg_total_on_garbage(raw):
         pass
     fmt, img = multimodal.decode_image_pixels(b"\xff\xd8" + raw)
     assert fmt == "jpeg"
+
+
+@settings(max_examples=150, deadline=None)
+@given(ids)
+def test_square_wav_roundtrip_any_id(doc_id):
+    dec = multimodal.decode_wav_pcm(multimodal.synthetic_square_wav_bytes(doc_id))
+    assert dec is not None
+    rate, channels, s = dec
+    assert rate == 8000 + (doc_id % 4) * 4000 and channels == 1
+    n = 256 * (1 + doc_id % 4)
+    assert len(s) == n
+    # square tone: every sample is exactly ±A, duty exactly half per frame
+    assert set(abs(int(v)) for v in s) == {12000}
+    frames = s.reshape(n // 256, 256)
+    assert all(int((f > 0).sum()) == 128 for f in frames)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=256))
+def test_wav_pcm_total_on_garbage(raw):
+    dec = multimodal.decode_wav_pcm(raw)
+    if dec is not None:
+        rate, channels, s = dec
+        # the corrupt-header law: rates past INT32 (and 0) never escape
+        assert 0 < rate < 2**31 and channels in (1, 2)
