@@ -102,6 +102,39 @@ def asof_join(
     return out
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "ts",
+    by: str | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Left as-of-FORWARD join: every left row + the EARLIEST right row
+    with ``right[on] >= left[on]`` (per ``by`` key if given) — "the next
+    calibration after this run", "the following price tick".
+
+    Implementation is the negated-timeline trick resample_interp already
+    relies on: backward-asof over ``-on`` IS forward-asof over ``on``
+    (right_neg <= left_neg  ⇔  right >= left, inclusive on equality both
+    ways), so the whole tagged-union machinery — one key shuffle, one
+    sort, skew notes and all — is reused rather than re-derived.  The
+    matched right timestamp comes back un-negated.  Timestamps of
+    bigint-min cannot be negated (ANSI throws; they are sentinel garbage
+    anyway).
+    """
+    out = asof_join(
+        left.withColumn(on, -F.col(on)),
+        right.withColumn(on, -F.col(on)),
+        on=on,
+        by=by,
+        suffix=suffix,
+    ).withColumn(on, -F.col(on))
+    mc = on + suffix
+    if mc in out.columns:
+        out = out.withColumn(mc, -F.col(mc))
+    return out
+
+
 def asof_join_sliced(
     left: DataFrame,
     right: DataFrame,
