@@ -271,6 +271,11 @@ def _resample_grid(df: DataFrame, by: str, on: str, step: int) -> DataFrame:
     zero, which IS the ceiling for negative operands but needs the
     (+step-1) nudge only for positive ones — the unconditional nudge
     silently dropped leading ticks for pre-1970 (negative) timestamps."""
+    if step <= 0:
+        # step=0 would otherwise surface as a raw division-by-zero and a
+        # negative step as an opaque sequence() failure — name it up front,
+        # like interval_join._check_widths / band_join's eps guard
+        raise ValueError("step must be positive")
     bounds = df.groupBy(by).agg(
         F.min(on).alias("_lo"), F.max(on).alias("_hi")
     )

@@ -63,6 +63,11 @@ def snapshot_changes(
             f"snapshot schemas differ: {sorted(old.columns)} vs {sorted(new.columns)}"
         )
     reserved = {"_o", "_n", "_oc", "_nc", "_c", "_change_type"}
+    # the o/n projections alias every attr to _o_<attr>/_n_<attr>; a column
+    # ALREADY named like another's prefixed form (key `_o_x` beside attr `x`)
+    # would duplicate a name there and die later as an opaque
+    # ambiguous-reference AnalysisException — reject it by name instead
+    reserved |= {f"_{s}_{a}" for s in ("o", "n") for a in attrs}
     clash = reserved & set(new.columns)
     if clash:
         raise ValueError(

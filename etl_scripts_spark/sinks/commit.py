@@ -400,7 +400,10 @@ def vacuum(root: str, keep: int = 2, grace_seconds: float = 3600.0) -> dict:
         if v in retained:
             continue
         path, data = manifests[v]
-        if data and os.path.isdir(data):
+        # never delete a data dir a RETAINED manifest still points at:
+        # nothing in try_publish_version forbids two manifests sharing a
+        # data path, so an evicted alias must not take the live copy down
+        if data and os.path.isdir(data) and os.path.normpath(data) not in referenced:
             shutil.rmtree(data, ignore_errors=True)
             removed_dirs.append(os.path.normpath(data))
         try:

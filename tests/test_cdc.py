@@ -102,6 +102,18 @@ def test_internal_name_collision_raises(spark):
         snapshot_changes(bad, bad, ["_o"])
 
 
+def test_prefixed_internal_name_collision_raises(spark):
+    """A column already named like another's _o_/_n_ projection alias
+    (key `_o_x` beside attr `x`) used to duplicate a name inside the o/n
+    projections and die later as an opaque ambiguous-reference
+    AnalysisException — it must raise the named guard instead."""
+    bad = spark.createDataFrame([(1, 2)], "_o_x bigint, x bigint")
+    with pytest.raises(ValueError, match="collide with internals"):
+        snapshot_changes(bad, bad, ["_o_x"])
+    with pytest.raises(ValueError, match="collide with internals"):
+        snapshot_changes(None, bad, ["_o_x"])
+
+
 def test_schema_mismatch_raises(spark):
     old = _df(spark, [("a", "red", 1)])
     new = spark.createDataFrame([("a", "red")], "k string, color string")

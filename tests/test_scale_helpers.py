@@ -602,6 +602,39 @@ def test_vacuum_retention_gc(spark, tmp_path):
     assert optimistic_upsert(spark, root, up, ["code"]) == 5
 
 
+def test_vacuum_never_deletes_data_aliased_by_retained_manifest(spark, tmp_path):
+    """Nothing in try_publish_version forbids two manifests sharing a data
+    path; when an EVICTED manifest aliases a RETAINED one's data dir, the
+    eviction must skip the rmtree — deleting it would take the live
+    snapshot down with it."""
+    import json as _json
+    import os
+
+    from etl_scripts_spark.sinks.commit import (
+        optimistic_upsert,
+        read_version,
+        try_publish_version,
+        vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    for i in range(3):
+        up = spark.createDataFrame([(f"S{i}", f"w{i}")], "code string, src string")
+        optimistic_upsert(spark, root, up, ["code"])
+    with open(os.path.join(root, "_versions", "v3.json")) as fh:
+        data3 = _json.load(fh)["data"]
+    # v4 aliases v3's data dir; keep=1 retains only v4, so the evicted v3
+    # points at the dir the retained manifest still needs
+    assert try_publish_version(root, 4, data3, base=3)
+    out = vacuum(root, keep=1, grace_seconds=3600.0)
+    assert out["retained_versions"] == [4] and 3 in out["removed_manifests"]
+    assert os.path.isdir(data3)
+    assert os.path.normpath(data3) not in out["removed_dirs"]
+    assert sorted(
+        (r["code"], r["src"]) for r in read_version(spark, root, 4).collect()
+    ) == [("S0", "w0"), ("S1", "w1"), ("S2", "w2")]
+
+
 def test_weighted_bernoulli_sample_exact_law_and_proportionality(spark):
     """Membership equals a Python-bigint reference of the integer law;
     probability-1 weights always keep; NULL weights drop; realized rates

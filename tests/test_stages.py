@@ -637,6 +637,22 @@ def test_resample_ffill_grid_and_carry(spark):
     }
 
 
+def test_resample_rejects_nonpositive_step(spark):
+    """step=0 used to die as a raw division-by-zero and step<0 deep inside
+    sequence() — both now raise the named guard, like the sibling
+    interval/band join width guards."""
+    import pytest as _pt
+
+    from etl_scripts_spark.operators.asof import resample_ffill, resample_interp
+
+    obs = spark.createDataFrame([("a", 95, 1.0)], "k string, ts bigint, v double")
+    for step in (0, -100):
+        with _pt.raises(ValueError, match="step must be positive"):
+            resample_ffill(obs, by="k", on="ts", step=step)
+        with _pt.raises(ValueError, match="step must be positive"):
+            resample_interp(obs, by="k", on="ts", value_col="v", step=step)
+
+
 def test_resample_ffill_no_grid_when_span_has_no_tick(spark):
     """Key b spans [42, 42] with step 100: no multiple of 100 in range,
     so no rows — keys are never extrapolated."""
