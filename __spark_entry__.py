@@ -6231,6 +6231,353 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 8: the banked lakehouse/scale operators drain into the registry
+# (oracles were pre-pinned in etl_scripts_spark/oracle.py + parity tests)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_bloom_prune_join",
+    """
+    WITH keys AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 13 = 0
+    ), setbits AS (
+      SELECT DISTINCT ('0x' || substr(md5('bf0' || '|' || k), 1, 12))::BIGINT % 16384 AS p FROM keys
+      UNION
+      SELECT DISTINCT ('0x' || substr(md5('bf1' || '|' || k), 1, 12))::BIGINT % 16384 FROM keys
+      UNION
+      SELECT DISTINCT ('0x' || substr(md5('bf2' || '|' || k), 1, 12))::BIGINT % 16384 FROM keys
+    ), probe AS (
+      SELECT l_orderkey,
+             ('0x' || substr(md5('bf0' || '|' || l_orderkey), 1, 12))::BIGINT % 16384 AS p0,
+             ('0x' || substr(md5('bf1' || '|' || l_orderkey), 1, 12))::BIGINT % 16384 AS p1,
+             ('0x' || substr(md5('bf2' || '|' || l_orderkey), 1, 12))::BIGINT % 16384 AS p2
+      FROM lineitem
+    ), surv AS (
+      SELECT l_orderkey FROM probe
+      WHERE p0 IN (SELECT p FROM setbits)
+        AND p1 IN (SELECT p FROM setbits)
+        AND p2 IN (SELECT p FROM setbits)
+    ), tru AS (
+      SELECT l_orderkey FROM lineitem WHERE l_orderkey IN (SELECT k FROM keys)
+    )
+    SELECT (SELECT count(*) FROM surv)::BIGINT AS n_bloom_rows,
+           (SELECT count(DISTINCT l_orderkey) FROM surv)::BIGINT AS n_bloom_keys,
+           (SELECT count(*) FROM tru)::BIGINT AS n_true_rows
+    """,
+)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning (operators/sketch.py bloom_*): the orders
+    subset's m-bit filter broadcasts and prunes lineitem MAP-SIDE (zero
+    fact-side exchanges) before the exact semi join kills the false
+    positives.  m=2^14 is deliberately small so the FP sliver is nonzero
+    and the oracle pins the BIT-POSITION LAW itself (a survivor = all k
+    salted md5 positions set), not just the final exact semi join.  One
+    row: (n_bloom_rows, n_bloom_keys, n_true_rows) — bloom survivors
+    must be a superset of the true matches, and the driver-checked
+    counts pin both the law and the exactness of the trailing semi."""
+    from etl_scripts_spark.operators import sketch
+
+    m, k = 1 << 14, 3
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    words = sketch.bloom_build(keys, "l_orderkey", m_bits=m, k=k)
+    surv = sketch.bloom_prune(li, "l_orderkey", words, m_bits=m, k=k)
+    exact = sketch.bloom_semi_join(li, keys, "l_orderkey", m_bits=m, k=k)
+    ns = surv.agg(
+        F.count("*").alias("n_bloom_rows"),
+        F.countDistinct("l_orderkey").alias("n_bloom_keys"),
+    )
+    nt = exact.agg(F.count("*").alias("n_true_rows"))
+    # 1-row stat attach (declared in tests/test_plans.py CROSS_JOINS_BY_DESIGN)
+    return ns.crossJoin(nt)
+
+
+@_register(
+    "q_scd2_apply",
+    f"""
+    WITH base AS (SELECT * FROM orders WHERE o_orderkey < 5000),
+    history AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_orderpriority AS prio,
+             0::BIGINT AS valid_from, NULL::BIGINT AS valid_to
+      FROM base WHERE o_orderkey % 4 <> 1
+      UNION ALL
+      SELECT o_orderkey, 'OLD', o_orderpriority, -100::BIGINT, 0::BIGINT
+      FROM base WHERE o_orderkey % 5 = 0
+    ),
+    updates AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status, o_orderpriority AS prio,
+             150::BIGINT AS effective_ts
+      FROM base WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, 'P', o_orderpriority || '!', 200::BIGINT
+      FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, 'Q', o_orderpriority, 200::BIGINT
+      FROM base WHERE o_orderkey % 9 = 0
+    )
+    SELECT * FROM ({oracle.scd2_apply_sql("history", "updates", ["k"], ["status", "prio"])})
+    """,
+)
+def q_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 maintenance (sinks/merge.py scd2_apply): an order-status
+    history gets one update batch with no-ops (attrs unchanged → row kept
+    open), real changes (close + reopen), brand-new keys (%4==1 never had
+    a current row), batch-internal LWW (keys in both the 150- and 200-ts
+    arms), and (key, ts) TIES resolved by the payload tiebreak (%9 keys
+    carry both 'P' and 'Q' at ts 200 — 'Q' wins DESC).  Closed rows pass
+    through untouched — the plan is ONE full-outer join keyed on k,
+    O(current + batch) regardless of history depth.  Oracle =
+    oracle.scd2_apply_sql, the pre-pinned DuckDB mirror."""
+    from etl_scripts_spark.sinks.merge import scd2_apply
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    k = F.col("o_orderkey").alias("k")
+    status = F.col("o_orderstatus").alias("status")
+    prio = F.col("o_orderpriority").alias("prio")
+    cur = o.filter(F.col("o_orderkey") % 4 != 1).select(
+        k, status, prio,
+        F.lit(0).cast("bigint").alias("valid_from"),
+        F.lit(None).cast("bigint").alias("valid_to"),
+    )
+    closed = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        k, F.lit("OLD").alias("status"), prio,
+        F.lit(-100).cast("bigint").alias("valid_from"),
+        F.lit(0).cast("bigint").alias("valid_to"),
+    )
+    u1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        k, status, prio, F.lit(150).cast("bigint").alias("effective_ts")
+    )
+    u2 = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        k,
+        F.lit("P").alias("status"),
+        F.concat(F.col("o_orderpriority"), F.lit("!")).alias("prio"),
+        F.lit(200).cast("bigint").alias("effective_ts"),
+    )
+    u3 = o.filter(F.col("o_orderkey") % 9 == 0).select(
+        k, F.lit("Q").alias("status"), prio,
+        F.lit(200).cast("bigint").alias("effective_ts"),
+    )
+    return scd2_apply(
+        cur.unionByName(closed),
+        u1.unionByName(u2).unionByName(u3),
+        keys=["k"],
+        attrs=["status", "prio"],
+    )
+
+
+@_register(
+    "q_pagerank",
+    f"""
+    WITH edges AS (
+      SELECT o_custkey AS src, 2000 + o_orderkey % 50 AS dst FROM orders
+      UNION ALL
+      SELECT 2000 + o_orderkey % 50, o_custkey FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    {oracle.pagerank_rounds_ctes("edges", rounds=3)}
+    SELECT node, rank::BIGINT AS rank FROM r3
+    """,
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (operators/graph.py pagerank): the customer→
+    hub graph (every order links its customer to one of 50 hub nodes;
+    every 4th order links the hub back) — hub-heavy fan-in is exactly the
+    shape the DECIMAL(38,0) in-sum accumulator exists for.  3 power-
+    iteration rounds in BIGINT micro-rank units (scale 10^12), damping
+    85%, dangling mass leaked — bit-for-bit the unrolled HUGEINT CTE law
+    in oracle.pagerank_rounds_ctes.  2 shuffles per round (contrib join +
+    in-sum agg), ranks localCheckpointed per round to keep the plan flat."""
+    from etl_scripts_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders")
+    hub = (F.lit(2000) + F.col("o_orderkey") % 50).alias("dst")
+    fwd = o.select(F.col("o_custkey").alias("src"), hub)
+    back = o.filter(F.col("o_orderkey") % 4 == 0).select(
+        (F.lit(2000) + F.col("o_orderkey") % 50).alias("src"),
+        F.col("o_custkey").alias("dst"),
+    )
+    return pagerank(fwd.unionByName(back), rounds=3)
+
+
+@_register(
+    "q_skipping_report",
+    """
+    WITH base AS (
+      SELECT l_orderkey % 8 AS bucket, l_partkey AS v,
+             row_number() OVER (
+               PARTITION BY l_orderkey % 8
+               ORDER BY l_partkey, l_orderkey, l_linenumber
+             ) AS rn
+      FROM lineitem
+    ), grp AS (
+      SELECT bucket, (rn - 1) // 1024 AS rg, count(*) AS n_rows,
+             min(v)::DOUBLE AS mn, max(v)::DOUBLE AS mx
+      FROM base GROUP BY 1, 2
+    )
+    SELECT bucket,
+           count(*)::BIGINT AS n_rowgroups,
+           sum(CASE WHEN mx < 100.0 OR mn > 299.0 THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+           sum(n_rows)::BIGINT AS rows_total,
+           sum(CASE WHEN mx < 100.0 OR mn > 299.0 THEN n_rows ELSE 0 END)::BIGINT AS rows_skipped
+    FROM grp GROUP BY bucket
+    """,
+)
+def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group skipping report (sinks/layout.py rowgroup_stats /
+    skipping_report) over REAL parquet footers this query writes itself:
+    lineitem is bucketed by l_orderkey%8, each bucket written as one file
+    sorted by l_partkey with a FIXED 1024-row row-group size (distributed
+    applyInPandas writer — no driver materialization), then the footer
+    sweep (mapInPandas + pyarrow, O(files) never O(bytes)) measures how
+    many row groups the predicate v BETWEEN 100 AND 299 can prune.
+    Because the writer's sort and chunk law are deterministic, DuckDB
+    reconstructs every footer's (n_rows, min, max) from the VIEW with a
+    row_number window — the oracle never needs filesystem access, yet a
+    footer the sweep misreads (or a chunk boundary drift) breaks the
+    match.  Sorted layout → interior groups prune; that is the measurable
+    claim behind write_zordered/plan_compaction at 100 TB."""
+    import os
+
+    from etl_scripts_spark.sinks.layout import rowgroup_stats, skipping_report
+
+    g_rows, lo, hi = 1024, 100.0, 299.0
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dest = f"/root/repo/.scratch/skipping/{tag}"
+    os.makedirs(dest, exist_ok=True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 8).alias("bucket"),
+        F.col("l_partkey").alias("v"),
+        F.col("l_orderkey").alias("k1"),
+        F.col("l_linenumber").cast("bigint").alias("k2"),
+    )
+
+    def write_bucket(pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        b = int(pdf["bucket"].iloc[0])
+        pdf = pdf.sort_values(["v", "k1", "k2"], kind="mergesort")
+        path = f"{dest}/bucket={b}.parquet"
+        pq.write_table(
+            pa.Table.from_pandas(pdf[["v"]].reset_index(drop=True)),
+            path,
+            row_group_size=g_rows,
+        )
+        return pd.DataFrame({"bucket": [b], "file": [path]})
+
+    written = li.groupBy("bucket").applyInPandas(
+        write_bucket, "bucket bigint, file string"
+    )
+    written.count()  # force the write stage before the footer sweep reads
+    files = [f"{dest}/bucket={b}.parquet" for b in range(8)]
+    rep = skipping_report(rowgroup_stats(spark, files, "v"), lo, hi)
+    return rep.select(
+        F.regexp_extract("file", r"bucket=(\d+)", 1).cast("bigint").alias("bucket"),
+        "n_rowgroups",
+        "n_skipped",
+        "rows_total",
+        "rows_skipped",
+    )
+
+
+@_register(
+    "q_interval_join",
+    oracle.interval_join_sql(
+        """SELECT event_id AS lid, user_id % 8 AS g,
+                  event_id * 3 AS "start",
+                  event_id * 3 + 40 + event_id % 60 AS "end"
+           FROM events WHERE event_id % 2 = 0""",
+        """SELECT event_id AS rid, user_id % 8 AS g,
+                  event_id * 3 - event_id % 90 AS "start",
+                  event_id * 3 - event_id % 90 + 50 AS "end"
+           FROM events WHERE event_id % 3 = 0""",
+        l_cols=["lid", "g", "start", "end"],
+        r_cols=["rid", "g", "start", "end"],
+        by="g",
+    ),
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin-bucketed interval-overlap join (operators/intervals.py): two
+    event-derived interval sets per user-group overlap-join through the
+    equi-join on (key, bin) with the emit-once predicate fused in the
+    join condition — each overlapping pair exactly once, NO distinct, no
+    nested loop (plan pinned in tests/test_intervals.py).  Coordinates
+    scale with event_id so density per key is constant: output grows
+    linearly with sf, never quadratically.  Oracle = DuckDB's native
+    IEJoin on the plain inequality form — matching output proves the
+    binning machinery is invisible."""
+    from etl_scripts_spark.operators.intervals import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("lid"),
+        (F.col("user_id") % 8).alias("g"),
+        (F.col("event_id") * 3).alias("start"),
+        (F.col("event_id") * 3 + 40 + F.col("event_id") % 60).alias("end"),
+    )
+    right = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("rid"),
+        (F.col("user_id") % 8).alias("g"),
+        (F.col("event_id") * 3 - F.col("event_id") % 90).alias("start"),
+        (F.col("event_id") * 3 - F.col("event_id") % 90 + 50).alias("end"),
+    )
+    return interval_join(left, right, by="g", bin_width=64)
+
+
+@_register(
+    "q_refresh_rollup",
+    """
+    SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'Z' ELSE o_orderstatus END AS grp,
+           count(*)::BIGINT AS n,
+           sum(round(o_totalprice * 100)::BIGINT
+               + CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 97 ELSE 0 END)::BIGINT AS sum_x
+    FROM orders WHERE o_orderkey % 11 <> 0
+    GROUP BY 1
+    """,
+)
+def q_refresh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance (sinks/cdc.py
+    snapshot_changes → sinks/materialized.py refresh_rollup): the OLD
+    orders snapshot's per-status rollup is folded forward with a change
+    feed carrying inserts (%7 keys absent from old), deletes (%11 keys
+    absent from new), measure updates (%3 keys), and GROUP MIGRATION
+    (%5 keys move to status 'Z' — the pre/post pair splits into -old
+    +new group deltas).  O(groups + changes), never O(base); the oracle
+    is the refresh LAW itself — recomputing the rollup over the post-
+    change base must give the identical table."""
+    from etl_scripts_spark.sinks.cdc import snapshot_changes
+    from etl_scripts_spark.sinks.materialized import refresh_rollup, rollup_table
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("grp"),
+        cents.alias("x"),
+    )
+    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("Z"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("grp"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderkey") % 97).otherwise(
+                F.lit(0)
+            )
+        ).alias("x"),
+    )
+    current = rollup_table(old, ["grp"], ["x"])
+    feed = snapshot_changes(old, new, ["k"])
+    return refresh_rollup(current, feed, ["grp"], ["x"])
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -6246,17 +6593,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh-green), so every query gets a driver check at least every ~3 rounds
 # — a regression in a long-green query can hide for at most that long.
 
-#: New in round 7 (never driver-green yet) → head of the rotation; the
+#: New in round 8 (never driver-green yet) → head of the rotation; the
 #: r6 verdict caps new registrations at ≤6 so the 50-slot window keeps
 #: cycling the full registry in ≤4 rounds.  Everything else rides the
-#: least-recently-green order (the r3-green cohort is up this round).
+#: least-recently-green order (the r4-green ×21 cohort is up this round).
 _CHANGED_THIS_ROUND = (
-    "q_resolve_entities",
-    "q_zorder_key",
-    "q_stream_cms",
-    "q_waiting_orders",
-    "q_train_classifier",
-    "q_multimodal_jpeg_stats",
+    "q_bloom_prune_join",
+    "q_scd2_apply",
+    "q_pagerank",
+    "q_skipping_report",
+    "q_interval_join",
+    "q_refresh_rollup",
 )
 
 

@@ -120,12 +120,27 @@ HEADLINE = [
     "q_train_classifier",
     # baseline JPEG decode (huffman + IDCT + YCbCr), the last codec seam
     "q_multimodal_jpeg_stats",
+    # round-8 additions: the lakehouse/scale wave — Bloom join pruning,
+    # SCD2 apply, integer-exact PageRank, footer-sweep skipping report,
+    # bin-bucketed interval join, incremental rollup refresh
+    "q_bloom_prune_join",
+    "q_scd2_apply",
+    "q_pagerank",
+    "q_skipping_report",
+    "q_interval_join",
+    "q_refresh_rollup",
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs just those queries in a fresh
+    # session — the discriminator for suite-context noise: if a standalone
+    # run reproduces a full-suite number, the regression is real; if not,
+    # it was GC/retained-block pressure from the surrounding suite.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    headline = [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
     spark = get_spark("etl-scripts-spark-bench")
     queries = entrymod.queries()
 
@@ -151,7 +166,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in headline:
         # free the previous query's localCheckpoint blocks: the iterative
         # operators (k-means, CC, BPE) eagerly checkpoint per round, and 60
         # queries of retained blocks in one JVM turn into GC pressure that
@@ -188,7 +203,7 @@ def main() -> None:
         # timings up to that point.  stdout keeps the ONE-JSON-line
         # contract untouched.
         print("#partial " + json.dumps(
-            {"done": len(timings) + len(errors), "of": len(HEADLINE),
+            {"done": len(timings) + len(errors), "of": len(headline),
              "sum": round(sum(timings.values()), 3), "queries": timings,
              **({"errors": errors} if errors else {})}),
             file=sys.stderr, flush=True)

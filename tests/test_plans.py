@@ -33,6 +33,9 @@ ARROW_STAGES = {
     "q_multimodal_video_frames",
     "q_pdf_metadata",
     "q_tool_dryrun",
+    # parquet FOOTER sweep (mapInPandas+pyarrow) + distributed bucket writer
+    # (applyInPandas) — the layout trio's measurement path, O(files)
+    "q_skipping_report",
 }
 
 #: brute-force ANN baseline + 1-row-build-side batch marks: the only
@@ -68,6 +71,8 @@ CROSS_JOINS_BY_DESIGN = {
     # bounded-subset brute-force ground truth + 1-row stat stitching
     # (the LSH-recall measurement baseline, like q_ivf_recall's brute arm)
     "q_lsh_recall",
+    # two 1-row count aggregates stitched by a 1-row cross join
+    "q_bloom_prune_join",
 }
 
 STREAMING = {
