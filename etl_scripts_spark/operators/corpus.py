@@ -1028,3 +1028,77 @@ def pmi_collocations(
         F.when(F.col("c_ab") < F.col("n_bi"), F.round(pmi_raw / -F.log(p_ab), 9))
         .alias("npmi"),
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_col: str = "phrase",
+    qid_col: str = "query_id",
+) -> DataFrame:
+    """Exact PHRASE search: which documents contain each query phrase as a
+    consecutive token run (the positional companion to batch_retrieval's
+    bag-of-words BM25 — "new york times" must not match a doc containing
+    the three words scattered).
+
+    Returns (qid_col, id_col, n_occurrences, first_pos) — one row per
+    (phrase, doc) with ≥1 occurrence; positions are 1-based over the
+    normalized token stream (the same `words` law every text operator
+    shares).
+
+    Law: start s matches iff doc[s+o] == phrase[o] for every offset o.
+    Distributed as the COUNT-PER-START identity: explode doc tokens with
+    positions (map-only Generate over the staged `_w`), broadcast-join
+    the phrase tokens-with-offsets (query batches are always tiny), emit
+    candidate (doc, query, s = pos − off); a start matches iff its
+    candidate count equals the phrase length — each offset contributes
+    exactly one row iff its token matches, and (pos, off) pairs cannot
+    collide at the same s.  So: one broadcast map-side join, ONE shuffle
+    of candidates (rows whose tokens appear anywhere in a phrase — the
+    published refinement at 100 TB is anchoring on each phrase's rarest
+    token to shrink candidates; the verify law is unchanged), and a
+    query×doc-sized final aggregate.  No self-join of the corpus, no
+    per-doc regex (a regex would re-scan raw text and disagree with the
+    token law).
+
+    Phrases that normalize to nothing raise loudly (an empty token list
+    would "match" everywhere or nowhere depending on convention — make
+    the caller decide).
+    """
+    reserved = {"_w", "_pw", "_pos", "_tok", "_off", "_plen", "_s", "_m"}
+    if {id_col, qid_col} & reserved:
+        raise ValueError(f"phrase_search: id/query columns collide with internals")
+    d = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    dtok = d.select(id_col, F.posexplode("_w").alias("_pos", "_tok"))
+    p = phrases.select(F.col(qid_col), words(F.col(phrase_col)).alias("_pw"))
+    # normalize_text("") → [""]: a phrase of only punctuation/whitespace
+    # yields one empty token — reject before it can "match" empty slots
+    degenerate = (F.size("_pw") == 0) | F.exists(F.col("_pw"), lambda t: t == "")
+    plen = F.when(
+        degenerate,
+        F.raise_error(F.lit("phrase_search: phrase normalizes to no tokens")),
+    ).otherwise(F.size("_pw"))
+    ptok = p.select(
+        qid_col, plen.alias("_plen"), F.posexplode("_pw").alias("_off", "_tok")
+    )
+    cand = (
+        dtok.join(F.broadcast(ptok), "_tok")
+        .select(
+            id_col,
+            qid_col,
+            "_plen",
+            (F.col("_pos") - F.col("_off") + 1).alias("_s"),
+        )
+        .filter(F.col("_s") >= 1)
+    )
+    hits = (
+        cand.groupBy(id_col, qid_col, "_plen", "_s")
+        .agg(F.count(F.lit(1)).alias("_m"))
+        .filter(F.col("_m") == F.col("_plen"))
+    )
+    return hits.groupBy(qid_col, id_col).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("_s").cast("bigint").alias("first_pos"),
+    )

@@ -413,6 +413,99 @@ def synthetic_wav_bytes(doc_id: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+# IMA/DVI ADPCM (WAVE format tag 0x0011) — the standard 4-bit adaptive
+# codec: 89-entry step table, 8-entry index adaptation.  Public law
+# (IMA "Recommended Practices for Enhancing Digital Audio Compatibility",
+# same tables as every OSS decoder).
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def decode_ima_adpcm_block(block: bytes):
+    """One MONO IMA ADPCM block → list[int] int16 samples.
+
+    Block layout: predictor int16 LE + step index byte + reserved byte,
+    then nibble pairs (LOW nibble is the earlier sample).  The header
+    predictor IS the block's first output sample; each nibble then emits
+    one sample via the adaptive diff = step>>3 (+step if bit2, +step>>1
+    if bit1, +step>>2 if bit0), sign = bit3, with predictor clamped to
+    int16 and the index clamped to [0, 88].  Sequential by construction
+    (the whole point of the adaptive law) — vectorization happens across
+    payloads in the Arrow stage, not within a block."""
+    pred = struct.unpack("<h", block[0:2])[0]
+    idx = block[2]
+    if idx > 88:
+        return None
+    out = [pred]
+    for byte in block[4:]:
+        for nib in (byte & 0x0F, byte >> 4):
+            step = _IMA_STEP[idx]
+            diff = step >> 3
+            if nib & 4:
+                diff += step
+            if nib & 2:
+                diff += step >> 1
+            if nib & 1:
+                diff += step >> 2
+            pred = pred - diff if nib & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+            out.append(pred)
+    return out
+
+
+def synthetic_adpcm_wav_bytes(doc_id: int) -> bytes:
+    """Deterministic mono IMA-ADPCM WAV whose DECODE is closed-form: every
+    block's nibbles are magnitude-0 ({0x0, 0x8}, pattern varies by byte
+    parity) with step index 0 — at index 0, diff = 7>>3 = 0 and the index
+    re-clamps to 0, so every sample of block b equals its header predictor
+    P(b) = ((doc_id·131 + b·1717) mod 65536) − 32768.  k = 2 + doc_id % 3
+    blocks, block_align 12 → 17 samples per block, rate 8000.  The decoder
+    still exercises the full container walk, block split, header parse,
+    nibble unpack and sign branch; the magnitude/adaptation arithmetic is
+    pinned by hand-computed unit vectors instead (it cannot be closed-form
+    — that adaptivity is what makes the codec lossy)."""
+    k = 2 + doc_id % 3
+    block_align = 12
+    blocks = b""
+    for b in range(k):
+        pred = ((doc_id * 131 + b * 1717) % 65536) - 32768
+        nib = bytes(
+            (0x00, 0x88, 0x08, 0x80)[(doc_id + m) % 4] for m in range(block_align - 4)
+        )
+        blocks += struct.pack("<hBB", pred, 0, 0) + nib
+    fmt = struct.pack("<HHIIHHHH", 17, 1, 8000, 4055, block_align, 4, 2, 17)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(blocks)) + blocks
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def with_adpcm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture source for the ADPCM path (map-only, Arrow-batched)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids, "payload": [synthetic_adpcm_wav_bytes(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+
+
 def decode_wav_audio(payload: bytes):
     """WAV PCM → (sample_rate, int16 ndarray) — real stdlib decode of the
     fmt + data chunks; None for non-PCM/malformed input (keep flowing).
@@ -437,6 +530,7 @@ def decode_wav_pcm(payload: bytes):
         if payload[8:12] != b"WAVE":
             return None
         rate, bits, channels, data = None, None, None, None
+        audio_fmt, block_align = None, None
         pos, end = 12, min(8 + struct.unpack("<I", payload[4:8])[0], len(payload))
         while pos + 8 <= end:
             fourcc = payload[pos : pos + 4]
@@ -444,15 +538,29 @@ def decode_wav_pcm(payload: bytes):
             chunk = payload[pos + 8 : pos + 8 + size]
             if fourcc == b"fmt " and len(chunk) >= 16:
                 audio_fmt, channels, rate = struct.unpack("<HHI", chunk[:8])
+                block_align = struct.unpack("<H", chunk[12:14])[0]
                 bits = struct.unpack("<H", chunk[14:16])[0]
-                if audio_fmt != 1:  # PCM only
+                if audio_fmt not in (1, 17):  # PCM or IMA ADPCM
                     return None
             elif fourcc == b"data":
                 data = chunk
             pos += 8 + size + (size & 1)
-        if rate is None or data is None or bits not in (8, 16) or channels not in (1, 2):
+        if rate is None or data is None or not 0 < rate < 2**31:
             return None
-        if not 0 < rate < 2**31:  # corrupt fmt header; rate must fit INT32
+        if audio_fmt == 17:
+            # IMA ADPCM: mono 4-bit only (stereo interleaves 4-byte groups
+            # per channel — a declared seam, like progressive JPEG); decode
+            # full blocks, each to (block_align-4)*2 + 1 int16 samples
+            if bits != 4 or channels != 1 or not block_align or block_align < 5:
+                return None
+            samples: list[int] = []
+            for off in range(0, len(data) - block_align + 1, block_align):
+                blk = decode_ima_adpcm_block(data[off : off + block_align])
+                if blk is None:
+                    return None
+                samples.extend(blk)
+            return rate, 1, np.asarray(samples, dtype=np.int16)
+        if bits not in (8, 16) or channels not in (1, 2):
             return None
         if bits == 8:
             raw = np.frombuffer(data, dtype=np.uint8)

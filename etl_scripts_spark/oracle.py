@@ -693,3 +693,102 @@ SELECT doc_id,
          AS n_ws_tokens
 FROM exploded
 """.replace("{src}", source_cte)
+
+
+def table_fingerprint_sql(
+    source_cte: str, cols: list[str], by: list[str] | None = None
+) -> str:
+    """DuckDB mirror of exactness.table_fingerprint: per row the canonical
+    `v<value>`/\\x01 tokens joined by \\x1f, md5, first 15 hex chars as a
+    60-bit BIGINT; per group (n_rows, Σ mod 2^61−1, xor).  HUGEINT holds
+    the raw sum; the mod brings it back to BIGINT like Spark's
+    decimal-(38,0)-then-cast."""
+    by = by or []
+    fp_mod = (1 << 61) - 1
+
+    def tok(c: str) -> str:
+        return f"CASE WHEN {c} IS NULL THEN chr(1) ELSE 'v' || CAST({c} AS VARCHAR) END"
+
+    row = " || chr(31) || ".join(tok(c) for c in cols)
+    h = f"('0x' || substr(md5({row}), 1, 15))::BIGINT"
+    sel_by = "".join(f"{c}, " for c in by)
+    grp = f" GROUP BY {', '.join(by)}" if by else ""
+    return f"""
+SELECT {sel_by}count(*)::BIGINT AS n_rows,
+       coalesce((sum({h}::HUGEINT) % {fp_mod})::BIGINT, 0) AS fp_sum,
+       coalesce(bit_xor({h}), 0) AS fp_xor
+FROM ({source_cte}){grp}
+"""
+
+
+def rolling_zscore_sql(
+    source_cte: str,
+    by: str,
+    order_col: str,
+    value_col: str,
+    window: int = 20,
+    min_periods: int = 5,
+    z_thresh: float = 3.0,
+    passthrough: list[str] | None = None,
+) -> str:
+    """DuckDB mirror of reports/anomaly.rolling_zscore: the identical
+    trailing ROWS frame, HUGEINT exact moment sums, and the VERBATIM
+    variance/z expression (same IEEE op order → identical doubles),
+    rounded to 9 dp.  `passthrough` = extra input columns to carry."""
+    extra = "".join(f"{c}, " for c in (passthrough or []))
+    w = f"PARTITION BY {by} ORDER BY {order_col}"
+    frame = f"ROWS BETWEEN {window} PRECEDING AND 1 PRECEDING"
+    return f"""
+WITH src AS ({source_cte}), m AS (
+  SELECT {extra}{by}, {order_col}, {value_col},
+         count({value_col}) OVER ({w} {frame}) AS n,
+         sum({value_col}::HUGEINT) OVER ({w} {frame}) AS s1,
+         sum(({value_col}::HUGEINT) * ({value_col}::HUGEINT)) OVER ({w} {frame}) AS s2
+  FROM src
+), zc AS (
+  SELECT *,
+         CASE WHEN n >= {min_periods}
+               AND (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                   / (n::DOUBLE - 1) > 0
+              THEN round(({value_col}::DOUBLE - s1::DOUBLE / n::DOUBLE)
+                         / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE)
+                                / (n::DOUBLE - 1)), 9)
+         END AS z
+  FROM m
+)
+SELECT {extra}{by}, {order_col}, {value_col}, n::BIGINT AS roll_n, z,
+       CASE WHEN z IS NOT NULL THEN abs(z) > {z_thresh} END AS is_anomaly
+FROM zc
+"""
+
+
+def phrase_search_sql(
+    docs_cte: str,
+    phrases_cte: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    phrase_col: str = "phrase",
+    qid_col: str = "query_id",
+) -> str:
+    """DuckDB mirror of corpus.phrase_search, deliberately via a DIFFERENT
+    formulation — per-start LIST-SLICE equality over the token lists — so
+    a bug in the count-per-start distribution law cannot hide in its own
+    mirror.  list_filter over generate_series (empty when the doc is
+    shorter than the phrase, so first_pos = hits[1] is always the min);
+    the unnest-in-select + outer-slice-filter form hits a DuckDB 1.0
+    binder bug ("Failed to bind column reference"), and lateral
+    generate_series is unsupported — the lambda form avoids both.
+    Small-side cross join is fine at oracle scale."""
+    return f"""
+WITH d AS (SELECT {id_col}, {words_sql(text_col)} AS toks FROM ({docs_cte})),
+p AS (SELECT {qid_col}, {words_sql(phrase_col)} AS ptoks FROM ({phrases_cte})),
+m AS (
+  SELECT d.{id_col}, p.{qid_col},
+         list_filter(generate_series(1, len(d.toks) - len(p.ptoks) + 1),
+                     s -> d.toks[s:s + len(p.ptoks) - 1] = p.ptoks) AS hits
+  FROM d, p
+)
+SELECT {qid_col}, {id_col}, len(hits)::BIGINT AS n_occurrences,
+       hits[1]::BIGINT AS first_pos
+FROM m WHERE len(hits) > 0
+"""

@@ -392,3 +392,146 @@ def stateful_cms_available_now(
         "r", F.posexplode("_cs").alias("b", "_c")
     ).select("r", "b", F.col("_c").cast("bigint").alias("cnt"))
     return exploded.filter(F.col("cnt") > 0)
+
+
+# --- streaming rolling z-score anomaly detection ---------------------------
+
+RZ_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+        T.StructField("v", T.LongType()),
+        T.StructField("roll_n", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+_RZ_STATE = T.StructType(
+    [T.StructField("last_ts", T.LongType()), T.StructField("buf", T.StringType())]
+)
+
+
+def _round9_half_up(x: float) -> float:
+    """Spark's round(double, 9): shortest-repr decimal then HALF_UP —
+    BigDecimal.valueOf(d).setScale(9, HALF_UP).  Python's built-in round
+    is half-EVEN, so the streaming emission would drift from the batch
+    operator on exact 9-dp ties; Decimal(repr(x)) reproduces the
+    shortest-repr + HALF_UP pipeline bit-for-bit."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("1E-9"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _make_rz_fn(window: int, min_periods: int, z_thresh: float):
+    def _rz_fn(key: Tuple[Any, ...], pdfs: Iterator, state: GroupState) -> Iterator:
+        """Per-key ring buffer of the last `window` observations (CSV in
+        the state store — bounded regardless of stream volume; '' encodes
+        a NULL value so the ROWS-frame law stays physical-row-based like
+        the batch operator).  Each event is emitted exactly once, in its
+        arrival batch, scored against the buffer BEFORE its own value
+        enters it (the batch op's self-mask exclusion).  Out-of-order or
+        duplicate timestamps raise loudly — the batch law's frame would
+        differ, so silently accepting them would silently change the
+        semantics, exactly like reports/anomaly.rolling_zscore's dup
+        guard."""
+        import math
+
+        import pandas as pd
+
+        if state.exists:
+            last_ts, csv = state.get
+            buf = [None if t == "" else int(t) for t in csv.split("|")] if csv else []
+        else:
+            last_ts, buf = None, []
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_us")
+        out = {c: [] for c in ("ts_us", "v", "roll_n", "z", "is_anomaly")}
+        for ts_us, v in zip(rows["ts_us"], rows["v"]):
+            ts_us = int(ts_us)
+            if last_ts is not None and ts_us <= last_ts:
+                raise ValueError(
+                    "stateful_rolling_zscore: out-of-order or duplicate "
+                    f"timestamp {ts_us} after {last_ts} for key {key[0]}"
+                )
+            last_ts = ts_us
+            x = None if pd.isna(v) else int(v)
+            vals = [b for b in buf if b is not None]
+            n = len(vals)
+            z = None
+            if x is not None and n >= min_periods:
+                s1 = sum(vals)
+                s2 = sum(b * b for b in vals)
+                # the batch operator's canonical expression, verbatim:
+                # exact integer sums, float only in the final divisions
+                var = (float(s2) - float(s1) * float(s1) / float(n)) / (
+                    float(n) - 1
+                )
+                if var > 0:
+                    z = _round9_half_up(
+                        (float(x) - float(s1) / float(n)) / math.sqrt(var)
+                    )
+            out["ts_us"].append(ts_us)
+            out["v"].append(x)
+            out["roll_n"].append(n)
+            out["z"].append(z)
+            out["is_anomaly"].append(None if z is None else abs(z) > z_thresh)
+            buf.append(x)
+            if len(buf) > window:
+                buf.pop(0)
+        state.update(
+            (last_ts, "|".join("" if b is None else str(b) for b in buf))
+        )
+        pdf = pd.DataFrame(out)
+        pdf.insert(0, "user_id", int(key[0]))
+        yield pdf
+
+    return _rz_fn
+
+
+def stateful_rolling_zscore_available_now(
+    spark: SparkSession,
+    events_parquet: str,
+    window: int = 20,
+    min_periods: int = 5,
+    z_thresh: float = 3.0,
+    approx_keys: int = 200,
+) -> DataFrame:
+    """Streaming anomaly alerts: reports/anomaly.rolling_zscore run LIVE —
+    per-user value-cents scored against the user's trailing `window`
+    observations held in the state store; after an AvailableNow drain the
+    emitted rows equal the batch operator over the same events
+    row-for-row (the oracle).  Cents pre-compute (floor(v·100+0.5), the
+    shared engine-portable cents law) happens as a Catalyst projection
+    BEFORE the stateful stage, so Python only maintains the ring buffer.
+
+    Ordering contract: events must arrive in per-key timestamp order
+    (one AvailableNow batch sorts itself; across micro-batches this is
+    the same file-mtime-ordering assumption streaming/mv.py documents) —
+    a regression raises rather than silently scoring against the wrong
+    frame.  State is O(window) per key, eviction exact, emission
+    exactly-once per event."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+
+    def build(stream):
+        return (
+            stream.filter(F.col("user_id").isNotNull())
+            .select(
+                "user_id",
+                F.unix_micros(F.col("ts")).alias("ts_us"),
+                cents.alias("v"),
+            )
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _make_rz_fn(window, min_periods, z_thresh),
+                outputStructType=RZ_SCHEMA,
+                stateStructType=_RZ_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    return _drain_events(spark, events_parquet, build, approx_keys)

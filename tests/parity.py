@@ -25,11 +25,25 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _na_canonical(v) -> str:
+    """Engine-independent string form: DuckDB's fetchdf renders a NULL in
+    an object column (e.g. nullable BOOLEAN) as float NaN while Spark's
+    toPandas gives None — astype(str) would split them into 'nan' vs
+    'None' and misalign the row sort.  Lists/arrays pass through (pd.isna
+    on them is ambiguous)."""
+    try:
+        if pd.isna(v):
+            return "<NULL>"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            df[c] = df[c].map(_na_canonical)
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
