@@ -6446,7 +6446,11 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g_rows, lo, hi = 1024, 100.0, 299.0
     tag = os.path.basename(os.path.normpath(sf_dir))
-    dest = f"/root/repo/.scratch/skipping/{tag}"
+    # anchored to this module's checkout, not a hardcoded absolute path —
+    # the repo is not guaranteed to live at /root/repo on the driver box
+    dest = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "skipping", tag
+    )
     os.makedirs(dest, exist_ok=True)
     li = _t(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") % 8).alias("bucket"),

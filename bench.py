@@ -140,7 +140,19 @@ def main() -> None:
     # run reproduces a full-suite number, the regression is real; if not,
     # it was GC/retained-block pressure from the surrounding suite.
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
-    headline = [q for q in HEADLINE if q in set(only.split(","))] if only else HEADLINE
+    if only:
+        wanted = {t.strip() for t in only.split(",") if t.strip()}
+        unknown = wanted - set(HEADLINE)
+        if unknown:
+            # a typo'd name silently matching nothing would emit a valid-
+            # looking empty benchmark — the exact wrong signal for the
+            # standalone-discriminator protocol this filter exists for
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {sorted(unknown)}"
+            )
+        headline = [q for q in HEADLINE if q in wanted]
+    else:
+        headline = HEADLINE
     spark = get_spark("etl-scripts-spark-bench")
     queries = entrymod.queries()
 

@@ -1067,26 +1067,49 @@ def phrase_search(
     would "match" everywhere or nowhere depending on convention — make
     the caller decide).
     """
-    reserved = {"_w", "_pw", "_pos", "_tok", "_off", "_plen", "_s", "_m"}
+    reserved = {"_w", "_pw", "_pwc", "_pos", "_tok", "_off", "_plen", "_s", "_m", "_rid"}
     if {id_col, qid_col} & reserved:
-        raise ValueError(f"phrase_search: id/query columns collide with internals")
-    d = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
-    dtok = d.select(id_col, F.posexplode("_w").alias("_pos", "_tok"))
+        raise ValueError("phrase_search: id/query columns collide with internals")
+    # _rid = per-ROW identity (map-only, no shuffle): the count-per-start
+    # identity is only valid per physical row, so candidates group on the
+    # row, never on id_col — duplicated doc_ids would otherwise merge two
+    # rows' candidates and silently produce BOTH false negatives (counts
+    # doubled past plen) and phantom cross-row matches.  _rid values are
+    # partition-dependent but are only ever a grouping key, never emitted,
+    # so the result stays deterministic; (doc, query) occurrences then SUM
+    # across rows sharing an id (the same law the oracle's per-row cross
+    # join + GROUP BY id produces).
+    d = docs.select(
+        F.col(id_col),
+        words(F.col(text_col)).alias("_w"),
+        F.monotonically_increasing_id().alias("_rid"),
+    )
+    dtok = d.select(id_col, "_rid", F.posexplode("_w").alias("_pos", "_tok"))
     p = phrases.select(F.col(qid_col), words(F.col(phrase_col)).alias("_pw"))
     # normalize_text("") → [""]: a phrase of only punctuation/whitespace
-    # yields one empty token — reject before it can "match" empty slots
-    degenerate = (F.size("_pw") == 0) | F.exists(F.col("_pw"), lambda t: t == "")
-    plen = F.when(
+    # yields one empty token; a NULL phrase tokenizes to NULL.  Both are
+    # rejected loudly — NULL would otherwise explode to zero rows and the
+    # query would silently vanish from the output.
+    degenerate = (
+        F.col("_pw").isNull()
+        | (F.size("_pw") == 0)
+        | F.exists(F.col("_pw"), lambda t: t == "")
+    )
+    # the raise rides the GENERATOR INPUT, not a sibling projection: a NULL
+    # array explodes to zero output rows, so a per-output-row guard column
+    # would never evaluate and the NULL phrase would silently vanish
+    checked = F.when(
         degenerate,
         F.raise_error(F.lit("phrase_search: phrase normalizes to no tokens")),
-    ).otherwise(F.size("_pw"))
-    ptok = p.select(
-        qid_col, plen.alias("_plen"), F.posexplode("_pw").alias("_off", "_tok")
+    ).otherwise(F.col("_pw"))
+    ptok = p.select(qid_col, checked.alias("_pwc")).select(
+        qid_col, F.size("_pwc").alias("_plen"), F.posexplode("_pwc").alias("_off", "_tok")
     )
     cand = (
         dtok.join(F.broadcast(ptok), "_tok")
         .select(
             id_col,
+            "_rid",
             qid_col,
             "_plen",
             (F.col("_pos") - F.col("_off") + 1).alias("_s"),
@@ -1094,7 +1117,7 @@ def phrase_search(
         .filter(F.col("_s") >= 1)
     )
     hits = (
-        cand.groupBy(id_col, qid_col, "_plen", "_s")
+        cand.groupBy("_rid", id_col, qid_col, "_plen", "_s")
         .agg(F.count(F.lit(1)).alias("_m"))
         .filter(F.col("_m") == F.col("_plen"))
     )

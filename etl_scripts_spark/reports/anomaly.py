@@ -46,7 +46,7 @@ def rolling_zscore(
     many prior observations the frame held; `z` = (x − mean)/std rounded
     to 9 dp, NULL while the frame is short (roll_n < min_periods), the
     frame is flat (zero variance), or x is NULL; `is_anomaly` =
-    |z| > z_thresh, NULL exactly when z is NULL (三-valued, like the
+    |z| > z_thresh, NULL exactly when z is NULL (three-valued, like the
     expectations engine — an undecidable row is surfaced, not dropped).
 
     Guards: duplicate (by, order_col) pairs raise loudly — with ties the
@@ -86,7 +86,10 @@ def rolling_zscore(
     # IEEE ops on identical inputs → identical doubles in both engines
     var = (s2.cast("double") - s1.cast("double") * s1.cast("double") / nd) / (nd - 1)
     z = F.round((F.col(value_col).cast("double") - mean) / F.sqrt(var), 9)
-    z_out = F.when((n >= min_periods) & (var > 0), z)
+    # the guard chain is embedded in EVERY output column (not just roll_n):
+    # a caller selecting only z / is_anomaly would otherwise let Catalyst
+    # prune the raising expression away with the column that carried it,
+    # silently disabling the dup/NULL-order and overflow guards
     guard = F.when(
         bad,
         F.raise_error(
@@ -94,6 +97,9 @@ def rolling_zscore(
         ),
     ).when(
         overflow, F.raise_error(F.lit("rolling_zscore: sum of squares overflowed"))
+    )
+    z_out = F.coalesce(
+        guard.cast("double"), F.when((n >= min_periods) & (var > 0), z)
     )
     return df.select(
         *df.columns,

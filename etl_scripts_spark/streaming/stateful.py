@@ -396,14 +396,20 @@ def stateful_cms_available_now(
 
 # --- streaming rolling z-score anomaly detection ---------------------------
 
+#: the stateful stage emits z RAW (unrounded): the 9-dp round and the
+#: threshold test happen as Catalyst projections AFTER the stage, so
+#: batch and streaming share Spark's own round() implementation by
+#: construction.  (A Python-side round cannot be trusted to tie-break
+#: identically: Spark rounds via BigDecimal(Double.toString(d)) and
+#: JDK < 19 Double.toString is not shortest-repr — JDK-4511638 — so a
+#: Decimal(repr(x)) shim drifts from the JVM exactly on 9-dp half ties.)
 RZ_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
         T.StructField("ts_us", T.LongType()),
         T.StructField("v", T.LongType()),
         T.StructField("roll_n", T.LongType()),
-        T.StructField("z", T.DoubleType()),
-        T.StructField("is_anomaly", T.BooleanType()),
+        T.StructField("z_raw", T.DoubleType()),
     ]
 )
 
@@ -412,22 +418,7 @@ _RZ_STATE = T.StructType(
 )
 
 
-def _round9_half_up(x: float) -> float:
-    """Spark's round(double, 9): shortest-repr decimal then HALF_UP —
-    BigDecimal.valueOf(d).setScale(9, HALF_UP).  Python's built-in round
-    is half-EVEN, so the streaming emission would drift from the batch
-    operator on exact 9-dp ties; Decimal(repr(x)) reproduces the
-    shortest-repr + HALF_UP pipeline bit-for-bit."""
-    import decimal
-
-    return float(
-        decimal.Decimal(repr(x)).quantize(
-            decimal.Decimal("1E-9"), rounding=decimal.ROUND_HALF_UP
-        )
-    )
-
-
-def _make_rz_fn(window: int, min_periods: int, z_thresh: float):
+def _make_rz_fn(window: int, min_periods: int):
     def _rz_fn(key: Tuple[Any, ...], pdfs: Iterator, state: GroupState) -> Iterator:
         """Per-key ring buffer of the last `window` observations (CSV in
         the state store — bounded regardless of stream volume; '' encodes
@@ -449,7 +440,7 @@ def _make_rz_fn(window: int, min_periods: int, z_thresh: float):
         else:
             last_ts, buf = None, []
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_us")
-        out = {c: [] for c in ("ts_us", "v", "roll_n", "z", "is_anomaly")}
+        out = {c: [] for c in ("ts_us", "v", "roll_n", "z_raw")}
         for ts_us, v in zip(rows["ts_us"], rows["v"]):
             ts_us = int(ts_us)
             if last_ts is not None and ts_us <= last_ts:
@@ -471,14 +462,14 @@ def _make_rz_fn(window: int, min_periods: int, z_thresh: float):
                     float(n) - 1
                 )
                 if var > 0:
-                    z = _round9_half_up(
-                        (float(x) - float(s1) / float(n)) / math.sqrt(var)
-                    )
+                    # identical IEEE ops in the batch operator's order;
+                    # int->float conversions round-to-nearest like Spark's
+                    # decimal(38,0)->double casts
+                    z = (float(x) - float(s1) / float(n)) / math.sqrt(var)
             out["ts_us"].append(ts_us)
             out["v"].append(x)
             out["roll_n"].append(n)
-            out["z"].append(z)
-            out["is_anomaly"].append(None if z is None else abs(z) > z_thresh)
+            out["z_raw"].append(z)
             buf.append(x)
             if len(buf) > window:
                 buf.pop(0)
@@ -526,11 +517,25 @@ def stateful_rolling_zscore_available_now(
             )
             .groupBy("user_id")
             .applyInPandasWithState(
-                _make_rz_fn(window, min_periods, z_thresh),
+                _make_rz_fn(window, min_periods),
                 outputStructType=RZ_SCHEMA,
                 stateStructType=_RZ_STATE,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+            # round + threshold in Catalyst, AFTER the stateful stage —
+            # the same code path the batch operator's F.round uses, so the
+            # drain==batch contract cannot drift on rounding ties
+            .select(
+                "user_id",
+                "ts_us",
+                "v",
+                "roll_n",
+                F.round(F.col("z_raw"), 9).alias("z"),
+            )
+            .withColumn(
+                "is_anomaly",
+                F.when(F.col("z").isNotNull(), F.abs(F.col("z")) > F.lit(z_thresh)),
             )
         )
 

@@ -15,7 +15,7 @@ from etl_scripts_spark.reports.anomaly import rolling_zscore
 SCHEMA = "k string, ts bigint, v bigint"
 
 
-def _z(values, x, nd=None):
+def _z(values, x):
     n = len(values)
     s1, s2 = sum(values), sum(v * v for v in values)
     var = (float(s2) - float(s1) * float(s1) / n) / (n - 1)
@@ -123,3 +123,15 @@ def test_duckdb_parity_seeded_series(spark):
         rolling_zscore_sql("SELECT * FROM t", "k", "ts", "v", window=12, min_periods=4)
     ).fetchdf()
     assert compare(got, want) == []
+
+
+def test_guards_survive_column_pruning(spark):
+    """The dup/NULL-order raise is embedded in EVERY output column: a
+    caller selecting only z (not roll_n) must still hit the guard —
+    Catalyst would otherwise prune the raising expression away with the
+    column that carried it."""
+    dup = spark.createDataFrame([("a", 1, 1), ("a", 1, 2), ("a", 2, 3)], SCHEMA)
+    with pytest.raises(Exception, match="duplicate"):
+        rolling_zscore(dup, "k", "ts", "v").select("z").collect()
+    with pytest.raises(Exception, match="duplicate"):
+        rolling_zscore(dup, "k", "ts", "v").select("is_anomaly").collect()

@@ -115,3 +115,27 @@ def test_duckdb_parity_randomized(spark):
         phrase_search_sql("SELECT * FROM dd", "SELECT * FROM pp")
     ).fetchdf()
     assert compare(got, want) == []
+
+
+def test_duplicate_doc_ids_sum_per_row(spark):
+    """The count-per-start identity is per PHYSICAL row: two rows sharing
+    doc_id=1 must neither merge their candidates into a >plen count (false
+    negative) nor stitch a phantom cross-row match (false positive) —
+    occurrences SUM across the rows, like the oracle's per-row law."""
+    docs = spark.createDataFrame(
+        [(1, "new york"), (1, "new york"), (1, "new x"), (1, "x york")], D
+    )
+    phrases = spark.createDataFrame([(9, "new york")], P)
+    # two true matches from the duplicate rows; the "new x"/"x york" pair
+    # must NOT combine into a phantom third
+    assert _rows(phrase_search(docs, phrases)) == [(9, 1, 2, 1)]
+
+
+def test_null_phrase_raises_loudly(spark):
+    """A NULL phrase tokenizes to a NULL array, which explodes to zero
+    rows — without the generator-input guard the query would silently
+    vanish from the output instead of raising."""
+    docs = spark.createDataFrame([(1, "some text")], D)
+    phrases = spark.createDataFrame([(9, None)], P)
+    with pytest.raises(Exception, match="normalizes to no tokens"):
+        phrase_search(docs, phrases).collect()
