@@ -280,6 +280,14 @@ def decode_image_pixels(payload: bytes):
             # progressive/arithmetic/12-bit or malformed: undecodable,
             # keeps flowing with NULL stats like every other codec here
             return ("jpeg", None)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif_pixels
+
+        try:
+            return ("gif", decode_gif_pixels(payload))
+        except ValueError:
+            # later-frame/extension territory or malformed: NULL stats
+            return ("gif", None)
     fmt, _w, _h = parse_image_header(payload)
     return (fmt, None)
 
@@ -918,6 +926,27 @@ def with_pixel_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 {
                     "doc_id": ids,
                     "payload": [synthetic_pixel_image_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+
+
+def with_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture source for the GIF path: fully decodable LZW payloads with
+    closed-form pixels (operators/gif.synthetic_gif_bytes); every 3rd doc
+    interlaced so the 4-pass path is always exercised."""
+    from .gif import synthetic_gif_bytes
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": [synthetic_gif_bytes(int(i)) for i in ids],
                 }
             )
 

@@ -96,3 +96,46 @@ def test_rowgroup_stats_match_duckdb_parquet_metadata(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_cobucketed_join_skips_both_shuffles(spark, tmp_path):
+    """The claim behind write_samples_bucketed: two tables bucketed the
+    same way join WITHOUT exchanging either side — bucketed scans satisfy
+    the join's distribution requirement, the 100 TB co-location lever.
+    The same join over plain parquet pays two Exchanges."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    a = spark.range(0, 20_000).select(
+        (F.col("id") % 500).alias("project"), F.col("id").alias("code")
+    )
+    b = spark.range(0, 5_000).select(
+        (F.col("id") % 500).alias("project"), (F.col("id") * 3).alias("other")
+    )
+    spark.sql("DROP TABLE IF EXISTS t_buck_a")
+    spark.sql("DROP TABLE IF EXISTS t_buck_b")
+    for df, t in ((a, "t_buck_a"), (b, "t_buck_b")):
+        df.write.bucketBy(16, "project").sortBy("project").mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(t)
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path: a broadcast of the small side would
+        # trivially have zero exchanges without proving co-location
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_buck_a").join(spark.table("t_buck_b"), "project")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan[:600]
+        assert plan.count("- Exchange (") == 0, plan[:600]
+        # sanity: result matches the plain-join truth
+        plain = a.join(b, "project")
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS t_buck_a")
+        spark.sql("DROP TABLE IF EXISTS t_buck_b")
