@@ -100,10 +100,10 @@ def lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
             table, width = reset_dict()
             prev = None
             continue
-        if code < len(table) and code != eoi:
+        # reserved indices can't be dereferenced here: clear/eoi were both
+        # handled above, and every appended entry is non-empty
+        if code < len(table):
             entry = table[code]
-            if not entry:
-                raise GifError("reference to reserved code")
         elif code == len(table) and prev is not None:
             entry = prev + (prev[0],)  # the KwKwK case
         else:
@@ -117,6 +117,10 @@ def lzw_decode(data: bytes, min_code_size: int, max_pixels: int) -> list[int]:
                 width += 1
         prev = entry
 
+
+#: decoder pixel cap (16.7M px ≈ a 4096x4096 frame): bounds LZW output
+#: memory by the cap, not by an attacker-declared 65535x65535 header
+MAX_PIXELS = 1 << 24
 
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
@@ -169,6 +173,13 @@ def decode_gif_pixels(payload: bytes):
             raise GifError("no color table")
         if w == 0 or h == 0:
             raise GifError("empty image")
+        if w * h > MAX_PIXELS:
+            # the LZW output bound is keyed to the DECLARED size; without
+            # this cap a kilobyte-scale malformed payload declaring
+            # 65535x65535 can legitimately expand toward 4.3e9 symbols
+            # (KwKwK/deferred-clear streams are ~quadratic amplifiers) and
+            # OOM the executor instead of NULL-flowing
+            raise GifError(f"image {w}x{h} exceeds decoder pixel cap")
         if pos >= len(payload):
             raise GifError("missing LZW code size")
         min_code = payload[pos]

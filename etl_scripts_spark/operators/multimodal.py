@@ -285,8 +285,9 @@ def decode_image_pixels(payload: bytes):
 
         try:
             return ("gif", decode_gif_pixels(payload))
-        except ValueError:
-            # later-frame/extension territory or malformed: NULL stats
+        except Exception:
+            # malformed / cap-rejected: NULL stats, keep flowing — broad
+            # except like the PNG branch (a codec must never kill the task)
             return ("gif", None)
     fmt, _w, _h = parse_image_header(payload)
     return (fmt, None)
@@ -501,17 +502,7 @@ def synthetic_adpcm_wav_bytes(doc_id: int) -> bytes:
 
 def with_adpcm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture source for the ADPCM path (map-only, Arrow-batched)."""
-
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {"doc_id": ids, "payload": [synthetic_adpcm_wav_bytes(int(i)) for i in ids]}
-            )
-
-    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+    return _payload_source(df, id_col, synthetic_adpcm_wav_bytes)
 
 
 def decode_wav_audio(payload: bytes):
@@ -591,17 +582,7 @@ AUDIO_STATS_SCHEMA = T.StructType(
 
 def with_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture source for the audio path (map-only, Arrow-batched)."""
-
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {"doc_id": ids, "payload": [synthetic_wav_bytes(int(i)) for i in ids]}
-            )
-
-    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+    return _payload_source(df, id_col, synthetic_wav_bytes)
 
 
 def decode_audio_stats(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
@@ -705,17 +686,7 @@ VIDEO_FRAME_SCHEMA = T.StructType(
 
 def with_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture source for the video-demux path (map-only, Arrow-batched)."""
-
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {"doc_id": ids, "payload": [synthetic_avi_bytes(int(i)) for i in ids]}
-            )
-
-    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+    return _payload_source(df, id_col, synthetic_avi_bytes)
 
 
 def sample_video_frames(
@@ -772,10 +743,11 @@ PAYLOAD_SCHEMA = T.StructType(
 )
 
 
-def with_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Fixture source: one spec-valid image payload per id.  Stands in for
-    the object-store scan that feeds real binaries at scale (map-only, keeps
-    the upstream partitioning)."""
+def _payload_source(df: DataFrame, id_col: str, synth) -> DataFrame:
+    """Shared fixture-source stage: one synthetic payload per id, map-only
+    and Arrow-batched, keeping the upstream partitioning.  ONE definition
+    for all nine per-codec sources — a fix to the batching (dtype
+    handling, id column naming) cannot silently miss a copy."""
 
     def batches(it: Iterator) -> Iterator:
         import pandas as pd
@@ -783,10 +755,17 @@ def with_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in it:
             ids = pdf[id_col].astype("int64")
             yield pd.DataFrame(
-                {"doc_id": ids, "payload": [synthetic_image_bytes(int(i)) for i in ids]}
+                {"doc_id": ids, "payload": [synth(int(i)) for i in ids]}
             )
 
     return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+
+
+def with_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture source: one spec-valid image payload per id.  Stands in for
+    the object-store scan that feeds real binaries at scale (map-only, keeps
+    the upstream partitioning)."""
+    return _payload_source(df, id_col, synthetic_image_bytes)
 
 
 def decode_image_meta(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
@@ -898,38 +877,13 @@ def with_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     jpeg.synthetic_jpeg_bytes); map-only like the other payload sources."""
     from .jpeg import synthetic_jpeg_bytes
 
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [synthetic_jpeg_bytes(int(i)) for i in ids],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+    return _payload_source(df, id_col, synthetic_jpeg_bytes)
 
 
 def with_pixel_image_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture source for the PIXEL path: fully decodable BMP/PNG payloads
     (map-only, partitioning carries over from the upstream scan)."""
-
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [synthetic_pixel_image_bytes(int(i)) for i in ids],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+    return _payload_source(df, id_col, synthetic_pixel_image_bytes)
 
 
 def with_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -938,19 +892,7 @@ def with_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     interlaced so the 4-pass path is always exercised."""
     from .gif import synthetic_gif_bytes
 
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [synthetic_gif_bytes(int(i)) for i in ids],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+    return _payload_source(df, id_col, synthetic_gif_bytes)
 
 
 PIXEL_STATS_SCHEMA = T.StructType(
@@ -1151,20 +1093,7 @@ def synthetic_mjpeg_avi_bytes(doc_id: int) -> bytes:
 
 def with_mjpeg_avi_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture source for the codec-level video path (map-only)."""
-
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [synthetic_mjpeg_avi_bytes(int(i)) for i in ids],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+    return _payload_source(df, id_col, synthetic_mjpeg_avi_bytes)
 
 
 def decode_video_frame_pixels(
@@ -1474,20 +1403,7 @@ def synthetic_square_wav_bytes(doc_id: int) -> bytes:
 
 def with_square_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Fixture source for the spectral path (map-only, Arrow-batched)."""
-
-    def batches(it: Iterator) -> Iterator:
-        import pandas as pd
-
-        for pdf in it:
-            ids = pdf[id_col].astype("int64")
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "payload": [synthetic_square_wav_bytes(int(i)) for i in ids],
-                }
-            )
-
-    return df.select(id_col).mapInPandas(batches, PAYLOAD_SCHEMA)
+    return _payload_source(df, id_col, synthetic_square_wav_bytes)
 
 
 SPECTROGRAM_SCHEMA = T.StructType(

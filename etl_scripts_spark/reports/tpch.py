@@ -43,18 +43,26 @@ def q17_small_quantity_revenue(
     qty = F.col("l_quantity").cast("decimal(18,2)")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = lineitem.select("l_partkey", qty.alias("_qty"), price.alias("_price"))
+    # prune to the brand's parts BEFORE aggregating: the per-part average
+    # is over ALL lineitems of a part, and the brand filter is on the part
+    # dimension, so cutting first changes nothing semantically while the
+    # aggregate shrinks from |all parts| to |brand parts| (~96% of the
+    # hash and the join-back shuffle would otherwise be thrown away)
+    lib = li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
     avgs = (
-        lineitem.groupBy("l_partkey")
-        .agg(F.sum(qty).alias("_sq"), F.count(qty).alias("_nq"))
+        lib.groupBy("l_partkey")
+        # count(*) (not count(qty)): the oracle's correlated subquery
+        # divides by ALL of the part's rows — count(qty) would silently
+        # diverge the threshold if a NULL quantity ever appears
+        .agg(F.sum("_qty").alias("_sq"), F.count(F.lit(1)).alias("_nq"))
         .select(
             "l_partkey",
             (F.col("_sq").cast("double") / F.col("_nq")).alias("_avg_qty"),
         )
     )
-    li = lineitem.select("l_partkey", qty.alias("_qty"), price.alias("_price"))
     return (
-        li.join(F.broadcast(parts), li["l_partkey"] == parts["p_partkey"])
-        .join(avgs, "l_partkey")
+        lib.join(avgs, "l_partkey")
         .filter(F.col("_qty").cast("double") < 0.2 * F.col("_avg_qty"))
         .agg(
             F.round(F.sum("_price").cast("double") / F.lit(7.0), 2).alias(
@@ -103,7 +111,9 @@ def q22_idle_balances(
     thresh = pos.agg(
         (F.sum("_cents").cast("double") / F.count(F.lit(1))).alias("_avg_cents")
     )
-    rich = cust.crossJoin(F.broadcast(thresh)).filter(
+    from ..operators.corpus import join_singleton
+
+    rich = join_singleton(cust, thresh).filter(
         F.col("_cents").cast("double") > F.col("_avg_cents")
     )
     idle = rich.join(

@@ -163,3 +163,31 @@ def test_distributed_pixel_stats_match_closed_form(spark):
             j = (13 * d + 7 * i) % 16
             s += (17 * j + d) % 256 + (23 * j + 2 * d) % 256 + (29 * j + 3 * d) % 256
         assert got[d] == ("gif", w, h, 3, s)
+
+
+def test_declared_size_bomb_rejected_and_null_flows():
+    """A kilobyte-scale payload declaring a huge canvas must be rejected
+    by the pixel cap BEFORE LZW expansion can balloon memory (KwKwK
+    streams amplify ~quadratically), and the dispatch must NULL-flow it."""
+    import struct as _struct
+
+    from etl_scripts_spark.operators.gif import MAX_PIXELS, _pack_codes
+    from etl_scripts_spark.operators.multimodal import decode_image_pixels
+
+    w = h = 60000  # 3.6e9 declared pixels >> MAX_PIXELS
+    pal = bytes(12)
+    codes = [4]
+    codes += [1, 2] * 200  # an expanding dynamic stream
+    body = (
+        b"GIF89a"
+        + _struct.pack("<HHBBB", w, h, 0x80 | 0x01, 0, 0)
+        + pal
+        + b"\x2c" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        + bytes([2])
+    )
+    data = _pack_codes(codes, 3)
+    body += bytes([min(len(data), 255)]) + data[:255] + b"\x00" + b"\x3b"
+    assert w * h > MAX_PIXELS
+    with pytest.raises(GifError, match="pixel cap"):
+        decode_gif_pixels(body)
+    assert decode_image_pixels(body) == ("gif", None)
