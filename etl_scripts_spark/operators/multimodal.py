@@ -438,17 +438,34 @@ _IMA_STEP = [
 _IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
 
 
+def _ima_nibble(pred: int, idx: int, nib: int):
+    """One adaptive step of the IMA law: diff = step>>3 (+step if bit2,
+    +step>>1 if bit1, +step>>2 if bit0), sign = bit3, predictor clamped
+    to int16, index clamped to [0, 88].  Shared by the mono and stereo
+    block decoders so the law lives once."""
+    step = _IMA_STEP[idx]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+    return pred, idx
+
+
 def decode_ima_adpcm_block(block: bytes):
     """One MONO IMA ADPCM block → list[int] int16 samples.
 
     Block layout: predictor int16 LE + step index byte + reserved byte,
     then nibble pairs (LOW nibble is the earlier sample).  The header
     predictor IS the block's first output sample; each nibble then emits
-    one sample via the adaptive diff = step>>3 (+step if bit2, +step>>1
-    if bit1, +step>>2 if bit0), sign = bit3, with predictor clamped to
-    int16 and the index clamped to [0, 88].  Sequential by construction
-    (the whole point of the adaptive law) — vectorization happens across
-    payloads in the Arrow stage, not within a block."""
+    one sample via _ima_nibble.  Sequential by construction (the whole
+    point of the adaptive law) — vectorization happens across payloads
+    in the Arrow stage, not within a block."""
     pred = struct.unpack("<h", block[0:2])[0]
     idx = block[2]
     if idx > 88:
@@ -456,42 +473,71 @@ def decode_ima_adpcm_block(block: bytes):
     out = [pred]
     for byte in block[4:]:
         for nib in (byte & 0x0F, byte >> 4):
-            step = _IMA_STEP[idx]
-            diff = step >> 3
-            if nib & 4:
-                diff += step
-            if nib & 2:
-                diff += step >> 1
-            if nib & 1:
-                diff += step >> 2
-            pred = pred - diff if nib & 8 else pred + diff
-            pred = max(-32768, min(32767, pred))
-            idx = max(0, min(88, idx + _IMA_INDEX[nib & 7]))
+            pred, idx = _ima_nibble(pred, idx, nib)
             out.append(pred)
     return out
 
 
-def synthetic_adpcm_wav_bytes(doc_id: int) -> bytes:
+def decode_ima_adpcm_stereo_block(block: bytes):
+    """One STEREO IMA ADPCM block → channel-interleaved list[int] (L R L
+    R ...), the same flat contract PCM stereo uses downstream.
+
+    Layout per the IMA/Microsoft WAVE mapping: a 4-byte header per
+    channel (L then R), then the nibble data in 4-BYTE GROUPS alternating
+    channels — each group carries 8 consecutive samples of ONE channel,
+    and the two 8-sample runs of a group pair interleave samplewise."""
+    if len(block) < 8 or (len(block) - 8) % 8 != 0:
+        return None
+    preds, idxs = [0, 0], [0, 0]
+    for c in (0, 1):
+        preds[c] = struct.unpack("<h", block[4 * c : 4 * c + 2])[0]
+        idxs[c] = block[4 * c + 2]
+        if idxs[c] > 88:
+            return None
+    out = [preds[0], preds[1]]
+    for off in range(8, len(block), 8):
+        runs = [[], []]
+        for c in (0, 1):
+            for byte in block[off + 4 * c : off + 4 * c + 4]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    preds[c], idxs[c] = _ima_nibble(preds[c], idxs[c], nib)
+                    runs[c].append(preds[c])
+        for l, r in zip(runs[0], runs[1]):
+            out.extend((l, r))
+    return out
+
+
+def synthetic_adpcm_wav_bytes(doc_id: int, channels: int = 1) -> bytes:
     """Deterministic mono IMA-ADPCM WAV whose DECODE is closed-form: every
     block's nibbles are magnitude-0 ({0x0, 0x8}, pattern varies by byte
     parity) with step index 0 — at index 0, diff = 7>>3 = 0 and the index
     re-clamps to 0, so every sample of block b equals its header predictor
     P(b) = ((doc_id·131 + b·1717) mod 65536) − 32768.  k = 2 + doc_id % 3
-    blocks, block_align 12 → 17 samples per block, rate 8000.  The decoder
+    blocks, rate 8000; mono (block_align 12, 17 samples/block) or stereo
+    (channels=2, block_align 16, 18 interleaved samples/block, per-channel
+    predictor P(b, c) offset by 4999·c).  The decoder
     still exercises the full container walk, block split, header parse,
     nibble unpack and sign branch; the magnitude/adaptation arithmetic is
     pinned by hand-computed unit vectors instead (it cannot be closed-form
     — that adaptivity is what makes the codec lossy)."""
     k = 2 + doc_id % 3
-    block_align = 12
+    block_align = 12 if channels == 1 else 16
+    zero_nib = (0x00, 0x88, 0x08, 0x80)
     blocks = b""
     for b in range(k):
-        pred = ((doc_id * 131 + b * 1717) % 65536) - 32768
-        nib = bytes(
-            (0x00, 0x88, 0x08, 0x80)[(doc_id + m) % 4] for m in range(block_align - 4)
+        hdr = b"".join(
+            struct.pack(
+                "<hBB", ((doc_id * 131 + b * 1717 + c * 4999) % 65536) - 32768, 0, 0
+            )
+            for c in range(channels)
         )
-        blocks += struct.pack("<hBB", pred, 0, 0) + nib
-    fmt = struct.pack("<HHIIHHHH", 17, 1, 8000, 4055, block_align, 4, 2, 17)
+        nib = bytes(
+            zero_nib[(doc_id + m) % 4] for m in range(block_align - 4 * channels)
+        )
+        blocks += hdr + nib
+    fmt = struct.pack(
+        "<HHIIHHHH", 17, channels, 8000, 4055 * channels, block_align, 4, 2, 17
+    )
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -547,18 +593,26 @@ def decode_wav_pcm(payload: bytes):
         if rate is None or data is None or not 0 < rate < 2**31:
             return None
         if audio_fmt == 17:
-            # IMA ADPCM: mono 4-bit only (stereo interleaves 4-byte groups
-            # per channel — a declared seam, like progressive JPEG); decode
-            # full blocks, each to (block_align-4)*2 + 1 int16 samples
-            if bits != 4 or channels != 1 or not block_align or block_align < 5:
+            # IMA ADPCM, mono or stereo 4-bit; full blocks only.  Mono
+            # blocks decode to (block_align-4)*2 + 1 samples; stereo
+            # blocks to 2 + 2*(block_align-8) interleaved samples.
+            if bits != 4 or channels not in (1, 2):
                 return None
+            min_align = 5 if channels == 1 else 16
+            if not block_align or block_align < min_align:
+                return None
+            decode_blk = (
+                decode_ima_adpcm_block
+                if channels == 1
+                else decode_ima_adpcm_stereo_block
+            )
             samples: list[int] = []
             for off in range(0, len(data) - block_align + 1, block_align):
-                blk = decode_ima_adpcm_block(data[off : off + block_align])
+                blk = decode_blk(data[off : off + block_align])
                 if blk is None:
                     return None
                 samples.extend(blk)
-            return rate, 1, np.asarray(samples, dtype=np.int16)
+            return rate, channels, np.asarray(samples, dtype=np.int16)
         if bits not in (8, 16) or channels not in (1, 2):
             return None
         if bits == 8:

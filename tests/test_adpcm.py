@@ -68,7 +68,8 @@ def test_fixture_closed_form_decode():
 
 def test_malformed_adpcm_rejected():
     good = synthetic_adpcm_wav_bytes(3)
-    # stereo ADPCM: declared seam → None (byte 22 = channel count)
+    # stereo flag on a MONO-aligned stream (block_align 12 < the stereo
+    # minimum 16) — the channel/align consistency guard rejects it
     stereo = bytearray(good)
     assert stereo[22] == 1
     stereo[22] = 2
@@ -114,3 +115,52 @@ def test_distributed_stats_match_closed_form(spark):
         k = 2 + d % 3
         preds = [((d * 131 + b * 1717) % 65536) - 32768 for b in range(k)]
         assert got[d] == (8000, 17 * k, 17 * sum(preds), max(abs(p) for p in preds))
+
+
+def test_stereo_hand_interleaving():
+    """Group-pair law: 4 bytes of L nibbles then 4 of R, the two 8-sample
+    runs interleaved samplewise; per-channel adaptive state independent."""
+    import struct as _st
+
+    from etl_scripts_spark.operators.multimodal import decode_ima_adpcm_stereo_block
+
+    # L: pred 0 idx 0, nibbles 7,3,15,0 then 0s; R: pred 100 idx 0, all 0s
+    l_n = [7, 3, 15, 0, 0, 0, 0, 0]
+    r_n = [0] * 8
+    pack = lambda ns: bytes(ns[i] | (ns[i + 1] << 4) for i in range(0, 8, 2))
+    blk = (
+        _st.pack("<hBB", 0, 0, 0)
+        + _st.pack("<hBB", 100, 0, 0)
+        + pack(l_n)
+        + pack(r_n)
+    )
+    out = decode_ima_adpcm_stereo_block(blk)
+    ls, rs = out[0::2], out[1::2]
+    # L replays the mono hand vector; R stays flat at its predictor
+    assert ls[:5] == [0, 11, 25, 0, 3]
+    assert rs == [100] * 9
+
+
+def test_stereo_fixture_closed_form():
+    from etl_scripts_spark.operators.multimodal import synthetic_adpcm_wav_bytes
+
+    for d in (0, 3, 8, 101):
+        dec = decode_wav_pcm(synthetic_adpcm_wav_bytes(d, channels=2))
+        assert dec is not None
+        rate, ch, s = dec
+        k = 2 + d % 3
+        assert (rate, ch, len(s)) == (8000, 2, 18 * k)
+        for b in range(k):
+            pl = ((d * 131 + b * 1717) % 65536) - 32768
+            pr = ((d * 131 + b * 1717 + 4999) % 65536) - 32768
+            seg = s[b * 18 : (b + 1) * 18]
+            assert list(seg[0::2]) == [pl] * 9 and list(seg[1::2]) == [pr] * 9
+
+
+def test_stereo_degenerate_blocks_rejected():
+    from etl_scripts_spark.operators.multimodal import decode_ima_adpcm_stereo_block
+
+    assert decode_ima_adpcm_stereo_block(b"\x00" * 7) is None  # short
+    assert decode_ima_adpcm_stereo_block(b"\x00" * 12) is None  # ragged group
+    bad_idx = b"\x00\x00\x59\x00" + b"\x00" * 4 + b"\x00" * 8
+    assert decode_ima_adpcm_stereo_block(bad_idx) is None  # idx 89
