@@ -535,8 +535,14 @@ def synthetic_adpcm_wav_bytes(doc_id: int, channels: int = 1) -> bytes:
             zero_nib[(doc_id + m) % 4] for m in range(block_align - 4 * channels)
         )
         blocks += hdr + nib
+    # wSamplesPerBlock (fmt extension): per-CHANNEL samples a block
+    # carries — (align − 4·ch)·2/ch data nibbles + the header sample;
+    # 17 for the mono shape, 9 for stereo (a conforming external decoder
+    # validates the fixture against this field even though ours derives
+    # counts from block_align alone)
+    spb = (block_align - 4 * channels) * 2 // channels + 1
     fmt = struct.pack(
-        "<HHIIHHHH", 17, channels, 8000, 4055 * channels, block_align, 4, 2, 17
+        "<HHIIHHHH", 17, channels, 8000, 4055 * channels, block_align, 4, 2, spb
     )
     body = (
         b"WAVE"
