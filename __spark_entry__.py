@@ -6287,14 +6287,16 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     words = sketch.bloom_build(keys, "l_orderkey", m_bits=m, k=k)
     surv = sketch.bloom_prune(li, "l_orderkey", words, m_bits=m, k=k)
-    exact = sketch.bloom_semi_join(li, keys, "l_orderkey", m_bits=m, k=k)
-    ns = surv.agg(
-        F.count("*").alias("n_bloom_rows"),
+    # all three counts in ONE pass over the pruned side: a broadcast hit
+    # flag marks true matches (bloom has no false negatives, so true rows
+    # are a subset of survivors and count(_hit) == the exact semi-join
+    # count) — separate count branches would each re-run the k md5 probes
+    kd = keys.withColumn("_hit", F.lit(1))
+    return surv.join(F.broadcast(kd), "l_orderkey", "left").agg(
+        F.count(F.lit(1)).alias("n_bloom_rows"),
         F.countDistinct("l_orderkey").alias("n_bloom_keys"),
+        F.count("_hit").alias("n_true_rows"),
     )
-    nt = exact.agg(F.count("*").alias("n_true_rows"))
-    # 1-row stat attach (declared in tests/test_plans.py CROSS_JOINS_BY_DESIGN)
-    return ns.crossJoin(nt)
 
 
 @_register(

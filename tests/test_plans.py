@@ -71,8 +71,6 @@ CROSS_JOINS_BY_DESIGN = {
     # bounded-subset brute-force ground truth + 1-row stat stitching
     # (the LSH-recall measurement baseline, like q_ivf_recall's brute arm)
     "q_lsh_recall",
-    # two 1-row count aggregates stitched by a 1-row cross join
-    "q_bloom_prune_join",
 }
 
 STREAMING = {
