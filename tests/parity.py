@@ -126,3 +126,15 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
                 f"spark={x!r} oracle={y!r}"
             )
     return problems
+
+
+def plan_of(df) -> str:
+    """Capture `df.explain("formatted")` output as a string (the plan-pin
+    helper shared by shape tests)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
