@@ -813,3 +813,100 @@ def incremental_near_dups(
             F.col("_hid").alias("best_match_id"),
         )
     )
+
+
+def benchmark_contamination_pairs(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Train×eval exact n-gram contamination (the GPT-3/PaLM
+    decontamination test: a training document is contaminated when it
+    shares an exact n-gram with a benchmark document; 13-grams in the
+    GPT-3 appendix, `n` here to match this corpus's gram scale):
+    one row per contaminated (train, bench) pair —
+    (train_id, bench_id, n_shared_grams) with the count of DISTINCT
+    shared gram hashes.
+
+    Scale shape (100 TB train corpus × bounded-but-large eval suite):
+    both sides reduce to DISTINCT (id, gram-hash) sets first — md5-uniform
+    keys, one map-side-combined shuffle each — so boilerplate repetition
+    inside a document cannot inflate the join; the contamination join is
+    a plain equi-join on the uniform hash (never a broadcast of the
+    bench gram set, which is data-dependent and can be gigabytes for a
+    large suite — AQE will still broadcast it when it measures small);
+    each (train, bench, h) triple then occurs exactly once, so the pair
+    aggregate is a count(*), not a count_distinct.
+    """
+    tg = (
+        positional_gram_hashes(train, text_col, id_col, n)
+        .select(F.col(id_col).alias("train_id"), "h")
+        .distinct()
+    )
+    bg = (
+        positional_gram_hashes(bench, text_col, id_col, n)
+        .select(F.col(id_col).alias("bench_id"), "h")
+        .distinct()
+    )
+    return (
+        tg.join(bg, "h")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+def contamination_report(
+    train: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per contaminated TRAIN document: how much of it the benchmark
+    covers — (train_id, n_hit_positions, n_grams, contaminated_frac) —
+    the decision surface for drop-vs-keep in a decontamination pass
+    (docs above a fraction threshold are dropped; span-level removal is
+    `dup_span_removal`'s job).
+
+    Position-based like dup_ngram_spans: a train word position is *hit*
+    when the n-gram starting there appears anywhere in the benchmark;
+    the fraction divides hit positions by the document's total gram
+    positions (9-dp round — the cross-engine division recipe).  Only
+    contaminated documents return (zero-hit docs are the overwhelming
+    majority at scale and carry no information).
+
+    Scale shape: the benchmark reduces to its distinct gram-hash set
+    (one uniform shuffle); train grams semi-join it on the uniform hash
+    (per-position multiplicity preserved — no distinct needed, positions
+    are unique within a doc by construction); totals come straight from
+    the tokenized length (greatest(len-n+1, 0)), not a second gram
+    explode.
+    """
+    grams = positional_gram_hashes(train, text_col, id_col, n)
+    bset = (
+        positional_gram_hashes(bench, text_col, id_col, n).select("h").distinct()
+    )
+    hits = (
+        grams.join(bset, "h", "leftsemi")
+        .groupBy(F.col(id_col).alias("train_id"))
+        .agg(F.count(F.lit(1)).alias("n_hit_positions"))
+    )
+    totals = train.select(
+        F.col(id_col).alias("_tid"),
+        F.greatest(
+            F.size(words(F.col(text_col))) - F.lit(n - 1), F.lit(0)
+        ).cast("bigint").alias("n_grams"),
+    )
+    return (
+        hits.join(totals, F.col("train_id") == F.col("_tid"))
+        .select(
+            "train_id",
+            "n_hit_positions",
+            "n_grams",
+            F.round(
+                F.col("n_hit_positions").cast("double") / F.col("n_grams"), 9
+            ).alias("contaminated_frac"),
+        )
+    )

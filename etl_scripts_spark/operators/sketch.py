@@ -14,7 +14,12 @@ Why KMV here: it is *exactly reproducible* (md5 is engine-portable, the
 bottom-k set is order-independent), *mergeable* (union two sketches, re-take
 the k smallest — an algebraic aggregate, so map-side partial aggregation
 works), and *auditable* (the sketch IS the k hashes; the DuckDB oracle
-recomputes it bit-identically, which no HLL register layout allows).
+recomputes it bit-identically — Spark's BUILT-IN HLL++ register layout
+allows none of that).  The module now also carries its own
+engine-portable HyperLogLog (hll_registers/hll_estimate below): same
+md5-derived determinism, ≤2^p rows per group instead of k, and max-merge
+with NO dedup shuffle on build — the better shape when only the
+cardinality (not the hash sample) is needed.
 
 Scale shape, honestly stated: building the sketch from raw data pays one
 distinct-style shuffle (partial aggregation dedups map-side, but each task
@@ -411,3 +416,133 @@ def bloom_semi_join(
     kd = keys.select(F.col(keys_key).alias(big_key))
     words = bloom_build(kd, big_key, m_bits, k)
     return bloom_prune(big, big_key, words, m_bits, k).join(kd, big_key, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — engine-portable register law (md5-derived, oracle-able)
+# ---------------------------------------------------------------------------
+
+def _hll_alpha(p: int) -> float:
+    """Standard HLL bias-correction constant — the ONE definition; the
+    DuckDB twin (oracle.hll_distinct_sql) embeds the same value via this
+    import-free mirror `oracle._hll_alpha`, sync-pinned by a unit test."""
+    return {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / (1 << p)))
+
+
+def _check_hll_p(p: int) -> None:
+    # the bucket law reads the first 16 md5 bits, so 2^p buckets need
+    # p <= 16; the exact-integer denominator is safe throughout (terms
+    # are <= 2^48 each and sum in DECIMAL(38,0)/HUGEINT); p < 4 has no
+    # published alpha
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+
+
+def hll_registers(
+    df: DataFrame, group_col: str, value_col: str, p: int = 12
+) -> DataFrame:
+    """Per-group HyperLogLog registers (Flajolet et al. 2007):
+    (group, bucket, register) with bucket = first 16 md5 bits mod 2^p and
+    register = max over values of (leading zeros of the NEXT 48 md5 bits)
+    + 1 (49 caps the all-zero word).  Absent buckets are implicitly 0.
+
+    Unlike Spark's built-in approx_count_distinct (HLL++, opaque register
+    layout), this law is engine-portable: bucket and rank derive from
+    disjoint md5 hex ranges, and the leading-zero count rides
+    length(bin(w)) — both engines drop leading zeros in bin(), so rho is
+    exact integer arithmetic, never a float log2.
+
+    Scale shape: ONE groupBy (map-side combined max) straight off the raw
+    rows — no distinct pre-shuffle, because max is idempotent under
+    duplicate values; that is HLL's advantage over the KMV family above,
+    which must dedup before ranking.  The register table is ≤ 2^p rows
+    per group forever, merges by max (hll_merge), and never re-scans
+    history."""
+    _check_hll_p(p)
+    vtype = dict(df.dtypes).get(value_col)
+    if vtype != "string":
+        # a non-string value would hash each engine's OWN string rendering
+        # (Spark formats 1e-4 as '1.0E-4', DuckDB as '0.0001') — the
+        # parity claim dies silently; callers format explicitly instead
+        raise ValueError(
+            f"hll value column must be string (got {vtype}); "
+            "cast/format it explicitly so both engines hash identical bytes"
+        )
+    h = F.md5(F.col(value_col))
+    w = F.conv(F.substring(h, 5, 12), 16, 10).cast("long")
+    bucket = (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % (1 << p)).cast("int")
+    rho = (
+        F.when(w == 0, F.lit(49))
+        .otherwise(F.lit(49) - F.length(F.bin(w)))
+        .cast("int")
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(group_col), bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rho").alias("register"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Union two register tables into one (per-bucket max) — the
+    algebraic merge that lets yesterday's sketch absorb today's batch
+    without re-scanning either corpus."""
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, "bucket")
+        .agg(F.max("register").alias("register"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_col: str, p: int = 12) -> DataFrame:
+    """(group, hll_distinct) from a register table.
+
+    The harmonic denominator Σ 2^(−M_j) is scaled by 2^49 into EXACT
+    integers (term = 1 << (49 − M), empty buckets contribute 2^49 via
+    the missing-bucket count), summed as DECIMAL(38,0) — so the only
+    float steps are one division and, on the small-range branch, one ln
+    of an exact rational.  A float harmonic sum would be
+    reduction-tree-dependent and could diverge between engines; the
+    integer form cannot.  Small-range (E ≤ 2.5m, zero buckets present)
+    switches to linear counting m·ln(m/zeros); no large-range branch —
+    the 48-bit hash space makes collisions negligible far past any
+    practical cardinality.  6-dp round (the division-parity recipe)."""
+    _check_hll_p(p)
+    m = 1 << p
+    num = _hll_alpha(p) * m * m * float(1 << 49)
+    term = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), (F.lit(49) - F.col("register")).cast("int")
+    )
+    agg = registers.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.max("bucket").alias("_maxb"),
+        F.sum(term.cast("decimal(38,0)")).alias("_denom_present"),
+    )
+    zeros = F.lit(m) - F.col("_np")
+    denom = (
+        F.col("_denom_present")
+        + zeros.cast("decimal(38,0)") * F.lit(1 << 49).cast("decimal(38,0)")
+    ).cast("double")
+    raw = F.lit(num) / denom
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")), 6),
+    ).otherwise(F.round(raw, 6))
+    # registers built at a larger p than the estimate assumes would make
+    # zeros negative and the estimate silently garbage — raise in-plan
+    est = F.when(
+        F.col("_maxb") >= m,
+        F.raise_error(
+            F.lit(f"hll_estimate: register bucket >= {m} — built with larger p")
+        ).cast("double"),
+    ).otherwise(est)
+    return agg.select(F.col(group_col), est.alias("hll_distinct"))
+
+
+def hll_distinct(
+    df: DataFrame, group_col: str, value_col: str, p: int = 12
+) -> DataFrame:
+    """End-to-end per-group HLL cardinality estimate: (group,
+    hll_distinct).  See hll_registers / hll_estimate."""
+    return hll_estimate(hll_registers(df, group_col, value_col, p), group_col, p)

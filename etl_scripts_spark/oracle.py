@@ -792,3 +792,99 @@ SELECT {qid_col}, {id_col}, len(hits)::BIGINT AS n_occurrences,
        hits[1]::BIGINT AS first_pos
 FROM m WHERE len(hits) > 0
 """
+
+
+def _gram_ctes(train_src: str, bench_src: str, n: int = 8) -> str:
+    """Shared CTE chain for the contamination twins: positional gram
+    hashes for both corpora via the ONE words/gram law (the
+    q_dup_ngram_spans pattern — tokenize once, slice, md5).  The gram
+    expression is spelled exactly twice (train/bench instantiations of
+    `gram`); both downstream twins read these CTEs only, so an edit to
+    the law cannot desynchronize them."""
+    span = n - 1
+    gram = f"md5(array_to_string(ws[i:i+{span}], ' '))"
+    series = f"unnest(generate_series(1, len(ws) - {span})) AS t(i)"
+    return f"""tw AS (
+  SELECT doc_id, {words_sql('text')} AS ws FROM ({train_src})
+), tg AS (
+  SELECT doc_id, i AS pos, {gram} AS h FROM tw, {series}
+), bw AS (
+  SELECT doc_id, {words_sql('text')} AS ws FROM ({bench_src})
+), bgrams AS (
+  SELECT doc_id, {gram} AS h FROM bw, {series}
+)"""
+
+
+def contamination_pairs_sql(train_src: str, bench_src: str, n: int = 8) -> str:
+    """DuckDB twin of dedup.benchmark_contamination_pairs."""
+    return f"""
+WITH {_gram_ctes(train_src, bench_src, n)},
+bgd AS (SELECT DISTINCT doc_id AS bench_id, h FROM bgrams),
+tgd AS (SELECT DISTINCT doc_id AS train_id, h FROM tg)
+SELECT train_id, bench_id, count(*)::BIGINT AS n_shared_grams
+FROM tgd JOIN bgd USING (h)
+GROUP BY train_id, bench_id
+"""
+
+
+def contamination_report_sql(train_src: str, bench_src: str, n: int = 8) -> str:
+    """DuckDB twin of dedup.contamination_report."""
+    return f"""
+WITH {_gram_ctes(train_src, bench_src, n)},
+hits AS (
+  SELECT doc_id AS train_id, count(*)::BIGINT AS n_hit_positions
+  FROM tg WHERE h IN (SELECT DISTINCT h FROM bgrams)
+  GROUP BY doc_id
+),
+totals AS (
+  SELECT doc_id, greatest(len(ws) - {n - 1}, 0)::BIGINT AS n_grams FROM tw
+)
+SELECT train_id, n_hit_positions, n_grams,
+       round(n_hit_positions::DOUBLE / n_grams, 9) AS contaminated_frac
+FROM hits JOIN totals ON train_id = doc_id
+"""
+
+
+def _hll_alpha(p: int) -> float:
+    """Import-free mirror of operators.sketch._hll_alpha — this module
+    stays pyspark-free so the twins run in a DuckDB-only process; a unit
+    test pins the two definitions equal for every legal p."""
+    return {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / (1 << p)))
+
+
+def hll_distinct_sql(source_sql: str, group: str, value: str, p: int = 12) -> str:
+    """DuckDB twin of sketch.hll_distinct: identical md5-derived
+    bucket/rho law (disjoint hex ranges, length(bin(w)) for the exact
+    leading-zero count), identical exact-integer harmonic denominator
+    (1 << (49-M), HUGEINT sum), identical single-division + small-range
+    linear-counting branch.  The float `num` constant is computed ONCE in
+    Python and embedded verbatim in both engines."""
+    m = 1 << p
+    num = _hll_alpha(p) * m * m * float(1 << 49)
+    return f"""
+WITH hsh AS (
+  SELECT {group} AS grp, md5(({value})::VARCHAR) AS h
+  FROM ({source_sql}) WHERE {value} IS NOT NULL
+), regs AS (
+  SELECT grp,
+         (('0x' || substr(h, 1, 4))::BIGINT % {m})::INT AS bucket,
+         max(CASE WHEN ('0x' || substr(h, 5, 12))::BIGINT = 0 THEN 49
+                  ELSE 49 - length(bin(('0x' || substr(h, 5, 12))::BIGINT))
+             END)::INT AS register
+  FROM hsh GROUP BY grp, bucket
+), agg AS (
+  SELECT grp, count(*)::BIGINT AS np,
+         sum((1::BIGINT << (49 - register))::HUGEINT) AS denp
+  FROM regs GROUP BY grp
+), est AS (
+  SELECT grp, ({m} - np) AS zeros,
+         {num!r} / (denp + ({m} - np)::HUGEINT
+                    * (1::BIGINT << 49)::HUGEINT)::DOUBLE AS raw
+  FROM agg
+)
+SELECT grp AS {group},
+       CASE WHEN raw <= 2.5 * {m} AND zeros > 0
+            THEN round({m}::DOUBLE * ln({m}::DOUBLE / zeros::DOUBLE), 6)
+            ELSE round(raw, 6) END AS hll_distinct
+FROM est
+"""
