@@ -187,3 +187,75 @@ def ntile_buckets(
         r <= big, F.floor((r - 1) / (q + 1)) + 1
     ).otherwise(rem + F.floor((r - big - 1) / q) + 1)
     return out.withColumn(out_col, bucket.cast("bigint")).drop("_grank", "_n")
+
+
+def exact_percentiles(
+    df: DataFrame,
+    value_col: str,
+    pcts: tuple[int, ...] = (25, 50, 75),
+    by: str | None = None,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Exact distributed PERCENTILE_DISC at integer percents:
+    (by?, pct, value) — the value at rank ceil(pct·n/100) of the non-NULL
+    values in ascending order (the ANSI percentile_disc law: smallest
+    value whose cumulative share ≥ pct/100).
+
+    The target rank stays in EXACT integers — (pct·n + 99) DIV 100 —
+    never ceil(float·n): 0.07·100 is 7.000000000000001 in IEEE and a
+    float ceil silently lands one rank high exactly when n aligns with
+    the percent boundary, and whether an oracle engine agrees would
+    depend on ITS rounding.  Ties need no tiebreak: whichever tied row
+    takes the target rank carries the same value.
+
+    Scale shape: the grouped path ranks inside a per-group window (one
+    key shuffle; each group sorts in its own task — right when groups ≫
+    cores); the GLOBAL path rides global_row_number's range-partitioned
+    rank instead, because a bare Window.orderBy would serialize the table
+    through one task.  Complements histogram_quantile (the sketch
+    estimate): this is the exact answer when you can afford a sort, that
+    is the bounded-size answer when you cannot."""
+    if not pcts:
+        raise ValueError("pcts must be non-empty")
+    for pct in pcts:
+        if not (isinstance(pct, int) and 1 <= pct <= 100):
+            raise ValueError(f"pcts must be integers in [1, 100], got {pct!r}")
+    vals = df.filter(F.col(value_col).isNotNull())
+    if by is None:
+        ranked = global_row_number(
+            vals.select(value_col), [value_col], n_parts, out_col="_rn"
+        )
+        counts = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+        from .corpus import join_singleton
+
+        ranked = join_singleton(ranked, counts)
+        group_cols: list[str] = []
+    else:
+        # count(*) over the SAME window partition: no second aggregate,
+        # no join back — and a NULL group key survives (an equi-join on
+        # `by` would silently drop the NULL partition the oracle keeps)
+        w = Window.partitionBy(by).orderBy(value_col)
+        ranked = vals.select(by, value_col).select(
+            "*",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(Window.partitionBy(by)).alias("_n"),
+        )
+        group_cols = [by]
+    targets = F.array(
+        *[
+            F.struct(
+                F.lit(pct).alias("pct"),
+                # SQL DIV, not `/`: Spark's `/` is DOUBLE division, which
+                # would re-introduce the float boundary this op exists
+                # to avoid
+                F.expr(f"({pct} * _n + 99) DIV 100").alias("_t"),
+            )
+            for pct in pcts
+        ]
+    )
+    hit = ranked.select(
+        *group_cols, value_col, "_rn", F.explode(targets).alias("_pt")
+    ).filter(F.col("_rn") == F.col("_pt._t"))
+    return hit.select(
+        *group_cols, F.col("_pt.pct").alias("pct"), F.col(value_col).alias("value")
+    )

@@ -888,3 +888,61 @@ SELECT grp AS {group},
             ELSE round(raw, 6) END AS hll_distinct
 FROM est
 """
+
+
+def exact_percentiles_sql(
+    source_sql: str,
+    value: str,
+    pcts: tuple[int, ...] = (25, 50, 75),
+    by: str | None = None,
+) -> str:
+    """DuckDB twin of windows.exact_percentiles: the same explicit
+    integer-rank law ((pct·n + 99) // 100), spelled over row_number —
+    deliberately NOT quantile_disc(value, pct/100.0), whose float
+    quantile argument re-introduces the boundary rounding the operator
+    avoids (unit tests crosscheck quantile_disc off-boundary)."""
+    part = f"PARTITION BY {by} " if by else ""
+    bysel = f"{by}, " if by else ""
+    pvals = ", ".join(f"({p})" for p in pcts)
+    return f"""
+WITH v AS (
+  SELECT {bysel}{value} AS value FROM ({source_sql}) WHERE {value} IS NOT NULL
+), r AS (
+  SELECT {bysel}value,
+         row_number() OVER ({part}ORDER BY value) AS rn,
+         count(*) OVER ({part.rstrip() or ''}) AS n
+  FROM v
+)
+SELECT {bysel}pct, value
+FROM r JOIN (VALUES {pvals}) AS p(pct)
+  ON rn = (pct * n + 99) // 100
+"""
+
+
+def pivot_table_sql(
+    source_sql: str,
+    group: str,
+    pivot: str,
+    values: list[str],
+    agg_col: str | None = None,
+) -> str:
+    """DuckDB twin of reshape.pivot_table: explicit CASE-inside-aggregate
+    (the very plan pivot-with-values compiles to), 0 for absent cells."""
+    def lit(v: str) -> str:
+        return "'" + v.replace("'", "''") + "'"
+
+    def cell(v: str) -> str:
+        if agg_col is None:
+            inner = f"count(*) FILTER (WHERE {pivot} = {lit(v)})"
+        else:
+            inner = f"coalesce(sum({agg_col}) FILTER (WHERE {pivot} = {lit(v)}), 0)"
+        return f'{inner} AS "{v}"'
+
+    cells = ",\n       ".join(cell(v) for v in values)
+    quoted = ", ".join(lit(v) for v in values)
+    return f"""
+SELECT {group}, {cells}
+FROM ({source_sql})
+WHERE {pivot} IN ({quoted})
+GROUP BY {group}
+"""

@@ -540,3 +540,94 @@ def stateful_rolling_zscore_available_now(
         )
 
     return _drain_events(spark, events_parquet, build, approx_keys)
+
+
+# --- streaming HyperLogLog maintenance --------------------------------------
+
+HLL_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("registers", T.StringType()),
+    ]
+)
+
+_HLL_STATE = T.StructType(
+    [T.StructField("version", T.LongType()), T.StructField("registers", T.StringType())]
+)
+
+#: streaming register precision: m=1024 keeps the per-key state CSV ~4 KB
+_HLL_P = 10
+
+
+def _hll_fn(key: Tuple[Any, ...], pdfs: Iterator, state: GroupState) -> Iterator:
+    """Max each micro-batch's (bucket, rho) rows into this key's m
+    registers (the algebraic HLL merge: registers max) — bounded state
+    regardless of stream volume."""
+    import pandas as pd
+
+    if state.exists:
+        version, csv = state.get
+        regs = [int(x) for x in csv.split(",")]
+    else:
+        version, regs = 0, [0] * (1 << _HLL_P)
+    for pdf in pdfs:
+        version += len(pdf)
+        for b, r in zip(pdf["bucket"], pdf["rho"]):
+            b = int(b)
+            if int(r) > regs[b]:
+                regs[b] = int(r)
+    csv = ",".join(str(r) for r in regs)
+    state.update((version, csv))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "version": [version], "registers": [csv]}
+    )
+
+
+def stateful_hll_available_now(
+    spark: SparkSession, events_parquet: str, approx_keys: int = 8
+) -> DataFrame:
+    """Streaming HyperLogLog maintenance: the per-event-type register
+    array lives IN the state store and every micro-batch maxes its
+    (bucket, rho) rows in — operators/sketch.hll_registers run live, with
+    the SAME bucket/rho law (sketch.hll_bucket_rho) computed as a
+    Catalyst projection BEFORE the stateful stage, so the Python fn only
+    takes maxes.  After the AvailableNow drain the final state equals the
+    batch register table over all events row-for-row; returns
+    (event_type, bucket, register) in the batch layout (zero registers
+    dropped — absent buckets are implicit there too), so hll_estimate
+    composes unchanged."""
+    from ..operators.sketch import hll_bucket_rho
+
+    def build(stream):
+        bucket, rho = hll_bucket_rho(F.col("user_id").cast("string"), _HLL_P)
+        return (
+            stream.filter(F.col("user_id").isNotNull())
+            .select("event_type", bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy("event_type")
+            .applyInPandasWithState(
+                _hll_fn,
+                outputStructType=HLL_SCHEMA,
+                stateStructType=_HLL_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    out = _drain_events(spark, events_parquet, build, approx_keys)
+    # keep the LAST emission per key, explode the CSV back to the sparse
+    # batch (event_type, bucket, register) layout
+    last = (
+        out.groupBy("event_type")
+        .agg(F.max_by("registers", "version").alias("registers"))
+        .select("event_type", F.split("registers", ",").alias("_rs"))
+    )
+    return (
+        last.select("event_type", F.posexplode("_rs").alias("bucket", "_r"))
+        .select(
+            "event_type",
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("_r").cast("int").alias("register"),
+        )
+        .filter(F.col("register") > 0)
+    )

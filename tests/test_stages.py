@@ -795,3 +795,40 @@ def test_resample_ffill_negative_timestamps(spark):
         for r in resample_ffill(obs, by="k", on="ts", step=60).collect()
     )
     assert got == [(-120, 1.0), (-60, 1.0)]
+
+
+def test_stateful_hll_equals_batch_registers(spark):
+    """AvailableNow drain of the streaming HLL == the batch register
+    table row-for-row, and therefore the estimates match exactly."""
+    from etl_scripts_spark.catalog import normalize_events
+    from etl_scripts_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from etl_scripts_spark.streaming.stateful import (
+        _HLL_P,
+        stateful_hll_available_now,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    streamed = stateful_hll_available_now(spark, path)
+    got = {
+        (r.event_type, r.bucket): r.register for r in streamed.collect()
+    }
+    batch_events = (
+        normalize_events(spark.read.parquet(path))
+        .filter(F.col("user_id").isNotNull())
+        .select("event_type", F.col("user_id").cast("string").alias("v"))
+    )
+    regs = hll_registers(batch_events, "event_type", "v", p=_HLL_P)
+    expect = {(r.event_type, r.bucket): r.register for r in regs.collect()}
+    assert got == expect
+    e_s = {
+        r.event_type: r.hll_distinct
+        for r in hll_estimate(streamed, "event_type", p=_HLL_P).collect()
+    }
+    e_b = {
+        r.event_type: r.hll_distinct
+        for r in hll_estimate(regs, "event_type", p=_HLL_P).collect()
+    }
+    assert e_s == e_b
