@@ -910,3 +910,129 @@ def contamination_report(
             ).alias("contaminated_frac"),
         )
     )
+
+
+def setsim_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    t_num: int = 7,
+    t_den: int = 10,
+) -> DataFrame:
+    """EXACT word-set-Jaccard join via prefix filtering (AllPairs):
+    every pair with Jaccard(words(a), words(b)) ≥ t_num/t_den, id_a < id_b,
+    as (id_a, id_b, n_common, n_union, jaccard) — no false negatives and,
+    after verification, no false positives.
+
+    The deterministic complement to MinHash-LSH: LSH trades recall for a
+    fixed banding cost (measured by q_lsh_recall); this op guarantees the
+    complete answer, with the candidate set bounded by the prefix-filter
+    theorem (Bayardo et al., WWW 2007; Chaudhuri et al., ICDE 2006)
+    instead of by chance.
+
+    Plan, four stages, all shuffles on uniform keys:
+
+      1. (id, token) pairs — tokenize once, explode (distinct per ROW via
+         array_distinct; rows sharing an id merge into one set at stage 2's
+         collect_set, and each such row counts once toward df — an
+         order-only effect: any consistent global order keeps the prefix
+         filter complete, df-ascending is the fan-out OPTIMIZATION);
+      2. global token document-frequency (vocabulary-sized aggregate,
+         map-side combined) joined back, then ONE id-keyed aggregate
+         builds each doc's token array sorted by (df ASC, token ASC) —
+         the global canonical order that makes prefixes RAREST-FIRST;
+      3. candidate generation: each doc explodes only its first
+         p = s − ceil(t·s) + 1 tokens (exact integer ceil — (t_num·s +
+         t_den − 1) DIV t_den, never float), and candidates are the
+         equi-join of that prefix index with itself.  Correctness: if
+         J(x,y) ≥ t then |x∩y| ≥ ceil(t·max(sx,sy)), and the smallest
+         common token under the global order sits within the first
+         s − |x∩y| + 1 tokens of BOTH docs, hence inside both prefixes.
+         Because the order is frequency-ascending, prefix tokens have the
+         smallest postings lists, so the self-join's fan-out is the
+         minimum any token choice allows; the size filter
+         (t·s_a ≤ s_b ≤ s_a/t, exact integer cross-multiply) is fused
+         into the join condition so oversized pairs never materialize;
+      4. verification joins the candidate ids back to the materialized
+         token arrays and keeps inter·t_den ≥ union·t_num — the exact
+         integer form of J ≥ t (a float `jaccard >= t` comparison flips
+         on IEEE boundaries exactly at the threshold, e.g. 7/10 vs 0.7).
+
+    The doc table is localCheckpointed once: stages 3 and 4 both consume
+    it, and Spark would otherwise replay the two-shuffle build per use.
+    Docs whose normalized text has no tokens never pair (Jaccard with an
+    empty set is 0 for any non-empty partner and undefined for two empty
+    ones).  Rows sharing an id merge into one token set (collect_set).
+    """
+    if not (isinstance(t_num, int) and isinstance(t_den, int)):
+        raise ValueError("t_num/t_den must be integers")
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must satisfy 0 < t_num <= t_den, got {t_num}/{t_den}")
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    docs = (
+        toks.join(freq, "_tok")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set(F.struct("_df", "_tok"))).alias("_st"))
+        .select(
+            "_id",
+            F.col("_st._tok").alias("_toks"),
+            F.size("_st").alias("_s"),
+        )
+        .withColumn(
+            "_p",
+            F.col("_s")
+            - F.expr(f"({t_num} * _s + {t_den} - 1) DIV {t_den}")
+            + F.lit(1),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pref = docs.select(
+        F.col("_id"),
+        F.col("_s"),
+        F.explode(F.slice("_toks", F.lit(1), F.col("_p"))).alias("_tok"),
+    )
+    a = pref.select(
+        F.col("_tok"), F.col("_id").alias("id_a"), F.col("_s").alias("_sa")
+    )
+    b = pref.select(
+        F.col("_tok").alias("_tokb"),
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("_sb"),
+    )
+    cand = (
+        a.join(
+            b,
+            (a["_tok"] == b["_tokb"])
+            & (a["id_a"] < b["id_b"])
+            & (b["_sb"] * F.lit(t_den) >= a["_sa"] * F.lit(t_num))
+            & (a["_sa"] * F.lit(t_den) >= b["_sb"] * F.lit(t_num)),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    da = docs.select(
+        F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"), F.col("_s").alias("_na")
+    )
+    db = docs.select(
+        F.col("_id").alias("id_b"), F.col("_toks").alias("_tb"), F.col("_s").alias("_nb")
+    )
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("_inter", F.size(F.array_intersect("_ta", "_tb")))
+        .withColumn("_union", F.col("_na") + F.col("_nb") - F.col("_inter"))
+        .filter(F.col("_inter") * F.lit(t_den) >= F.col("_union") * F.lit(t_num))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_inter").cast("bigint").alias("n_common"),
+            F.col("_union").cast("bigint").alias("n_union"),
+            F.round(
+                F.col("_inter").cast("double") / F.col("_union"), 4
+            ).alias("jaccard"),
+        )
+    )

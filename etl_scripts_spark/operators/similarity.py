@@ -611,3 +611,274 @@ def pq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", F.col("vid").alias("neighbor_id"), "rank")
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    vec_col: str,
+    grid: int = 1_000_000,
+    max_dim: int = 256,
+) -> DataFrame:
+    """Exact distributed covariance matrix of an embedding column, long
+    form: (i, j, n, mean_i, mean_j, cov) for 1-based dims i ≤ j — the
+    vector-valued sibling of reports.regression.grouped_ols.
+
+    Exactness contract: each component snaps to a fixed-point integer
+    grid (round(x·grid) as BIGINT — per-value, so partitioning cannot
+    change it), and every moment (n, Σxᵢ, Σxᵢxⱼ) accumulates as
+    DECIMAL(38,0) exact integers with map-side combine — any partitioning
+    yields bit-identical sums, where a float accumulation is
+    reduction-tree-dependent.  The only float steps are the two final
+    divisions (population covariance, ddof=0), rounded to 9 dp (the
+    PSI/OLS parity recipe).  Worst case fits: |x|·grid ≤ 2^62 is guarded
+    in-plan (raise_error), and n·ΣQ at 1e9 rows × grid 1e6 stays ~1e30,
+    inside DECIMAL(38,0).
+
+    Plan: stage the snapped vector once, explode the upper-triangle
+    (i, j, xᵢ·xⱼ) per row (d(d+1)/2 local fan-out — bounded by max_dim,
+    loud raise beyond), ONE groupBy(i,j) whose shuffle carries only
+    map-side partial sums (≤ partitions × d²/2 rows), then two
+    d-row-sized joins attach the per-dim Σxᵢ sums.  Mixed vector lengths
+    raise in-plan (a silently truncated pair law would skew every
+    covariance).  NULL vectors are dropped; NaN/±Inf components raise
+    (a NaN would snap to an engine-defined integer silently).
+    """
+    if grid <= 0:
+        raise ValueError("grid must be positive")
+    lim = (1 << 62) // grid
+
+    def snap(x: Column) -> Column:
+        # x.isNull() first: a NULL component would otherwise snap to NULL,
+        # silently vanish from sum() while count() still counts the row,
+        # and skew every moment it touches
+        bad = x.isNull() | F.isnan(x) | (F.abs(x) >= F.lit(float(lim)))
+        return F.when(
+            bad,
+            F.raise_error(
+                F.lit("embedding_covariance: NULL/NaN/Inf or component too large for grid")
+            ).cast("double"),
+        ).otherwise(F.round(x.cast("double") * F.lit(grid), 0)).cast("bigint")
+
+    staged = (
+        # empty arrays are dropped like NULL vectors (they carry no
+        # moments; Spark's sequence(1, 0) counts DOWN and would index
+        # element 0) — the oracle's empty generate_series skips them too
+        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .select(F.transform(F.col(vec_col), snap).alias("_v"))
+        .localCheckpoint(eager=True)
+        .withColumn(
+            "_d",
+            F.when(
+                F.size("_v") > F.lit(max_dim),
+                F.raise_error(
+                    F.lit(f"embedding_covariance: dim exceeds max_dim={max_dim}")
+                ).cast("int"),
+            ).otherwise(F.size("_v")),
+        )
+    )
+    idx = F.sequence(F.lit(1), F.col("_d"))
+    tri = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i, F.col("_d")),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (
+                        F.element_at(F.col("_v"), i).cast("decimal(38,0)")
+                        * F.element_at(F.col("_v"), j).cast("decimal(38,0)")
+                    ).alias("q"),
+                ),
+            ),
+        )
+    )
+    prods = staged.select(F.explode(tri).alias("_t"), F.col("_d")).select(
+        F.col("_t.i").alias("i"), F.col("_t.j").alias("j"), F.col("_t.q").alias("q"), "_d"
+    )
+    qsum = prods.groupBy("i", "j").agg(
+        F.sum("q").alias("_q"),
+        F.count(F.lit(1)).alias("_n"),
+        # mixed dims guard: every row contributing to a cell must carry the
+        # same vector length, or the (i, j) population is ill-defined
+        F.min("_d").alias("_dmin"),
+        F.max("_d").alias("_dmax"),
+    )
+    qsum = qsum.withColumn(
+        "_n",
+        F.when(
+            F.col("_dmin") != F.col("_dmax"),
+            F.raise_error(
+                F.lit("embedding_covariance: mixed vector lengths in input")
+            ).cast("bigint"),
+        ).otherwise(F.col("_n")),
+    )
+    sums = (
+        staged.select(F.posexplode("_v").alias("_i0", "_x"))
+        .select((F.col("_i0") + 1).alias("_si"), F.col("_x").cast("decimal(38,0)").alias("_x"))
+        .groupBy("_si")
+        .agg(F.sum("_x").alias("_s"))
+    )
+    sa = sums.select(F.col("_si").alias("i"), F.col("_s").alias("_si_sum"))
+    sb = sums.select(F.col("_si").alias("j"), F.col("_s").alias("_sj_sum"))
+    g2 = float(grid) * float(grid)
+    # snapped inputs are non-NULL by construction, so a NULL here can only
+    # be DECIMAL(38,0) overflow (non-ANSI configs return NULL instead of
+    # throwing) — guard the COMPUTED numerator, not just the moment sums:
+    # the n·Q and Sᵢ·Sⱼ products can overflow even when every sum fits
+    raw_num = (
+        F.col("_n").cast("decimal(38,0)") * F.col("_q")
+        - F.col("_si_sum") * F.col("_sj_sum")
+    )
+    num = F.when(
+        raw_num.isNull(),
+        F.raise_error(
+            F.lit("embedding_covariance: moment arithmetic overflowed DECIMAL(38,0); lower grid")
+        ).cast("decimal(38,0)"),
+    ).otherwise(raw_num)
+    return (
+        qsum.join(sa, "i")
+        .join(sb, "j")
+        .select(
+            "i",
+            "j",
+            F.col("_n").cast("bigint").alias("n"),
+            F.round(
+                F.col("_si_sum").cast("double") / F.col("_n") / F.lit(float(grid)), 9
+            ).alias("mean_i"),
+            F.round(
+                F.col("_sj_sum").cast("double") / F.col("_n") / F.lit(float(grid)), 9
+            ).alias("mean_j"),
+            F.round(
+                num.cast("double")
+                / (F.col("_n").cast("double") * F.col("_n").cast("double"))
+                / F.lit(g2),
+                9,
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_components(cov_long: DataFrame, k: int = 2) -> DataFrame:
+    """Top-k principal components from an `embedding_covariance` output:
+    (component, eigenvalue, explained_variance_ratio, vector, offset).
+
+    The covariance matrix is d(d+1)/2 rows — kilobytes at any corpus
+    size — so the eigen-decomposition runs in a SINGLE-ROW Arrow stage
+    (numpy.linalg.eigh on the d×d symmetric matrix), never on the
+    driver (no collect()) and never over data-sized input.  The
+    expensive pass is the covariance aggregate upstream; this stage is
+    O(d³) on one executor.
+
+    Determinism: eigh is deterministic for a given matrix; the sign of
+    each eigenvector is canonicalized so its largest-|entry| coordinate
+    is positive (eigenvectors are defined up to ±1).  `offset` is
+    dot(mean, vector), precomputed here so projection becomes the pure
+    column expression dot(x, v) − offset (centering without carrying
+    the mean vector into the corpus-sized stage).  Near-degenerate
+    (tied) eigenvalues make the component BASIS rotation-unstable —
+    inherent to PCA, not to this implementation; tests pin spectra with
+    separated eigenvalues.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    one = cov_long.groupBy().agg(
+        F.sort_array(
+            F.collect_list(F.struct("i", "j", "cov", "mean_i"))
+        ).alias("_c")
+    ).select(
+        F.col("_c.i").alias("_i"),
+        F.col("_c.j").alias("_j"),
+        F.col("_c.cov").alias("_cov"),
+        F.col("_c.mean_i").alias("_mi"),
+    )
+
+    schema = (
+        "component int, eigenvalue double, explained_variance_ratio double, "
+        "vector array<double>, offset double"
+    )
+
+    def fit(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty or len(pdf["_i"][0]) == 0:
+                # empty covariance (e.g. every input vector was NULL):
+                # collect_list still yields one row of empty arrays —
+                # emit no components rather than crash in jj.max()
+                continue
+            ii = np.asarray(pdf["_i"][0], dtype=np.int64)
+            jj = np.asarray(pdf["_j"][0], dtype=np.int64)
+            cc = np.asarray(pdf["_cov"][0], dtype=np.float64)
+            mi = np.asarray(pdf["_mi"][0], dtype=np.float64)
+            d = int(jj.max())
+            cov = np.zeros((d, d))
+            cov[ii - 1, jj - 1] = cc
+            cov[jj - 1, ii - 1] = cc
+            mean = np.zeros(d)
+            diag = ii == jj
+            mean[ii[diag] - 1] = mi[diag]
+            evals, evecs = np.linalg.eigh(cov)
+            order = np.argsort(evals)[::-1][: min(k, d)]
+            total = float(evals.sum()) or 1.0
+            out = []
+            for rank, col in enumerate(order, start=1):
+                v = evecs[:, col]
+                pivot = int(np.abs(v).argmax())
+                if v[pivot] < 0:
+                    v = -v
+                out.append(
+                    {
+                        "component": rank,
+                        "eigenvalue": round(float(evals[col]), 9),
+                        "explained_variance_ratio": round(float(evals[col] / total), 9),
+                        "vector": [round(float(x), 9) for x in v],
+                        "offset": round(float(np.dot(mean, v)), 9),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return one.mapInPandas(fit, schema)
+
+
+def pca_project(
+    df: DataFrame, vec_col: str, id_col: str, components: DataFrame
+) -> DataFrame:
+    """(id, proj) — project each embedding onto the PCA components:
+    proj[c] = dot(x, vector_c) − offset_c (the centered projection,
+    because offset_c = dot(mean, vector_c) was folded in at fit time).
+
+    Pure Catalyst over the corpus: the components collapse to ONE
+    broadcast row (join_singleton — the kmeans cents_row shape), and
+    the per-component dot product is the same codegen fold as
+    cosine_topk.  No Python touches corpus-sized data.
+    """
+    from .corpus import join_singleton
+
+    comps_row = (
+        components.select(
+            F.struct("component", "vector", "offset").alias("_p")
+        )
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("_p")).alias("_comps"))
+    )
+    staged = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_x")
+    )
+    proj = F.transform(
+        F.col("_comps"),
+        # loud on NULL vectors and on corpus/components dimension mismatch:
+        # zip_with NULL-pads the shorter array, so the dot fold would
+        # otherwise degrade to a silent NULL score — inconsistent with the
+        # covariance op this composes with, which raises on both
+        lambda c: F.when(
+            F.col("_x").isNull() | (F.size(F.col("_x")) != F.size(c["vector"])),
+            F.raise_error(
+                F.lit("pca_project: NULL vector or dimension mismatch with components")
+            ).cast("double"),
+        ).otherwise(F.round(dot(F.col("_x"), c["vector"]) - c["offset"], 7)),
+    )
+    return join_singleton(staged, comps_row).select(
+        F.col(id_col), proj.alias("proj")
+    )

@@ -946,3 +946,68 @@ FROM ({source_sql})
 WHERE {pivot} IN ({quoted})
 GROUP BY {group}
 """
+
+
+def setsim_pairs_sql(source_cte: str, t_num: int = 7, t_den: int = 10) -> str:
+    """DuckDB twin of dedup.setsim_pairs — deliberately the BRUTE-FORCE
+    formulation (distinct (id, token) self-join → pair intersection
+    counts → exact integer threshold), with NO prefix filter: a false
+    negative in the Spark side's prefix/size pruning cannot hide in its
+    own mirror.  Source must expose (doc_id, text).  Threshold compare
+    is the same integer cross-multiply (inter·t_den ≥ union·t_num)."""
+    return f"""
+WITH src AS ({source_cte}),
+tok AS (
+  SELECT DISTINCT doc_id AS id, tok
+  FROM (SELECT doc_id, unnest({words_sql('text')}) AS tok FROM src)
+  WHERE tok <> ''
+),
+sizes AS (SELECT id, count(*) AS s FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+  FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       i.n_common::BIGINT AS n_common,
+       (sa.s + sb.s - i.n_common)::BIGINT AS n_union,
+       round(i.n_common::DOUBLE / (sa.s + sb.s - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.id = i.id_a
+JOIN sizes sb ON sb.id = i.id_b
+WHERE i.n_common * {t_den} >= (sa.s + sb.s - i.n_common) * {t_num}
+"""
+
+
+def embedding_covariance_sql(
+    source_cte: str, vec: str = "embedding", grid: int = 1_000_000
+) -> str:
+    """DuckDB twin of similarity.embedding_covariance: identical snap law
+    (round(x·grid) per component — both engines round the same IEEE
+    double away from zero), identical exact HUGEINT moment sums, and the
+    identical final float expression (n·Q − Sᵢ·Sⱼ) / n² / grid², rounded
+    9 dp.  Upper triangle i ≤ j, 1-based dims."""
+    return f"""
+WITH src AS ({source_cte}),
+vecs AS (
+  SELECT row_number() OVER () AS rid, {vec} AS v FROM src WHERE {vec} IS NOT NULL
+),
+snapped AS (
+  SELECT rid, i, round(v[i]::DOUBLE * {grid})::BIGINT AS x
+  FROM vecs, unnest(generate_series(1, len(v))) t(i)
+),
+q AS (
+  SELECT a.i AS i, b.i AS j,
+         sum(a.x::HUGEINT * b.x::HUGEINT) AS qsum,
+         count(*) AS n
+  FROM snapped a JOIN snapped b ON a.rid = b.rid AND b.i >= a.i
+  GROUP BY 1, 2
+),
+s AS (SELECT i, sum(x::HUGEINT) AS ssum FROM snapped GROUP BY 1)
+SELECT q.i, q.j, q.n::BIGINT AS n,
+       round(si.ssum::DOUBLE / q.n / {grid}, 9) AS mean_i,
+       round(sj.ssum::DOUBLE / q.n / {grid}, 9) AS mean_j,
+       round((q.n::HUGEINT * q.qsum - si.ssum * sj.ssum)::DOUBLE
+             / (q.n::DOUBLE * q.n::DOUBLE) / ({grid}::DOUBLE * {grid}::DOUBLE), 9) AS cov
+FROM q JOIN s si ON si.i = q.i JOIN s sj ON sj.i = q.j
+"""

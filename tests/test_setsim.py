@@ -1,0 +1,103 @@
+"""Exact set-similarity join (dedup.setsim_pairs): hand-computed pairs,
+the integer threshold boundary a float compare would flip, DuckDB
+brute-force parity (the oracle has NO prefix filter, so a pruning bug
+cannot hide in its own mirror), and the JVM-only plan pin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_scripts_spark import oracle
+from etl_scripts_spark.operators.dedup import setsim_pairs
+from tests.conftest import SF_SMALL
+from tests.parity import compare, duckdb_con, plan_of
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hand_computed_pair(spark):
+    # 1 ∩ 2 = {apple banana cherry}, union 5 -> J = 0.6; 3 disjoint
+    df = _docs(spark, [
+        (1, "apple banana cherry date"),
+        (2, "apple banana cherry fig"),
+        (3, "zebra yak"),
+    ])
+    rows = setsim_pairs(df, "text", "doc_id", t_num=6, t_den=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b, r.n_common, r.n_union) == (1, 2, 3, 5)
+    assert r.jaccard == 0.6
+    # raising the bar past 0.6 excludes it
+    assert setsim_pairs(df, "text", "doc_id", t_num=7, t_den=10).count() == 0
+
+
+def test_threshold_boundary_is_integer_exact(spark):
+    # |a|=8, |b|=9, 7 shared -> J = 7/10 EXACTLY; t = 7/10 must keep it.
+    shared = [f"w{i}" for i in range(7)]
+    df = _docs(spark, [
+        (1, " ".join(shared + ["aonly"])),
+        (2, " ".join(shared + ["bonly1", "bonly2"])),
+    ])
+    rows = setsim_pairs(df, "text", "doc_id", t_num=7, t_den=10).collect()
+    assert len(rows) == 1 and rows[0].n_common == 7 and rows[0].n_union == 10
+    # one token fewer shared -> 6/11 < 7/10 -> excluded
+    df2 = _docs(spark, [
+        (1, " ".join(shared[:6] + ["aonly", "a2"])),
+        (2, " ".join(shared[:6] + ["bonly1", "bonly2", "b3"])),
+    ])
+    assert setsim_pairs(df2, "text", "doc_id", t_num=7, t_den=10).count() == 0
+
+
+def test_duplicate_words_are_set_semantics(spark):
+    # repeated words count once: both docs are the SAME 3-token set
+    df = _docs(spark, [
+        (1, "a a a b c"),
+        (2, "c b a b a"),
+    ])
+    rows = setsim_pairs(df, "text", "doc_id", t_num=1, t_den=1).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_common, rows[0].n_union, rows[0].jaccard) == (3, 3, 1.0)
+
+
+def test_empty_token_docs_never_pair(spark):
+    df = _docs(spark, [
+        (1, "   ...   "),  # normalizes to no tokens
+        (2, "...!!!"),
+        (3, "real words here"),
+    ])
+    assert setsim_pairs(df, "text", "doc_id", t_num=1, t_den=2).count() == 0
+
+
+def test_threshold_guards(spark):
+    df = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError):
+        setsim_pairs(df, "text", "doc_id", t_num=0, t_den=10)
+    with pytest.raises(ValueError):
+        setsim_pairs(df, "text", "doc_id", t_num=11, t_den=10)
+    with pytest.raises(ValueError):
+        setsim_pairs(df, "text", "doc_id", t_num=0.5, t_den=1)  # type: ignore[arg-type]
+
+
+def test_parity_with_duckdb_brute_force(spark):
+    """The oracle enumerates ALL intersecting pairs (no prefix filter):
+    equality proves the prefix+size pruning loses nothing and the
+    verification admits nothing extra, on the real synthetic corpus."""
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    got = setsim_pairs(docs, "text", "doc_id", t_num=5, t_den=10).toPandas()
+    con = duckdb_con(SF_SMALL)
+    want = con.execute(
+        oracle.setsim_pairs_sql("SELECT doc_id, text FROM documents", 5, 10)
+    ).fetchdf()
+    assert len(want) > 0  # the corpus plants near-duplicates
+    assert compare(got, want) == []
+
+
+def test_plan_is_jvm_only(spark):
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    plan = plan_of(setsim_pairs(docs, "text", "doc_id"))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
