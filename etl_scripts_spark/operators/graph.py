@@ -108,3 +108,67 @@ def pagerank(
             .alias("rank"),
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """(node, dist) — minimal hop distance from ANY source node, for every
+    node reachable within `max_hops` hops (multi-source BFS; unreached
+    nodes are absent, sources themselves are dist 0).
+
+    Completes the graph family (connected components, triangles,
+    PageRank) with the reachability primitive: crawl-frontier depth,
+    link-distance-from-seed-list corpus weighting, and bounded lineage
+    queries beyond the fixed 2-hop form (q_two_hop_lineage).
+
+    Level-synchronous, so minimality is structural (a node is first seen
+    at exactly its minimal hop count, never relaxed afterwards): per
+    round, ONE shuffle keyed by src joins the frontier to the edge list,
+    a distinct on the discovered nodes, and ONE anti-join against the
+    visited set keeps only first-time nodes.  State is node-sized; each
+    round's new slice is localCheckpointed (the kmeans/pagerank round
+    pattern) so the plan stays flat across rounds.  Rounds stop early on
+    an empty frontier (isEmpty — an aggregate action, no row data to the
+    driver).  The edge table rescans per round from its storage
+    partitioning, as pagerank does.
+
+    `sources`' FIRST column is the seed node id; duplicates are fine.
+    NULL endpoints and NULL seeds are dropped up front: a NULL is not a
+    node id, and the null-UNSAFE anti-join would otherwise "re-discover"
+    a NULL every round, emitting one duplicate row per hop.
+    """
+    if max_hops < 0:
+        raise ValueError("max_hops must be >= 0")
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+        )
+    e = e.filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .filter(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+    )
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["_s"])
+            .select(F.col("_d").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist

@@ -557,6 +557,68 @@ def with_adpcm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return _payload_source(df, id_col, synthetic_adpcm_wav_bytes)
 
 
+# G.711 μ-law (WAVE format tag 0x0007) and A-law (0x0006) — the standard
+# telephony companding laws (ITU-T G.711; the same expansion arithmetic as
+# Sun's public-domain g711.c).  Pure 256-entry lookup: exact, branch-free,
+# vectorized with np.take over the raw byte stream.
+_G711_TABLES: dict | None = None
+
+
+def _g711_expand_ulaw(u: int) -> int:
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u & 0x70) >> 4
+    return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+
+def _g711_expand_alaw(a: int) -> int:
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if (a & 0x80) else -t
+
+
+def _g711_tables():
+    """(ulaw, alaw) int16 expansion tables, built once per process."""
+    global _G711_TABLES
+    if _G711_TABLES is None:
+        import numpy as np
+
+        _G711_TABLES = {
+            7: np.array([_g711_expand_ulaw(i) for i in range(256)], dtype=np.int16),
+            6: np.array([_g711_expand_alaw(i) for i in range(256)], dtype=np.int16),
+        }
+    return _G711_TABLES
+
+
+def synthetic_g711_wav_bytes(doc_id: int, law: int = 7) -> bytes:
+    """Deterministic G.711 WAV (law 7 = μ-law, 6 = A-law): n = 128 +
+    doc_id % 128 encoded bytes, byte(i) = (doc_id*37 + i*11) mod 256,
+    rate 8000.  The encoded byte stream is closed-form in doc_id, and the
+    expansion is a FIXED public table — so any aggregate of the decoded
+    samples is reproducible in another engine as table[(doc_id*37 +
+    i*11) mod 256] arithmetic (the ADPCM fixture cannot offer this: its
+    adaptive state is path-dependent; G.711 is stateless per byte)."""
+    n = 128 + doc_id % 128
+    data = bytes((doc_id * 37 + i * 11) % 256 for i in range(n))
+    fmt = struct.pack("<HHIIHH", law, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def with_g711_payload(df: DataFrame, id_col: str = "doc_id", law: int = 7) -> DataFrame:
+    """Fixture source for the G.711 path (map-only, Arrow-batched)."""
+    return _payload_source(df, id_col, lambda d: synthetic_g711_wav_bytes(d, law))
+
+
 def decode_wav_audio(payload: bytes):
     """WAV PCM → (sample_rate, int16 ndarray) — real stdlib decode of the
     fmt + data chunks; None for non-PCM/malformed input (keep flowing).
@@ -591,13 +653,20 @@ def decode_wav_pcm(payload: bytes):
                 audio_fmt, channels, rate = struct.unpack("<HHI", chunk[:8])
                 block_align = struct.unpack("<H", chunk[12:14])[0]
                 bits = struct.unpack("<H", chunk[14:16])[0]
-                if audio_fmt not in (1, 17):  # PCM or IMA ADPCM
+                if audio_fmt not in (1, 6, 7, 17):  # PCM, A-law, μ-law, IMA ADPCM
                     return None
             elif fourcc == b"data":
                 data = chunk
             pos += 8 + size + (size & 1)
         if rate is None or data is None or not 0 < rate < 2**31:
             return None
+        if audio_fmt in (6, 7):
+            # G.711 A-law / μ-law: stateless per-byte expansion through
+            # the fixed public table — one np.take over the raw stream
+            if bits != 8 or channels not in (1, 2):
+                return None
+            raw = np.frombuffer(data, dtype=np.uint8)
+            return rate, channels, _g711_tables()[audio_fmt][raw]
         if audio_fmt == 17:
             # IMA ADPCM, mono or stereo 4-bit; full blocks only.  Mono
             # blocks decode to (block_align-4)*2 + 1 samples; stereo

@@ -108,6 +108,13 @@ def pack_chunks(
     )
 
 
+def sample_order_hash(id_col: Column, salt: str) -> Column:
+    """md5(salt|id) — the ONE selection-order law shared by
+    deterministic_sample and stratified_sample (the string-hash sibling
+    of _salted_hex_bits; both engines compare the lowercase hex)."""
+    return F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string")))
+
+
 def deterministic_sample(
     df: DataFrame,
     n_per_group: int,
@@ -129,8 +136,9 @@ def deterministic_sample(
     downstream.  The hash is md5 (engine-portable) with the id appended
     to the ordering for a total order even under hash collisions.
     """
-    h = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    w = Window.partitionBy(group_col).orderBy(
+        sample_order_hash(F.col(id_col), salt).asc(), F.col(id_col).asc()
+    )
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_group)
@@ -196,3 +204,116 @@ def weighted_bernoulli_sample(
         .otherwise(lhs < rhs)
     )
     return df.filter(F.col(weight_col).isNotNull() & keep)
+
+
+def stratified_sample(
+    df: DataFrame,
+    total_n: int,
+    stratum_col: str,
+    id_col: str,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Proportional stratified sample of EXACTLY `total_n` rows:
+    largest-remainder (Hamilton) allocation across strata, deterministic
+    salted-hash selection within each stratum, `sample_rank` annotated.
+
+    Why not per-group fractions: floor(frac·n_g) under- or over-shoots
+    the requested total by up to #strata rows, and a rand() pick is
+    unreproducible.  Here the allocation law is exact integers —
+    base_g = (total_n·n_g) DIV n, remainder r_g = total_n·n_g − base_g·n,
+    and the total_n − Σbase leftover units go to the largest r_g
+    (stratum-key tiebreak) — so Σ alloc_g == total_n ALWAYS, every
+    alloc_g ≤ n_g (proportionality cannot over-allocate a stratum), and
+    membership is a pure function of (salt, id): re-runs, arrival order,
+    and partitioning cannot change the sample (the deterministic_sample
+    contract, extended with an exact global budget).
+
+    Scale shape: one groupBy on the stratum key (vocabulary-sized
+    output), the allocation math rides two 1-row broadcast attaches and
+    ONE window over the strata table (tiny by definition — strata are
+    categories, not data), then the row selection is the
+    deterministic_sample window (one stratum-keyed shuffle,
+    WindowGroupLimit cuts rank ≤ alloc map-side).  Requesting more rows
+    than exist raises loudly in-plan.  A NULL stratum is its own stratum
+    (eqNullSafe join back).  An EMPTY input returns an empty sample
+    rather than raising: with an empty probe side AQE short-circuits the
+    join before the allocation (and its guard) is ever built, and the
+    only way to force the raise would be a second full scan of the
+    input riding a union branch — not worth it for the one case where
+    "sample of nothing" has an obvious answer.
+    """
+    if not isinstance(total_n, int) or total_n < 0:
+        raise ValueError("total_n must be a non-negative int")
+    from .corpus import join_singleton
+
+    counts = df.groupBy(F.col(stratum_col).alias("_st")).agg(
+        F.count(F.lit(1)).alias("_ng")
+    )
+    # the budget guard rides the ALWAYS-one-row global aggregate (an
+    # empty input yields n = 0 here, not zero rows), so over-asking
+    # raises whenever the allocation side is built — a guard on the
+    # per-stratum table would never evaluate on an empty input
+    tot = counts.groupBy().agg(F.sum("_ng").alias("_n")).select(
+        F.when(
+            F.lit(total_n) > F.coalesce(F.col("_n"), F.lit(0)),
+            F.raise_error(
+                F.lit("stratified_sample: total_n exceeds the input row count")
+            ).cast("bigint"),
+        ).otherwise(F.coalesce(F.col("_n"), F.lit(0))).alias("_n")
+    )
+    # tot is the LEFT side: with an empty input, counts is empty and a
+    # counts-probed cross join would short-circuit without ever
+    # evaluating tot's guard — probing FROM the always-one-row tot
+    # forces the guard projection even when there is nothing to sample
+    alloc0 = (
+        tot.join(F.broadcast(counts), F.lit(True), "left")
+        .filter(F.col("_ng").isNotNull())
+        .select(
+            "_st",
+            "_ng",
+            "_n",
+            F.expr(f"CAST({total_n} AS DECIMAL(38,0)) * _ng DIV _n")
+            .cast("bigint")
+            .alias("_base"),
+        )
+    ).withColumn(
+        "_rem",
+        (
+            F.expr(f"CAST({total_n} AS DECIMAL(38,0)) * _ng")
+            - F.col("_base").cast("decimal(38,0)") * F.col("_n").cast("decimal(38,0)")
+        ).cast("decimal(38,0)"),
+    )
+    spent = alloc0.groupBy().agg(F.sum("_base").alias("_spent"))
+    # the strata table is categories, not data — a bare global window
+    # over it is kilobytes through one task, not the q_lm_buckets trap.
+    # NULLS LAST explicitly: Spark asc() defaults NULLS FIRST, DuckDB
+    # ASC defaults NULLS LAST — the NULL stratum must tiebreak the same
+    # way in both engines
+    w = Window.orderBy(F.desc("_rem"), F.asc_nulls_last("_st"))
+    alloc = (
+        join_singleton(alloc0, spent)
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "_st",
+            (
+                F.col("_base")
+                + F.when(
+                    F.col("_rk") <= F.lit(total_n) - F.col("_spent"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("_alloc"),
+        )
+    )
+    ws = Window.partitionBy(stratum_col).orderBy(
+        # shared law with deterministic_sample; NULLS LAST so a NULL id
+        # (NULL hash) ranks identically in the DuckDB twin
+        sample_order_hash(F.col(id_col), salt).asc_nulls_last(),
+        F.col(id_col).asc_nulls_last(),
+    )
+    ranked = df.withColumn("sample_rank", F.row_number().over(ws))
+    return (
+        ranked.join(
+            F.broadcast(alloc), ranked[stratum_col].eqNullSafe(alloc["_st"])
+        )
+        .filter(F.col("sample_rank") <= F.col("_alloc"))
+        .drop("_st", "_alloc")
+    )

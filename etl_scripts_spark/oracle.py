@@ -1011,3 +1011,108 @@ SELECT q.i, q.j, q.n::BIGINT AS n,
              / (q.n::DOUBLE * q.n::DOUBLE) / ({grid}::DOUBLE * {grid}::DOUBLE), 9) AS cov
 FROM q JOIN s si ON si.i = q.i JOIN s sj ON sj.i = q.j
 """
+
+
+def bfs_distances_sql(edges_src: str, sources_src: str, max_hops: int = 5) -> str:
+    """DuckDB twin of graph.bfs_distances (directed form; pass a
+    union-reversed edges_src for undirected): recursive walk bounded by
+    max_hops, minimal distance per node.  UNION (distinct) dedups
+    (node, dist) pairs so cycles terminate at the hop bound.  NULL seeds
+    and NULL edge endpoints are dropped — the Spark op's law."""
+    return f"""
+WITH RECURSIVE walk AS (
+  SELECT node, 0 AS dist FROM ({sources_src}) WHERE node IS NOT NULL
+  UNION
+  SELECT e.dst AS node, w.dist + 1 AS dist
+  FROM walk w JOIN ({edges_src}) e ON e.src = w.node
+  WHERE w.dist < {max_hops} AND e.dst IS NOT NULL
+)
+SELECT node, min(dist)::INT AS dist FROM walk GROUP BY 1
+"""
+
+
+def _disc_median_cte(src: str, val: str, by: str | None, name: str) -> str:
+    """PERCENTILE_DISC(50) via the exact integer rank law ((50n+99)//100)
+    — the exact_percentiles formulation, NOT quantile_disc, so the twin
+    replays the identical arithmetic rather than trusting a builtin."""
+    part = f"PARTITION BY {by}" if by else ""
+    key = f"{by}, " if by else ""
+    return f"""{name} AS (
+  SELECT {key}v AS m FROM (
+    SELECT {key}{val} AS v,
+           row_number() OVER ({part} ORDER BY {val}) AS rn,
+           count(*) OVER ({part}) AS n
+    FROM {src} WHERE {val} IS NOT NULL)
+  WHERE rn = (50 * n + 99) // 100
+)"""
+
+
+def mad_outliers_sql(
+    source_cte: str,
+    value: str,
+    by: str | None = None,
+    k_num: int = 3,
+    k_den: int = 1,
+    keep: str = "",
+) -> str:
+    """DuckDB twin of reports.anomaly.mad_outliers.  `keep` = extra
+    passthrough columns (comma-led).  is_outlier emitted as the raw
+    three-valued boolean; cast at the call site if the comparator
+    needs it."""
+    j = f"ON s.{by} IS NOT DISTINCT FROM med.{by}" if by else "ON TRUE"
+    j2 = f"ON d.{by} IS NOT DISTINCT FROM mad.{by}" if by else "ON TRUE"
+    return f"""
+WITH src AS ({source_cte}),
+{_disc_median_cte('src', value, by, 'med')},
+dev AS (
+  SELECT s.*{keep}, med.m AS med, abs(s.{value} - med.m) AS _dev
+  FROM src s LEFT JOIN med {j}
+),
+{_disc_median_cte('dev', '_dev', by, 'mad')}
+SELECT d.* EXCLUDE (_dev), mad.m AS mad,
+       CASE WHEN d.{value} IS NULL OR d.med IS NULL THEN NULL
+            ELSE d._dev::HUGEINT * {k_den} > {k_num} * mad.m::HUGEINT END
+         AS is_outlier
+FROM dev d LEFT JOIN mad {j2}
+"""
+
+
+def stratified_sample_sql(
+    source_cte: str,
+    total_n: int,
+    stratum: str,
+    id_col: str,
+    salt: str = "strat-v1",
+) -> str:
+    """DuckDB twin of sampling.stratified_sample: identical Hamilton
+    allocation in exact HUGEINT arithmetic, identical md5(salt|id)
+    selection order (both engines compare the lowercase hex string)."""
+    return f"""
+WITH src AS ({source_cte}),
+cnt AS (SELECT {stratum} AS st, count(*) AS ng FROM src GROUP BY 1),
+tot AS (SELECT sum(ng) AS n FROM cnt),
+alloc0 AS (
+  SELECT st, ng, n,
+         ({total_n}::HUGEINT * ng) // n AS base,
+         {total_n}::HUGEINT * ng - (({total_n}::HUGEINT * ng) // n) * n AS rem
+  FROM cnt, tot
+),
+spent AS (SELECT sum(base) AS s FROM alloc0),
+alloc AS (
+  SELECT st,
+         base + CASE WHEN row_number() OVER (ORDER BY rem DESC, st ASC)
+                      <= {total_n} - (SELECT s FROM spent) THEN 1 ELSE 0 END AS a
+  FROM alloc0
+),
+ranked AS (
+  SELECT s.*,
+         row_number() OVER (
+           PARTITION BY s.{stratum}
+           ORDER BY md5('{salt}|' || s.{id_col}::VARCHAR), s.{id_col}
+         ) AS sample_rank
+  FROM src s
+)
+SELECT r.* FROM ranked r
+JOIN alloc a ON r.{stratum} IS NOT DISTINCT FROM a.st
+WHERE r.sample_rank <= a.a
+"""

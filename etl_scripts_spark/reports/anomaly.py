@@ -107,3 +107,71 @@ def rolling_zscore(
         z_out.alias("z"),
         F.when(z_out.isNotNull(), F.abs(z_out) > F.lit(z_thresh)).alias("is_anomaly"),
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str,
+    by: str | None = None,
+    k_num: int = 3,
+    k_den: int = 1,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Robust outlier flags via the median-absolute-deviation rule:
+    every input row annotated with (med, mad, is_outlier) where
+    is_outlier ⟺ |x − med| > (k_num/k_den)·MAD — the distribution-free
+    companion to rolling_zscore (mean/stddev are themselves dragged by
+    the outliers they are supposed to expose; the median/MAD pair is
+    50%-breakdown robust).
+
+    Exactness: integer inputs only (the exact_percentiles contract);
+    both medians are PERCENTILE_DISC — actual data values at an exact
+    integer rank, never interpolated floats — so dev, MAD, and the
+    threshold compare dev·k_den > k_num·MAD all stay in exact integer
+    arithmetic (DECIMAL(38,0) cross-multiply: a float k·MAD compare
+    would flip on IEEE boundaries exactly at the fence).  Three-valued:
+    a NULL value gets a NULL flag (it is not evidence of an outlier,
+    and not evidence of normality either — the expectations-engine
+    convention); a group whose values are ALL NULL has no median and
+    flags NULL throughout.
+
+    Plan: two exact_percentiles passes (each one key shuffle — grouped
+    path windows per group, global path rides the range-partitioned
+    rank) + two null-safe joins of the kilobyte-per-group med/MAD
+    tables back to the rows.  The joins are eqNullSafe on the group key
+    so a NULL group — which exact_percentiles deliberately keeps —
+    is not silently dropped on the way back.
+    """
+    from ..operators.windows import exact_percentiles
+
+    if not (isinstance(k_num, int) and isinstance(k_den, int)) or k_num < 0 or k_den <= 0:
+        raise ValueError("k_num must be a non-negative int and k_den a positive int")
+    require_integral_columns(df, [value_col], "mad_outliers")
+
+    def attach(base: DataFrame, stat: DataFrame, out: str) -> DataFrame:
+        stat = stat.select(
+            *([F.col(by).alias("_g")] if by else []),
+            F.col("value").alias(out),
+        )
+        if by is None:
+            # LEFT 1-row broadcast, not join_singleton's crossJoin: an
+            # all-NULL input makes the stat table EMPTY, and a cross join
+            # with an empty side would silently drop every row instead of
+            # flagging NULL
+            return base.join(F.broadcast(stat), F.lit(True), "left")
+        return base.join(
+            F.broadcast(stat), base[by].eqNullSafe(stat["_g"]), "left"
+        ).drop("_g")
+
+    med = exact_percentiles(df, value_col, (50,), by, n_parts)
+    with_med = attach(df, med, "med")
+    dev = F.abs(F.col(value_col) - F.col("med"))
+    with_dev = with_med.withColumn("_dev", dev)
+    mad = exact_percentiles(with_dev, "_dev", (50,), by, n_parts)
+    out = attach(with_dev, mad, "mad")
+    flag = F.when(
+        F.col(value_col).isNotNull() & F.col("med").isNotNull(),
+        F.col("_dev").cast("decimal(38,0)") * F.lit(k_den)
+        > F.lit(k_num) * F.col("mad").cast("decimal(38,0)"),
+    )
+    return out.withColumn("is_outlier", flag).drop("_dev")
