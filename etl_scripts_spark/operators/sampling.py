@@ -234,13 +234,12 @@ def stratified_sample(
     categories, not data), then the row selection is the
     deterministic_sample window (one stratum-keyed shuffle,
     WindowGroupLimit cuts rank ≤ alloc map-side).  Requesting more rows
-    than exist raises loudly in-plan.  A NULL stratum is its own stratum
-    (eqNullSafe join back).  An EMPTY input returns an empty sample
-    rather than raising: with an empty probe side AQE short-circuits the
-    join before the allocation (and its guard) is ever built, and the
-    only way to force the raise would be a second full scan of the
-    input riding a union branch — not worth it for the one case where
-    "sample of nothing" has an obvious answer.
+    than a NON-EMPTY input holds raises loudly in-plan; an EMPTY input
+    returns an empty sample in every engine mode (the guard carries an
+    explicit n > 0 conjunct — with AQE the empty probe short-circuits
+    before the guard ever evaluates, without AQE the broadcast side
+    builds eagerly, and the two paths must agree).  A NULL stratum is
+    its own stratum (eqNullSafe join back).
     """
     if not isinstance(total_n, int) or total_n < 0:
         raise ValueError("total_n must be a non-negative int")
@@ -253,9 +252,15 @@ def stratified_sample(
     # empty input yields n = 0 here, not zero rows), so over-asking
     # raises whenever the allocation side is built — a guard on the
     # per-stratum table would never evaluate on an empty input
+    # guard fires ONLY for a non-empty input (_n > 0): an empty input
+    # must return an empty sample in BOTH engine modes — with AQE the
+    # empty probe short-circuits before this evaluates at all, without
+    # AQE the broadcast builds eagerly and a bare total_n > 0 check
+    # would raise — so the n > 0 conjunct keeps the two paths consistent
     tot = counts.groupBy().agg(F.sum("_ng").alias("_n")).select(
         F.when(
-            F.lit(total_n) > F.coalesce(F.col("_n"), F.lit(0)),
+            (F.coalesce(F.col("_n"), F.lit(0)) > 0)
+            & (F.lit(total_n) > F.col("_n")),
             F.raise_error(
                 F.lit("stratified_sample: total_n exceeds the input row count")
             ).cast("bigint"),
@@ -317,3 +322,86 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= F.col("_alloc"))
         .drop("_st", "_alloc")
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    n_shards: int = 64,
+    salt: str = "neg-v1",
+    exclude: DataFrame | None = None,
+) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training data:
+    (anchor_id, negative_id, neg_rank 1..k) — each document paired with
+    the k documents FOLLOWING it in salted-md5 order within its hash
+    shard.  The hash order is independent of content, so within-shard
+    neighbors are an unbiased random draw — but, unlike rand() pairing,
+    membership is a pure function of (salt, ids): re-runs, backfills and
+    partitioning reproduce the identical pairs, and a different salt
+    draws an independent negative set.
+
+    Scale shape: ONE shuffle on the shard key (md5-uniform, no skew), a
+    per-shard sort, and k lead() taps over the same window — no self
+    join, no corpus×corpus candidate stage.  Output is ≤ k·n rows; the
+    last k rows of each shard emit fewer (lead past the shard tail is
+    dropped rather than wrapped — with expected shard size n/n_shards ≫ k
+    the loss is negligible and wrap-around would double the window
+    machinery for it).
+
+    `exclude`: optional (id_a, id_b) pair table (e.g. verified near-dup
+    pairs) — known-positive pairs are anti-joined out in BOTH
+    orientations so a near-duplicate can never be served as a negative.
+
+    Ids are deduplicated up front: duplicate id rows hash identically,
+    would sit adjacent in the window, and lead() would serve a document
+    as its OWN negative (and make the tie order nondeterministic) —
+    negatives are about identities, so each id participates once.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    df = df.select(F.col(id_col)).distinct()
+    shard = (_salted_hex_bits(F.col(id_col), salt, 6) % n_shards).alias("_shard")
+    h = sample_order_hash(F.col(id_col), salt)
+    w = Window.partitionBy("_shard").orderBy(h.asc(), F.col(id_col).asc())
+    # materialize the lead taps as plain columns FIRST — Spark rejects
+    # window expressions inside a generator, and all k leads share the
+    # one window sort anyway
+    led = df.select(F.col(id_col), shard).select(
+        F.col(id_col),
+        *[F.lead(F.col(id_col), j).over(w).alias(f"_n{j}") for j in range(1, k + 1)],
+    )
+    taps = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("neg_rank"), F.col(f"_n{j}").alias("negative_id")
+            )
+            for j in range(1, k + 1)
+        ]
+    )
+    pairs = (
+        led.withColumn("_t", F.explode(taps))
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col("_t.negative_id").alias("negative_id"),
+            F.col("_t.neg_rank").alias("neg_rank"),
+        )
+        .filter(F.col("negative_id").isNotNull())
+    )
+    if exclude is not None:
+        ex = exclude.select(
+            F.col(exclude.columns[0]).alias("_xa"),
+            F.col(exclude.columns[1]).alias("_xb"),
+        )
+        both = ex.unionByName(
+            ex.select(F.col("_xb").alias("_xa"), F.col("_xa").alias("_xb"))
+        )
+        pairs = pairs.join(
+            both,
+            (pairs["anchor_id"] == both["_xa"])
+            & (pairs["negative_id"] == both["_xb"]),
+            "left_anti",
+        )
+    return pairs

@@ -554,3 +554,66 @@ def hll_distinct(
     """End-to-end per-group HLL cardinality estimate: (group,
     hll_distinct).  See hll_registers / hll_estimate."""
     return hll_estimate(hll_registers(df, group_col, value_col, p), group_col, p)
+
+
+def hll_join_estimate(
+    a: DataFrame, b: DataFrame, group_col: str, p: int = 12
+) -> DataFrame:
+    """Distinct-key overlap between two register tables (hll_registers
+    outputs) per group: (group, est_a, est_b, est_union, est_intersection,
+    est_jaccard) — inclusion–exclusion over three HLL estimates, union via
+    the algebraic max-merge.
+
+    The join-planning primitive the sketch family was missing: before
+    shuffling two 100 TB fact tables, estimate how many join KEYS
+    actually meet (and per group, e.g. per day/partition) from kilobyte
+    register tables alone — no scan, no shuffle of either side.  This
+    estimates DISTINCT-key intersection; output row counts additionally
+    need per-key multiplicities (pair it with a CMS over the keys).
+
+    Inclusion–exclusion subtracts two same-sign errors, so the
+    intersection estimate is noisier than either input (relative error
+    grows as |A∩B| shrinks — at zero true overlap the estimate is pure
+    sketch noise, clamped at 0 here).  That is inherent to HLL algebra,
+    not to this implementation; KMV (kmv_overlap) gives a direct Jaccard
+    estimator when both sketches were built bottom-k.
+
+    All three estimates ride hll_estimate's exact-integer harmonic law,
+    6-dp rounded, so the composition is engine-portable: the DuckDB twin
+    recomputes est_union from a UNION ALL of the two sources and lands on
+    the identical doubles.  Groups present in only one side estimate the
+    missing side as 0 (full-outer joins over the group-sized tables).
+    """
+    ea = hll_estimate(a, group_col, p).withColumnRenamed("hll_distinct", "est_a")
+    eb = hll_estimate(b, group_col, p).withColumnRenamed("hll_distinct", "est_b")
+    eu = hll_estimate(hll_merge(a, b, group_col), group_col, p).withColumnRenamed(
+        "hll_distinct", "est_union"
+    )
+    # eu's group set is exactly the union of ea's and eb's, so outer-join
+    # the sides onto it and coalesce the absent side to 0.  eqNullSafe:
+    # hll_registers keeps NULL groups (it filters NULL VALUES only), and
+    # a null-unsafe join would silently zero the NULL partition's sides
+    ea = ea.withColumnRenamed(group_col, "_ga")
+    eb = eb.withColumnRenamed(group_col, "_gb")
+    joined = (
+        eu.join(ea, eu[group_col].eqNullSafe(ea["_ga"]), "left")
+        .join(eb, eu[group_col].eqNullSafe(eb["_gb"]), "left")
+        .withColumn("est_a", F.coalesce("est_a", F.lit(0.0)))
+        .withColumn("est_b", F.coalesce("est_b", F.lit(0.0)))
+        .drop("_ga", "_gb")
+    )
+    inter = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 6),
+        F.lit(0.0),
+    )
+    return joined.select(
+        group_col,
+        "est_a",
+        "est_b",
+        "est_union",
+        inter.alias("est_intersection"),
+        F.when(
+            F.col("est_union") > 0,
+            F.round(inter / F.col("est_union"), 6),
+        ).alias("est_jaccard"),
+    )

@@ -1053,19 +1053,17 @@ def mad_outliers_sql(
     by: str | None = None,
     k_num: int = 3,
     k_den: int = 1,
-    keep: str = "",
 ) -> str:
-    """DuckDB twin of reports.anomaly.mad_outliers.  `keep` = extra
-    passthrough columns (comma-led).  is_outlier emitted as the raw
-    three-valued boolean; cast at the call site if the comparator
-    needs it."""
+    """DuckDB twin of reports.anomaly.mad_outliers.  is_outlier emitted
+    as the raw three-valued boolean; cast at the call site if the
+    comparator needs it."""
     j = f"ON s.{by} IS NOT DISTINCT FROM med.{by}" if by else "ON TRUE"
     j2 = f"ON d.{by} IS NOT DISTINCT FROM mad.{by}" if by else "ON TRUE"
     return f"""
 WITH src AS ({source_cte}),
 {_disc_median_cte('src', value, by, 'med')},
 dev AS (
-  SELECT s.*{keep}, med.m AS med, abs(s.{value} - med.m) AS _dev
+  SELECT s.*, med.m AS med, abs(s.{value} - med.m) AS _dev
   FROM src s LEFT JOIN med {j}
 ),
 {_disc_median_cte('dev', '_dev', by, 'mad')}
@@ -1115,4 +1113,35 @@ ranked AS (
 SELECT r.* FROM ranked r
 JOIN alloc a ON r.{stratum} IS NOT DISTINCT FROM a.st
 WHERE r.sample_rank <= a.a
+"""
+
+
+def hll_join_estimate_sql(
+    a_src: str, b_src: str, group: str, value: str, p: int = 12
+) -> str:
+    """DuckDB twin of sketch.hll_join_estimate: the three estimates each
+    ride the hll_distinct_sql law (union = UNION ALL of the two sources —
+    algebraically identical to max-merging the register tables), then
+    the same inclusion–exclusion with the same 6-dp rounds, so both
+    engines land on identical doubles."""
+    ea = hll_distinct_sql(a_src, group, value, p)
+    eb = hll_distinct_sql(b_src, group, value, p)
+    eu = hll_distinct_sql(f"({a_src}) UNION ALL ({b_src})", group, value, p)
+    return f"""
+WITH ea AS ({ea}), eb AS ({eb}), eu AS ({eu})
+SELECT eu.{group},
+       coalesce(ea.hll_distinct, 0) AS est_a,
+       coalesce(eb.hll_distinct, 0) AS est_b,
+       eu.hll_distinct AS est_union,
+       greatest(round(coalesce(ea.hll_distinct, 0) + coalesce(eb.hll_distinct, 0)
+                      - eu.hll_distinct, 6), 0) AS est_intersection,
+       CASE WHEN eu.hll_distinct > 0
+            THEN round(greatest(round(coalesce(ea.hll_distinct, 0)
+                                      + coalesce(eb.hll_distinct, 0)
+                                      - eu.hll_distinct, 6), 0)
+                       / eu.hll_distinct, 6)
+       END AS est_jaccard
+FROM eu
+LEFT JOIN ea ON ea.{group} IS NOT DISTINCT FROM eu.{group}
+LEFT JOIN eb ON eb.{group} IS NOT DISTINCT FROM eu.{group}
 """
