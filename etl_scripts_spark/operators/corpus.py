@@ -1125,3 +1125,65 @@ def phrase_search(
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min("_s").cast("bigint").alias("first_pos"),
     )
+
+
+def hashed_embedding(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    dim: int = 64,
+    salt: str = "emb-v1",
+) -> DataFrame:
+    """(id, vec) — signed hashing-trick bag-of-words embedding: vec has
+    `dim` exact BIGINT components, component b = Σ over token
+    occurrences hashing to bucket b of a ±1 sign bit.  The feature-
+    hashing construction (Weinberger et al. 2009): sparse-JL-style, so
+    dot products approximate token-multiset overlap and the output
+    composes directly with the vector stack — kmeans_assign, semdedup,
+    srp_near_dup_pairs, embedding_covariance/pca all accept it — giving
+    every embedding operator a TEXT on-ramp with no model weights.
+
+    Engine-portable and exact: bucket = first 48 md5 bits of
+    (salt|token) mod dim, sign = parity of the DISJOINT 13th hex char
+    (the HLL disjoint-ranges idiom); components are exact integer sums,
+    so any partitioning gives bit-identical vectors and a DuckDB twin
+    reproduces them.
+
+    Plan: tokenize once, explode, ONE groupBy(id, bucket) with map-side
+    combine (the shuffle carries ≤ dim partial sums per doc per
+    partition), then an id-keyed assembly aggregate builds the dense
+    array via map lookup over sequence(0, dim-1).  Docs whose
+    normalized text has no tokens emit nothing (no zero-vector row —
+    they carry no signal, and emitting one would cost a corpus-wide
+    left join).
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("_tok")
+    ).filter(F.col("_tok") != "")
+    h = F.md5(F.concat(F.lit(salt + "|"), F.col("_tok")))
+    bucket = (
+        F.conv(F.substring(h, 1, 12), 16, 10).cast("bigint") % F.lit(dim)
+    ).alias("_b")
+    sign = F.when(
+        F.conv(F.substring(h, 13, 1), 16, 10).cast("bigint") % 2 == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1)).alias("_s")
+    sums = (
+        toks.select(F.col(id_col), bucket, sign)
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_s").alias("_v"))
+    )
+    assembled = sums.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.coalesce(
+            F.element_at(F.col("_m"), b.cast("bigint")), F.lit(0).cast("bigint")
+        ),
+    )
+    return assembled.select(F.col(id_col), vec.alias("vec"))

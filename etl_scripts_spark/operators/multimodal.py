@@ -289,6 +289,15 @@ def decode_image_pixels(payload: bytes):
             # malformed / cap-rejected: NULL stats, keep flowing — broad
             # except like the PNG branch (a codec must never kill the task)
             return ("gif", None)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff_pixels
+
+        try:
+            return ("tiff", decode_tiff_pixels(payload))
+        except Exception:
+            # declared seams (tiles, LZW, 16-bit, planar=2) and malformed
+            # input: NULL stats, keep flowing
+            return ("tiff", None)
     fmt, _w, _h = parse_image_header(payload)
     return (fmt, None)
 
@@ -1022,6 +1031,15 @@ def with_gif_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     from .gif import synthetic_gif_bytes
 
     return _payload_source(df, id_col, synthetic_gif_bytes)
+
+
+def with_tiff_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture source for the TIFF path: two-strip grayscale over the
+    shared _pixel_pattern law; every 3rd doc PackBits-compressed
+    (operators/tiff.synthetic_tiff_bytes)."""
+    from .tiff import synthetic_tiff_bytes
+
+    return _payload_source(df, id_col, synthetic_tiff_bytes)
 
 
 PIXEL_STATS_SCHEMA = T.StructType(

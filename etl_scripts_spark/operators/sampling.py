@@ -248,11 +248,9 @@ def stratified_sample(
     counts = df.groupBy(F.col(stratum_col).alias("_st")).agg(
         F.count(F.lit(1)).alias("_ng")
     )
-    # the budget guard rides the ALWAYS-one-row global aggregate (an
-    # empty input yields n = 0 here, not zero rows), so over-asking
-    # raises whenever the allocation side is built — a guard on the
-    # per-stratum table would never evaluate on an empty input
-    # guard fires ONLY for a non-empty input (_n > 0): an empty input
+    # the budget guard rides the ALWAYS-one-row global aggregate (a
+    # guard on the per-stratum table would never evaluate on an empty
+    # input), and fires ONLY for a non-empty input (_n > 0): an empty input
     # must return an empty sample in BOTH engine modes — with AQE the
     # empty probe short-circuits before this evaluates at all, without
     # AQE the broadcast builds eagerly and a bare total_n > 0 check

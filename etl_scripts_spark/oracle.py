@@ -1145,3 +1145,38 @@ FROM eu
 LEFT JOIN ea ON ea.{group} IS NOT DISTINCT FROM eu.{group}
 LEFT JOIN eb ON eb.{group} IS NOT DISTINCT FROM eu.{group}
 """
+
+
+def hashed_embedding_sql(
+    source_cte: str, dim: int = 64, salt: str = "emb-v1"
+) -> str:
+    """DuckDB twin of corpus.hashed_embedding: identical md5 bucket/sign
+    law (disjoint hex ranges), identical exact integer sums, dense array
+    assembled over the same 0..dim-1 sequence.  Source must expose
+    (doc_id, text)."""
+    return f"""
+WITH src AS ({source_cte}),
+tok AS (
+  SELECT doc_id, md5('{salt}|' || tok) AS h
+  FROM (SELECT doc_id, unnest({words_sql('text')}) AS tok FROM src)
+  WHERE tok <> ''
+),
+sums AS (
+  SELECT doc_id,
+         ('0x' || substring(h, 1, 12))::BIGINT % {dim} AS b,
+         sum(CASE WHEN ('0x' || substring(h, 13, 1))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END)::BIGINT AS v
+  FROM tok GROUP BY 1, 2
+),
+dense AS (
+  -- dense 0..dim-1 grid left-joined to the sparse sums: deliberately
+  -- NOT a MAP lookup — DuckDB changed map-bracket extraction semantics
+  -- between 1.0 (returns a list) and 1.1+ (returns the value), and the
+  -- twin must not depend on which duckdb is installed
+  SELECT d.doc_id, g.b, coalesce(s.v, 0)::BIGINT AS v
+  FROM (SELECT DISTINCT doc_id FROM sums) d
+  CROSS JOIN (SELECT unnest(generate_series(0, {dim - 1})) AS b) g
+  LEFT JOIN sums s ON s.doc_id = d.doc_id AND s.b = g.b
+)
+SELECT doc_id, list(v ORDER BY b) AS vec FROM dense GROUP BY 1
+"""

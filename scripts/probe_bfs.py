@@ -27,9 +27,16 @@ spark = (
 )
 spark.sparkContext.setLogLevel("ERROR")
 
+# dst must NOT be an affine function of the edge id alone: for a fixed
+# src residue the k-th replica sits at id ≡ const (mod n), and any
+# (id·C + b) % n collapses to one value — all of a node's out-edges
+# pointed at ONE dst and the frontier never grew (caught by the first
+# probe run's flat dist_hist).  Mixing the replica index k = id DIV n
+# into dst gives every node 4 DISTINCT spread-out destinations.
+k = F.expr(f"id DIV {n}")
 edges = spark.range(4 * n).select(
     (F.col("id") % n).alias("src"),
-    ((F.col("id") * 2654435761 + 12345) % n).alias("dst"),
+    ((F.col("id") * 2654435761 + 12345 + k * (1 + n // 3)) % n).alias("dst"),
 )
 seeds = spark.range(100).select((F.col("id") * 997 % n).alias("node"))
 
