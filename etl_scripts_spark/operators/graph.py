@@ -172,3 +172,75 @@ def bfs_distances(
         dist = dist.unionByName(nxt)
         frontier = nxt
     return dist
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    max_iter: int = 30,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, degree) — the k-core of the UNDIRECTED simple graph: the
+    maximal subgraph where every node keeps degree ≥ k after iterative
+    peeling.  The density diagnostic beyond component size: a near-dup
+    cluster that is also a dense core is template boilerplate, a sparse
+    chain is incidental overlap (the triangle census's big sibling —
+    triangles bound local density, the core bounds it transitively).
+
+    Peeling is the textbook fixpoint: compute degrees, drop nodes below
+    k, drop edges touching dropped nodes, repeat until no node falls.
+    Order-independence of the result (the core is unique regardless of
+    peel order) is what makes it distribution-safe; each round is ONE
+    map-side-combined degree aggregate + ONE semi-join of the edge list
+    against survivors per endpoint, with the shrinking edge table
+    localCheckpointed per round.  Convergence is checked with a count
+    action (the lineage/kmeans round pattern); a graph that keeps
+    peeling past max_iter raises — the peel depth of real graphs is
+    small, and silently returning a non-converged "core" would claim
+    density that is not there.
+
+    Input edges are canonicalized: direction dropped, (a,a) self-loops
+    removed, duplicate edges counted once.  NULL endpoints dropped.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("_a").alias("node"))
+            .unionByName(e.select(F.col("_b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("node")
+        e2 = (
+            e.join(keep.withColumnRenamed("node", "_a"), "_a", "leftsemi")
+            .join(keep.withColumnRenamed("node", "_b"), "_b", "leftsemi")
+            .localCheckpoint(eager=True)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            return deg.filter(F.col("degree") >= k)
+        e, n_edges = e2, n2
+    if n_edges == 0:
+        # fully peeled: nothing reaches degree k.  The empty frame's
+        # node type comes from the CANONICALIZED edge table (least/
+        # greatest promotes mixed src/dst types), so both return paths
+        # share one schema
+        return e.select(
+            F.col("_a").alias("node"), F.lit(0).cast("bigint").alias("degree")
+        ).filter(F.lit(False))
+    raise ValueError(f"k_core did not converge within max_iter={max_iter} rounds")

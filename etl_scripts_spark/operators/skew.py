@@ -49,3 +49,44 @@ def salted_agg(
     return phase1.groupBy(*keys).agg(
         *[combine.alias(name) for name, (_, combine) in aggs.items()]
     )
+
+
+def key_skew_report(df: DataFrame, key_col: str, top_k: int = 20) -> DataFrame:
+    """(rank, key, n, share_ppm) for the `top_k` heaviest values of a
+    prospective join/groupBy key — the diagnosis step BEFORE salting:
+    salted_agg and AQE skew-split are mitigations you apply once you
+    know a key is hot, and this report is how you find out (and how you
+    verify the mitigation's assumption still holds after a data shift).
+
+    share_ppm is EXACT integer parts-per-million ((n·1e6) DIV total —
+    a float share would differ across engines at the 17th digit and
+    break the oracle hash).  NULL keys are counted like any other value
+    (a NULL-heavy join key is the most common real-world skew).
+
+    Scale shape: ONE map-side-combined groupBy on the key, a 1-row
+    total attach (join_singleton — the CROSS_JOINS_BY_DESIGN shape),
+    and a global (n DESC, key ASC) top-k that plans as TakeOrdered —
+    the rank cut never shuffles the full key table.  Deterministic
+    under ties via the key tiebreak.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    from .corpus import join_singleton
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.groupBy().agg(F.sum("n").alias("_total"))
+    top = (
+        join_singleton(counts, total)
+        .orderBy(F.desc("n"), F.asc_nulls_last("key"))
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc_nulls_last("key"))
+    return top.select(
+        F.row_number().over(w).alias("rank"),
+        "key",
+        "n",
+        F.expr("n * 1000000 DIV _total").cast("bigint").alias("share_ppm"),
+    )

@@ -142,7 +142,9 @@ def decode_tiff_pixels(payload: bytes):
         raise TiffError("only 8-bit samples supported")
     if photometric not in (0, 1, 2):
         raise TiffError(f"photometric {photometric} is a declared seam")
-    if (photometric == 2) != (spp == 3) and not (photometric < 2 and spp == 1):
+    # with spp restricted to {1, 3}: gray (ph 0/1) pairs with spp 1,
+    # RGB (ph 2) pairs with spp 3 — the XOR rejects both mismatches
+    if (photometric == 2) != (spp == 3):
         raise TiffError("photometric/samples-per-pixel mismatch")
     if compression not in (1, 32773):
         raise TiffError(f"compression {compression} is a declared seam")

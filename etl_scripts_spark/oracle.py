@@ -1180,3 +1180,68 @@ dense AS (
 )
 SELECT doc_id, list(v ORDER BY b) AS vec FROM dense GROUP BY 1
 """
+
+
+def key_skew_report_sql(source_cte: str, key: str, top_k: int = 20) -> str:
+    """DuckDB twin of skew.key_skew_report: same count/total/top-k law,
+    same exact integer parts-per-million ((n·1e6) // total), same
+    (n DESC, key ASC NULLS LAST) total order — DuckDB's ASC default is
+    already nulls-last, matching the Spark side's explicit
+    asc_nulls_last."""
+    return f"""
+WITH src AS ({source_cte}),
+cnt AS (SELECT {key} AS key, count(*) AS n FROM src GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM cnt),
+ranked AS (
+  SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+  FROM cnt
+)
+SELECT rank::INT AS rank, key, n::BIGINT AS n,
+       ((n * 1000000) // t)::BIGINT AS share_ppm
+FROM ranked, tot WHERE rank <= {top_k}
+"""
+
+
+def k_core_sql(edges_src: str, k: int = 2, rounds: int = 8) -> str:
+    """DuckDB twin of graph.k_core: the peel fixpoint unrolled as
+    `rounds` degree-filter CTE pairs (extra rounds past convergence are
+    no-ops, so any rounds ≥ the true peel depth is exact — the pagerank
+    unrolled-CTE pattern)."""
+    # AS MATERIALIZED throughout: every round references its predecessor
+    # and its degree table MORE THAN ONCE, and an inlined CTE chain
+    # re-evaluates multiply-referenced predecessors — exponential in
+    # `rounds` (observed as a hang at rounds=10 before materializing)
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM ({edges_src})
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        prev = f"e{i - 1}"
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT node, count(*) AS degree FROM "
+            f"(SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}) "
+            f"GROUP BY 1)"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT * FROM {prev} "
+            f"WHERE a IN (SELECT node FROM d{i} WHERE degree >= {k}) "
+            f"AND b IN (SELECT node FROM d{i} WHERE degree >= {k}))"
+        )
+    # convergence guard, mirroring the Spark op's loud non-convergence
+    # raise: e_i ⊆ e_{i-1}, so equal counts ⟺ fixpoint reached — a
+    # too-small `rounds` must error, never bless a non-converged
+    # superset as oracle truth (duckdb error() aborts the query)
+    parts.append(
+        f"chk AS MATERIALIZED (SELECT CASE WHEN "
+        f"(SELECT count(*) FROM e{rounds}) = (SELECT count(*) FROM e{rounds - 1}) "
+        f"THEN 1 ELSE error('k_core_sql: peel not converged within rounds={rounds}') "
+        f"END AS ok)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, degree::BIGINT AS degree FROM d{rounds}, chk "
+        f"WHERE degree >= {k}"
+    )
