@@ -259,3 +259,67 @@ def exact_percentiles(
     return hit.select(
         *group_cols, F.col("_pt.pct").alias("pct"), F.col(value_col).alias("value")
     )
+
+
+def hopping_rollup(
+    events: DataFrame,
+    width_s: int,
+    slide_s: int,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """(window_start, window_end, key?, n_events, value_cents) — hopping
+    (sliding) window aggregation: each event lands in width_s/slide_s
+    overlapping windows.  Completes the window family: `hourly_rollup`
+    is the tumbling special case (width == slide), sessionize the
+    gap-based one; hopping is what rate/trend monitors actually read
+    (a 1h window sliding every 10min reacts 6× faster than a tumbling
+    hour while smoothing the same span).
+
+    Built on F.window(ts, width, slide) — Spark's native multi-assign
+    (an Expand of width/slide rows per event BEFORE the aggregate, so
+    the map-side combine sees every copy locally; no self-join, no
+    per-window scans).  width must be a multiple of slide: Spark allows
+    ragged configs but their window-set law is subtle enough that the
+    cross-engine mirror (and most readers) get it wrong — the aligned
+    form is what monitors use.  Timestamps convert via unix_micros
+    (never cast-as-long); the optional value column snaps to exact
+    integer cents (round(v·100) per row) so sums are
+    reduction-tree-independent.  Window bounds are emitted as epoch
+    MICROSECONDS (engine-portable integers, not timestamps).
+    """
+    if width_s <= 0 or slide_s <= 0:
+        raise ValueError("width_s and slide_s must be positive")
+    if width_s % slide_s != 0:
+        raise ValueError(
+            "width_s must be a multiple of slide_s (aligned hopping windows)"
+        )
+    win = F.window(
+        F.col(ts_col), f"{width_s} seconds", f"{slide_s} seconds"
+    ).alias("_w")
+    key_names = [key_col] if key_col else []
+    value_names = [value_col] if value_col is not None else []
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        # floor(v·100 + 0.5): the SHARED engine-portable cents law
+        # (streaming/stateful.py uses the same expression) — F.round is
+        # half-away-from-zero and disagrees on negative halves
+        aggs.append(
+            F.sum(
+                F.floor(F.col(value_col) * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("value_cents")
+        )
+    out = (
+        events.filter(F.col(ts_col).isNotNull())
+        .select(win, *key_names, *value_names)
+        .groupBy("_w", *key_names)
+        .agg(*aggs)
+    )
+    return out.select(
+        F.unix_micros(F.col("_w.start")).alias("window_start_us"),
+        F.unix_micros(F.col("_w.end")).alias("window_end_us"),
+        *key_names,
+        "n_events",
+        *(["value_cents"] if value_col is not None else []),
+    )

@@ -1245,3 +1245,95 @@ def k_core_sql(edges_src: str, k: int = 2, rounds: int = 8) -> str:
         + f"\nSELECT node, degree::BIGINT AS degree FROM d{rounds}, chk "
         f"WHERE degree >= {k}"
     )
+
+
+def attribute_conversions_sql(
+    source_cte: str,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_s: int = 86400,
+) -> str:
+    """DuckDB twin of reports.attribution.attribute_conversions —
+    deliberately the DIRECT range-join formulation (no interval binning),
+    so a bin-boundary bug in the Spark side cannot hide in its own
+    mirror.  Source must expose (event_id, ts, user_id, event_type).
+    epoch_us both sides (never epoch()::BIGINT — that rounds)."""
+    tt = ", ".join(f"'{t}'" for t in touch_types)
+    lb = lookback_s * 1_000_000
+    return f"""
+WITH src AS ({source_cte}),
+ev AS (
+  SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+  FROM src WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+pairs AS (
+  SELECT c.event_id AS conv_id, t.event_id AS touch_id,
+         t.event_type AS touch_type, t.ts_us
+  FROM ev c JOIN ev t
+    ON t.user_id = c.user_id
+   AND t.ts_us BETWEEN c.ts_us - {lb} AND c.ts_us
+  WHERE c.event_type = '{conversion_type}' AND t.event_type IN ({tt})
+),
+ranked AS (
+  SELECT conv_id, touch_id, touch_type,
+         row_number() OVER (PARTITION BY conv_id ORDER BY ts_us, touch_id)
+           AS touch_rank,
+         count(*) OVER (PARTITION BY conv_id) AS n_touches
+  FROM pairs
+)
+SELECT conv_id, touch_id, touch_type,
+       n_touches::BIGINT AS n_touches,
+       touch_rank::INT AS touch_rank,
+       touch_rank = 1 AS is_first,
+       touch_rank = n_touches AS is_last,
+       ((1000000 // n_touches)
+        + CASE WHEN touch_rank <= 1000000 % n_touches THEN 1 ELSE 0 END)::BIGINT
+         AS weight_ppm
+FROM ranked
+"""
+
+
+def hopping_rollup_sql(
+    source_cte: str,
+    width_s: int,
+    slide_s: int,
+    key: str | None = None,
+    value: str | None = None,
+) -> str:
+    """DuckDB twin of windows.hopping_rollup — INDEPENDENT formulation:
+    each event explodes to its window starts via generate_series (an
+    event at t belongs to aligned windows with start in
+    (t − width, t] ∩ slideℤ), so a window-assignment bug in Spark's
+    native F.window cannot be mirrored.  Bounds in epoch microseconds;
+    the same exact per-row cents snap."""
+    w_us = width_s * 1_000_000
+    s_us = slide_s * 1_000_000
+    keysel = f"{key}, " if key else ""
+    valagg = (
+        f", sum(floor({value} * 100 + 0.5)::BIGINT)::BIGINT AS value_cents"
+        if value
+        else ""
+    )
+    valcol = f", {value}" if value else ""
+    return f"""
+WITH src AS ({source_cte}),
+ev AS (
+  SELECT epoch_us(ts) AS t{valcol}{(", " + key) if key else ""}
+  FROM src WHERE ts IS NOT NULL
+),
+assigned AS (
+  -- FLOOR alignment, not //: DuckDB integer // truncates toward zero,
+  -- which drops the earliest window for pre-1970 (negative) epochs
+  -- while Spark's F.window floor-aligns — the intervals._bin_of lesson
+  SELECT (t - (((t % {s_us}) + {s_us}) % {s_us})) - g.i * {s_us}
+           AS window_start_us, ev.*
+  FROM ev, unnest(generate_series(0, {w_us // s_us - 1})) g(i)
+  WHERE (t - (((t % {s_us}) + {s_us}) % {s_us})) - g.i * {s_us} > t - {w_us}
+    AND (t - (((t % {s_us}) + {s_us}) % {s_us})) - g.i * {s_us} <= t
+)
+SELECT window_start_us::BIGINT AS window_start_us,
+       (window_start_us + {w_us})::BIGINT AS window_end_us,
+       {keysel}count(*)::BIGINT AS n_events{valagg}
+FROM assigned
+GROUP BY window_start_us{(", " + key) if key else ""}
+"""
