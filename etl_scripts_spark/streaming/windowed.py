@@ -17,6 +17,40 @@ from pyspark.sql import functions as F
 _name_counter = itertools.count()
 
 
+def _events_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
+    """Shared file-source plumbing for every wrapper here: nanos conf,
+    schema from the batch reader, sibling glob (the file-stream source
+    wants a directory or glob, not a bare file path), normalized ts.
+    ONE copy — a fix to the glob derivation or the conf handling must
+    not be re-applied per wrapper."""
+    from ..catalog import normalize_events
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(events_parquet).schema
+    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
+    return normalize_events(spark.readStream.schema(schema).parquet(glob_path))
+
+
+def _drain(
+    spark: SparkSession, out: DataFrame, approx_keys: int, mode: str = "complete"
+) -> DataFrame:
+    """Shared AvailableNow → memory-sink drain with the state shard
+    count sized to the key cardinality (see :mod:`.tuning`)."""
+    from .tuning import state_shuffle_partitions
+
+    name = f"etl_stream_out_{next(_name_counter)}"
+    with state_shuffle_partitions(spark, approx_keys):
+        query = (
+            out.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    return spark.table(name)
+
+
 def session_windows_available_now(
     spark: SparkSession,
     events_parquet: str,
@@ -36,31 +70,15 @@ def session_windows_available_now(
     verifies.  A production continuous run would use append mode, where
     the watermark finalizes (and evicts) closed sessions incrementally.
     """
-    from ..catalog import normalize_events
-    from .tuning import state_shuffle_partitions
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_parquet).schema
-    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
-    stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
+    stream = _events_stream(spark, events_parquet)
     gap = f"{gap_minutes} minutes"
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap), F.col("user_id"))
         .agg(F.count("*").alias("n_events"))
     )
-    name = f"etl_stream_out_{next(_name_counter)}"
-    with state_shuffle_partitions(spark, approx_keys):
-        query = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
     gap_us = gap_minutes * 60 * 1_000_000
-    return spark.table(name).select(
+    return _drain(spark, agg, approx_keys).select(
         "user_id",
         F.col("session_window.start").alias("session_start"),
         "n_events",
@@ -84,14 +102,7 @@ def hourly_counts_available_now(
     thousand keys — so the state shard count is sized to that cardinality,
     not to the event volume (see :mod:`.tuning`).
     """
-    from ..catalog import normalize_events
-    from .tuning import state_shuffle_partitions
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_parquet).schema
-    # The file-stream source wants a directory or glob, not a bare file path.
-    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
-    stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
+    stream = _events_stream(spark, events_parquet)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -100,17 +111,7 @@ def hourly_counts_available_now(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
-    name = f"etl_stream_out_{next(_name_counter)}"
-    with state_shuffle_partitions(spark, approx_keys):
-        query = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    return spark.table(name).select(
+    return _drain(spark, agg, approx_keys).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH").alias("hour_start"),
         "event_type",
         "n_events",
@@ -138,13 +139,7 @@ def enriched_counts_available_now(
     (left join, attribute NULL→'UNKNOWN') — dropping them would silently
     under-count, the streaming analogue of the keep-flowing contract.
     """
-    from ..catalog import normalize_events
-    from .tuning import state_shuffle_partitions
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_parquet).schema
-    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
-    stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
+    stream = _events_stream(spark, events_parquet)
     enriched = stream.join(
         F.broadcast(dim), stream["user_id"] == dim[dim_key], "left"
     ).withColumn("_grp", F.coalesce(F.col(group_col), F.lit("UNKNOWN")))
@@ -156,17 +151,7 @@ def enriched_counts_available_now(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
         )
     )
-    name = f"etl_stream_out_{next(_name_counter)}"
-    with state_shuffle_partitions(spark, approx_keys):
-        query = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-    return spark.table(name).select(
+    return _drain(spark, agg, approx_keys).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH").alias("hour_start"),
         F.col("_grp").alias("group_key"),
         "n_events",
@@ -199,16 +184,8 @@ def interval_join_available_now(
     Returns (left_id, right_id, lag_s): lag in whole seconds (micros
     diff // 1e6, exact integer arithmetic in both engines).
     """
-    from ..catalog import normalize_events
-
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(events_parquet).schema
-    glob_path = events_parquet.rsplit(".", 1)[0] + ".*"
-
     def _stream():
-        return normalize_events(
-            spark.readStream.schema(schema).parquet(glob_path)
-        )
+        return _events_stream(spark, events_parquet)
 
     left = (
         _stream()
@@ -245,18 +222,48 @@ def interval_join_available_now(
             / F.lit(1_000_000)
         ).cast("bigint").alias("lag_s"),
     )
-    name = f"etl_stream_out_{next(_name_counter)}"
     # join state is keyed by user — shard count sized to key cardinality
     # (each extra shard is 4 state stores here: left/right × keyed/KV)
-    from .tuning import state_shuffle_partitions
+    return _drain(spark, out, approx_keys, mode="append")
 
-    with state_shuffle_partitions(spark, approx_keys):
-        query = (
-            out.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .start()
+
+def hopping_counts_available_now(
+    spark: SparkSession,
+    events_parquet: str,
+    width_s: int = 3600,
+    slide_s: int = 900,
+    approx_keys: int = 4000,
+) -> DataFrame:
+    """Streaming HOPPING-window rollup drained to a batch result — the
+    streaming twin of operators.windows.hopping_rollup, completing the
+    batch/streaming symmetry the tumbling rollup already has: the same
+    native `window(ts, width, slide)` multi-assign runs incrementally
+    (state keyed by overlapping-window × event_type; an event updates
+    width/slide window states as it arrives), and an AvailableNow drain
+    over the same files equals the batch operator row-for-row — the
+    verification law every streaming op here follows.  The same shared
+    floor(v·100 + 0.5) exact cents law, the same epoch-µs bounds.
+    """
+    if width_s <= 0 or slide_s <= 0 or width_s % slide_s != 0:
+        raise ValueError("width_s must be a positive multiple of slide_s")
+    stream = _events_stream(spark, events_parquet)
+    agg = (
+        stream.withWatermark("ts", f"{width_s} seconds")
+        .groupBy(
+            F.window("ts", f"{width_s} seconds", f"{slide_s} seconds"),
+            F.col("event_type"),
         )
-        query.awaitTermination()
-    return spark.table(name)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).alias("value_cents"),
+        )
+    )
+    return _drain(spark, agg, approx_keys).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        F.unix_micros(F.col("window.end")).alias("window_end_us"),
+        "event_type",
+        "n_events",
+        "value_cents",
+    )

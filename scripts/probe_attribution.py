@@ -59,5 +59,5 @@ n_hop = hop.count()
 wall_hop = time.time() - t1
 print(
     f"n={n} attribution: wall={wall_att:.1f}s rows={n_att}; "
-    f"hopping: wall={wall_hop:.1f}s windows={n_hop}"
+    f"hopping: wall={wall_hop:.1f}s window_groups={n_hop}"
 )
