@@ -912,6 +912,56 @@ def contamination_report(
     )
 
 
+def _setsim_toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(_id, _tok) rows: per-row-distinct non-empty normalized words —
+    the ONE tokenization law shared by setsim_pairs and
+    incremental_setsim (and mirrored by their DuckDB twins)."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("_tok"),
+    ).filter(F.col("_tok") != "")
+
+
+def _setsim_docs(
+    toks: DataFrame, freq: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """(_id, _toks, _s, _p): each doc's token array sorted by the
+    GLOBAL (df ASC, token ASC) order given by `freq`, with the exact
+    integer prefix length p = s − ceil(t·s) + 1.  Tokens absent from
+    `freq` take df = 0 — the rarest end, a consistent total-order
+    extension (incremental batches see corpus-unknown tokens).
+    localCheckpointed: candidate generation and verification both
+    consume it, and Spark would otherwise replay the two-shuffle build
+    per use."""
+    return (
+        toks.join(freq, "_tok", "left")
+        .withColumn("_df", F.coalesce("_df", F.lit(0)))
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set(F.struct("_df", "_tok"))).alias("_st"))
+        .select(
+            "_id",
+            F.col("_st._tok").alias("_toks"),
+            F.size("_st").alias("_s"),
+        )
+        .withColumn(
+            "_p",
+            F.col("_s")
+            - F.expr(f"({t_num} * _s + {t_den} - 1) DIV {t_den}")
+            + F.lit(1),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _setsim_prefixes(docs: DataFrame) -> DataFrame:
+    """(_id, _s, _tok) prefix-token index rows (rarest-first tokens)."""
+    return docs.select(
+        F.col("_id"),
+        F.col("_s"),
+        F.explode(F.slice("_toks", F.lit(1), F.col("_p"))).alias("_tok"),
+    )
+
+
 def setsim_pairs(
     df: DataFrame,
     text_col: str,
@@ -968,33 +1018,10 @@ def setsim_pairs(
         raise ValueError("t_num/t_den must be integers")
     if not (0 < t_num <= t_den):
         raise ValueError(f"threshold must satisfy 0 < t_num <= t_den, got {t_num}/{t_den}")
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(words(F.col(text_col)))).alias("_tok"),
-    ).filter(F.col("_tok") != "")
+    toks = _setsim_toks(df, text_col, id_col)
     freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    docs = (
-        toks.join(freq, "_tok")
-        .groupBy("_id")
-        .agg(F.sort_array(F.collect_set(F.struct("_df", "_tok"))).alias("_st"))
-        .select(
-            "_id",
-            F.col("_st._tok").alias("_toks"),
-            F.size("_st").alias("_s"),
-        )
-        .withColumn(
-            "_p",
-            F.col("_s")
-            - F.expr(f"({t_num} * _s + {t_den} - 1) DIV {t_den}")
-            + F.lit(1),
-        )
-        .localCheckpoint(eager=True)
-    )
-    pref = docs.select(
-        F.col("_id"),
-        F.col("_s"),
-        F.explode(F.slice("_toks", F.lit(1), F.col("_p"))).alias("_tok"),
-    )
+    docs = _setsim_docs(toks, freq, t_num, t_den)
+    pref = _setsim_prefixes(docs)
     a = pref.select(
         F.col("_tok"), F.col("_id").alias("id_a"), F.col("_s").alias("_sa")
     )
@@ -1034,5 +1061,102 @@ def setsim_pairs(
             F.round(
                 F.col("_inter").cast("double") / F.col("_union"), 4
             ).alias("jaccard"),
+        )
+    )
+
+
+def incremental_setsim(
+    corpus: DataFrame,
+    batch: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    t_num: int = 7,
+    t_den: int = 10,
+) -> DataFrame:
+    """Batch-vs-history EXACT set-similarity check — the deterministic
+    sibling of :func:`incremental_near_dups`: one row per batch document,
+    (id, is_dup, best_jaccard, best_match_id), where is_dup is a
+    GUARANTEE (∃ corpus doc with word-set Jaccard ≥ t_num/t_den), not an
+    LSH probability.  best_* are NULL for clean documents.
+
+    The shared-order requirement is the whole trick: the prefix-filter
+    lemma needs BOTH sides' prefixes drawn from ONE global token order,
+    so the order comes from the CORPUS document frequencies alone (in
+    production that df table persists with the corpus prefix index and
+    batches never perturb it — exactly why corpus-side prefixes stay
+    valid between batches).  Batch tokens the corpus has never seen take
+    df = 0: a consistent total-order extension (they land at the rarest
+    end, where prefix tokens belong anyway).
+
+    Scale shape: the corpus reduces to its prefix index (p ≈ (1−t)·s
+    rows per doc) plus the sorted token arrays for verified candidates;
+    the candidate join is batch-prefixes × corpus-prefixes on token with
+    the exact integer size filter fused in — O(batch + collisions),
+    never O(batch × corpus).  Verification and best-match selection run
+    on candidates only; the best-match window orders by the IEEE double
+    inter/union (identical in every engine for the same exact integers)
+    with the corpus-id tiebreak.  Batch docs with no tokens come back
+    clean (no token set ⇒ no Jaccard partner).
+    """
+    if not (isinstance(t_num, int) and isinstance(t_den, int)):
+        raise ValueError("t_num/t_den must be integers")
+    if not (0 < t_num <= t_den):
+        raise ValueError(f"threshold must satisfy 0 < t_num <= t_den, got {t_num}/{t_den}")
+    from pyspark.sql import Window
+
+    ctoks = _setsim_toks(corpus, text_col, id_col)
+    freq = ctoks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    cdocs = _setsim_docs(ctoks, freq, t_num, t_den)
+    bdocs = _setsim_docs(_setsim_toks(batch, text_col, id_col), freq, t_num, t_den)
+    bp = _setsim_prefixes(bdocs).select(
+        F.col("_tok"), F.col("_id").alias("_bid"), F.col("_s").alias("_bs")
+    )
+    cp = _setsim_prefixes(cdocs).select(
+        F.col("_tok").alias("_ctok"),
+        F.col("_id").alias("_cid"),
+        F.col("_s").alias("_cs"),
+    )
+    cand = (
+        bp.join(
+            cp,
+            (bp["_tok"] == cp["_ctok"])
+            & (cp["_cs"] * F.lit(t_den) >= bp["_bs"] * F.lit(t_num))
+            & (bp["_bs"] * F.lit(t_den) >= cp["_cs"] * F.lit(t_num)),
+        )
+        .select("_bid", "_cid")
+        .distinct()
+    )
+    bv = bdocs.select(
+        F.col("_id").alias("_bid"), F.col("_toks").alias("_bt"), F.col("_s").alias("_nb")
+    )
+    cv = cdocs.select(
+        F.col("_id").alias("_cid"), F.col("_toks").alias("_ct"), F.col("_s").alias("_nc")
+    )
+    verified = (
+        cand.join(bv, "_bid")
+        .join(cv, "_cid")
+        .withColumn("_inter", F.size(F.array_intersect("_bt", "_ct")))
+        .withColumn("_union", F.col("_nb") + F.col("_nc") - F.col("_inter"))
+        .filter(F.col("_inter") * F.lit(t_den) >= F.col("_union") * F.lit(t_num))
+        .withColumn("_jac", F.col("_inter").cast("double") / F.col("_union"))
+    )
+    w = Window.partitionBy("_bid").orderBy(F.desc("_jac"), F.asc("_cid"))
+    best = (
+        verified.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "_bid",
+            F.round("_jac", 4).alias("best_jaccard"),
+            F.col("_cid").alias("best_match_id"),
+        )
+    )
+    ids = batch.select(F.col(id_col)).distinct()
+    return (
+        ids.join(best, ids[id_col] == best["_bid"], "left")
+        .select(
+            id_col,
+            F.col("best_match_id").isNotNull().alias("is_dup"),
+            "best_jaccard",
+            "best_match_id",
         )
     )

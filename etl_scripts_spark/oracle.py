@@ -1337,3 +1337,51 @@ SELECT window_start_us::BIGINT AS window_start_us,
 FROM assigned
 GROUP BY window_start_us{(", " + key) if key else ""}
 """
+
+
+def incremental_setsim_sql(
+    corpus_src: str, batch_src: str, t_num: int = 7, t_den: int = 10
+) -> str:
+    """DuckDB twin of dedup.incremental_setsim — the BRUTE-FORCE
+    batch×corpus formulation (no prefix index), so a pruning false
+    negative cannot hide in its own mirror.  Best-match tiebreak is the
+    same (jaccard DESC via the identical IEEE double, corpus id ASC).
+    Sources must expose (doc_id, text)."""
+    return f"""
+WITH ctok AS (
+  SELECT DISTINCT doc_id AS id, tok
+  FROM (SELECT doc_id, unnest({words_sql('text')}) AS tok FROM ({corpus_src}))
+  WHERE tok <> ''
+),
+btok AS (
+  SELECT DISTINCT doc_id AS id, tok
+  FROM (SELECT doc_id, unnest({words_sql('text')}) AS tok FROM ({batch_src}))
+  WHERE tok <> ''
+),
+csz AS (SELECT id, count(*) AS s FROM ctok GROUP BY 1),
+bsz AS (SELECT id, count(*) AS s FROM btok GROUP BY 1),
+inter AS (
+  SELECT b.id AS bid, c.id AS cid, count(*) AS n_common
+  FROM btok b JOIN ctok c ON b.tok = c.tok
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.bid, i.cid,
+         i.n_common::DOUBLE / (bs.s + cs.s - i.n_common) AS jac
+  FROM inter i
+  JOIN bsz bs ON bs.id = i.bid
+  JOIN csz cs ON cs.id = i.cid
+  WHERE i.n_common * {t_den} >= (bs.s + cs.s - i.n_common) * {t_num}
+),
+best AS (
+  SELECT bid, round(jac, 4) AS best_jaccard, cid AS best_match_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY bid ORDER BY jac DESC, cid ASC) AS rk
+        FROM verified)
+  WHERE rk = 1
+),
+ids AS (SELECT DISTINCT doc_id FROM ({batch_src}))
+SELECT ids.doc_id,
+       best.best_match_id IS NOT NULL AS is_dup,
+       best.best_jaccard, best.best_match_id
+FROM ids LEFT JOIN best ON ids.doc_id = best.bid
+"""

@@ -1,0 +1,75 @@
+"""10x scale probe for dedup.incremental_setsim (exact batch-vs-corpus).
+
+Usage: PYTHONPATH=/root/repo python scripts/probe_incremental_setsim.py <n_corpus>
+
+Corpus of n docs (the setsim probe's growing-vocab law), batch of n/10:
+half are 24/30-token near-copies of corpus docs (J = 2/3 ≥ 0.6), half
+novel.  Verifies the planted dup count exactly at both scales.
+Run each scale in a FRESH process (SCALE.md probe hygiene).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from etl_scripts_spark.operators.dedup import incremental_setsim
+
+n = int(sys.argv[1])
+spark = (
+    SparkSession.builder.master("local[32]")
+    .config("spark.sql.shuffle.partitions", "32")
+    .config("spark.driver.memory", "16g")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+vocab = max(n // 2, 100)
+
+
+def tok_expr(n_tok, base_col):
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tok - 1)),
+        lambda i: F.concat(F.lit("w"), ((base_col * 7 + i * 13) % vocab).cast("string")),
+    )
+
+
+corpus = spark.range(n).select(
+    F.col("id").alias("doc_id"), F.array_join(tok_expr(30, F.col("id")), " ").alias("text")
+).localCheckpoint(eager=True)
+m = n // 10
+half = m // 2
+dups = spark.range(half).select(
+    (F.lit(10_000_000_000) + F.col("id")).alias("doc_id"),
+    F.array_join(
+        F.concat(
+            tok_expr(24, F.col("id") * 10 % n),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(5)),
+                lambda i: F.concat(F.lit("x"), (F.col("id") * 6 + i).cast("string")),
+            ),
+        ),
+        " ",
+    ).alias("text"),
+)
+novel = spark.range(half).select(
+    (F.lit(20_000_000_000) + F.col("id")).alias("doc_id"),
+    F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda i: F.concat(F.lit("z"), (F.col("id") * 31 + i).cast("string")),
+        ),
+        " ",
+    ).alias("text"),
+)
+batch = dups.unionByName(novel).localCheckpoint(eager=True)
+
+t0 = time.time()
+out = incremental_setsim(corpus, batch, t_num=6, t_den=10)
+n_dup = out.filter("is_dup").count()
+n_all = out.count()
+wall = time.time() - t0
+print(f"n_corpus={n} n_batch={n_all} wall={wall:.1f}s dups={n_dup} expected>={half}")

@@ -101,3 +101,79 @@ def test_plan_is_jvm_only(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_copy_and_novel(spark):
+    from etl_scripts_spark.operators.dedup import incremental_setsim
+
+    corpus = _docs(spark, [
+        (1, "alpha beta gamma delta"),
+        (2, "one two three four five"),
+    ])
+    batch = _docs(spark, [
+        (10, "alpha beta gamma delta"),        # exact copy -> J = 1
+        (11, "alpha beta gamma epsilon"),      # 3/5 = 0.6
+        (12, "totally novel words here"),      # clean
+        (13, "   ...   "),                     # no tokens -> clean
+    ])
+    got = {r.doc_id: r for r in incremental_setsim(
+        corpus, batch, t_num=6, t_den=10
+    ).collect()}
+    assert got[10].is_dup and got[10].best_match_id == 1 and got[10].best_jaccard == 1.0
+    assert got[11].is_dup and got[11].best_match_id == 1 and got[11].best_jaccard == 0.6
+    assert not got[12].is_dup and got[12].best_match_id is None
+    assert not got[13].is_dup
+    assert len(got) == 4  # every batch doc reported exactly once
+
+
+def test_incremental_best_match_tiebreak(spark):
+    from etl_scripts_spark.operators.dedup import incremental_setsim
+
+    # two corpus docs with IDENTICAL jaccard to the batch doc: lower id wins
+    corpus = _docs(spark, [
+        (5, "a b c d"),
+        (3, "a b c e"),
+    ])
+    batch = _docs(spark, [(9, "a b c f")])
+    r = incremental_setsim(corpus, batch, t_num=1, t_den=2).collect()[0]
+    assert r.best_match_id == 3 and r.best_jaccard == 0.6
+
+
+def test_incremental_unseen_tokens_keep_completeness(spark):
+    from etl_scripts_spark.operators.dedup import incremental_setsim
+
+    # batch doc shares 4/5 with corpus doc but ALSO carries a token the
+    # corpus never saw (df=0 extension) — the prefix filter must still
+    # find the pair
+    corpus = _docs(spark, [(1, "p q r s t")])
+    batch = _docs(spark, [(9, "p q r s zebra")])
+    r = incremental_setsim(corpus, batch, t_num=6, t_den=10).collect()[0]
+    assert r.is_dup and r.best_match_id == 1
+    assert r.best_jaccard == round(4 / 6, 4)
+
+
+def test_incremental_parity_with_duckdb(spark):
+    from etl_scripts_spark.operators.dedup import incremental_setsim
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    got = (
+        incremental_setsim(corpus, batch, t_num=4, t_den=10)
+        .withColumn("is_dup", F.col("is_dup").cast("int"))
+        .toPandas()
+    )
+    con = duckdb_con(SF_SMALL)
+    want = con.execute(
+        "SELECT * EXCLUDE (is_dup), is_dup::INT AS is_dup FROM ("
+        + oracle.incremental_setsim_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0",
+            "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0",
+            4,
+            10,
+        )
+        + ")"
+    ).fetchdf()
+    assert len(want) > 0 and want["is_dup"].sum() > 0
+    assert compare(got, want) == []
