@@ -912,6 +912,17 @@ def contamination_report(
     )
 
 
+def _check_setsim_threshold(t_num: int, t_den: int) -> None:
+    """ONE copy of the rational-threshold guard shared by the setsim
+    siblings — a validation change must not be able to diverge them."""
+    if not (isinstance(t_num, int) and isinstance(t_den, int)):
+        raise ValueError("t_num/t_den must be integers")
+    if not (0 < t_num <= t_den):
+        raise ValueError(
+            f"threshold must satisfy 0 < t_num <= t_den, got {t_num}/{t_den}"
+        )
+
+
 def _setsim_toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(_id, _tok) rows: per-row-distinct non-empty normalized words —
     the ONE tokenization law shared by setsim_pairs and
@@ -1014,10 +1025,7 @@ def setsim_pairs(
     empty set is 0 for any non-empty partner and undefined for two empty
     ones).  Rows sharing an id merge into one token set (collect_set).
     """
-    if not (isinstance(t_num, int) and isinstance(t_den, int)):
-        raise ValueError("t_num/t_den must be integers")
-    if not (0 < t_num <= t_den):
-        raise ValueError(f"threshold must satisfy 0 < t_num <= t_den, got {t_num}/{t_den}")
+    _check_setsim_threshold(t_num, t_den)
     toks = _setsim_toks(df, text_col, id_col)
     freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
     docs = _setsim_docs(toks, freq, t_num, t_den)
@@ -1098,14 +1106,17 @@ def incremental_setsim(
     with the corpus-id tiebreak.  Batch docs with no tokens come back
     clean (no token set ⇒ no Jaccard partner).
     """
-    if not (isinstance(t_num, int) and isinstance(t_den, int)):
-        raise ValueError("t_num/t_den must be integers")
-    if not (0 < t_num <= t_den):
-        raise ValueError(f"threshold must satisfy 0 < t_num <= t_den, got {t_num}/{t_den}")
+    _check_setsim_threshold(t_num, t_den)
     from pyspark.sql import Window
 
     ctoks = _setsim_toks(corpus, text_col, id_col)
-    freq = ctoks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # checkpoint the df table: BOTH _setsim_docs calls consume it, and an
+    # uncached freq would re-run the corpus tokenize + df shuffle twice
+    freq = (
+        ctoks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .localCheckpoint(eager=True)
+    )
     cdocs = _setsim_docs(ctoks, freq, t_num, t_den)
     bdocs = _setsim_docs(_setsim_toks(batch, text_col, id_col), freq, t_num, t_den)
     bp = _setsim_prefixes(bdocs).select(

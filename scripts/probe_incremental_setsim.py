@@ -69,7 +69,11 @@ batch = dups.unionByName(novel).localCheckpoint(eager=True)
 
 t0 = time.time()
 out = incremental_setsim(corpus, batch, t_num=6, t_den=10)
-n_dup = out.filter("is_dup").count()
-n_all = out.count()
+# ONE action for both numbers — two counts would run the candidate join,
+# verification, and best-match window twice inside the measured wall
+r = out.agg(
+    F.sum(F.col("is_dup").cast("int")).alias("d"), F.count(F.lit(1)).alias("n")
+).collect()[0]
+n_dup, n_all = r.d, r.n
 wall = time.time() - t0
 print(f"n_corpus={n} n_batch={n_all} wall={wall:.1f}s dups={n_dup} expected>={half}")
