@@ -882,3 +882,69 @@ def pca_project(
     return join_singleton(staged, comps_row).select(
         F.col(id_col), proj.alias("proj")
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    cov_long: DataFrame | None = None,
+    grid: int = 1_000_000,
+    eps: float = 1e-9,
+) -> DataFrame:
+    """(id, vec) — per-dimension z-scoring of an embedding column:
+    vec[i] = (x[i] − mean_i) / std_i, 6-dp rounded.  The whitening
+    on-ramp for the distance-based stack: kmeans/SemDeDup/SRP distances
+    are dominated by whichever raw dimension has the largest scale, and
+    standardizing first makes every dimension count equally.
+
+    Statistics come from :func:`embedding_covariance` (pass `cov_long`
+    to reuse one you already computed; only the diagonal is read) — so
+    the means/vars carry that op's exactness contract: any partitioning
+    yields the identical statistics, hence identical standardized
+    output.  The per-row projection is pure Catalyst: the d diagonal
+    cells collapse to ONE broadcast row (join_singleton), and the
+    transform reads mean/std arrays positionally.  Near-constant
+    dimensions (var ≤ eps) standardize to 0 rather than exploding to
+    ±huge values on noise.  NULL/empty vectors are dropped (the
+    covariance op's law); a dimension mismatch raises in-plan.
+    """
+    from .corpus import join_singleton
+
+    if cov_long is None:
+        cov_long = embedding_covariance(df, vec_col, grid=grid)
+    diag = (
+        cov_long.filter(F.col("i") == F.col("j"))
+        .select(F.struct(F.col("i"), F.col("mean_i"), F.col("cov")).alias("_c"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_list("_c")).alias("_cells"))
+        .select(
+            F.col("_cells.mean_i").alias("_means"),
+            F.transform(
+                F.col("_cells.cov"),
+                lambda v: F.when(v > F.lit(eps), F.sqrt(v)).otherwise(F.lit(0.0)),
+            ).alias("_stds"),
+        )
+    )
+    staged = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0)
+    ).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_x"))
+    z = F.transform(
+        F.col("_x"),
+        lambda x, i: F.when(
+            F.size(F.col("_x")) != F.size(F.col("_means")),
+            F.raise_error(
+                F.lit("standardize_embeddings: vector/statistics dimension mismatch")
+            ).cast("double"),
+        ).otherwise(
+            F.when(
+                F.element_at(F.col("_stds"), i + 1) > 0,
+                F.round(
+                    (x - F.element_at(F.col("_means"), i + 1))
+                    / F.element_at(F.col("_stds"), i + 1),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0))
+        ),
+    )
+    return join_singleton(staged, diag).select(F.col(id_col), z.alias("vec"))

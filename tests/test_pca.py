@@ -196,3 +196,34 @@ def test_project_plan_is_catalyst_only(spark):
     # its FlatMapsInPandas input is the 1-row covariance aggregate
     assert plan.count("FlatMapGroupsInPandas") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_standardize_hand_computed(spark):
+    from etl_scripts_spark.operators.similarity import standardize_embeddings
+
+    # dim0: values 1,2,3 -> mean 2, var 2/3; dim1 constant -> std 0 -> z=0
+    df = _vecs(spark, [[1.0, 5.0], [2.0, 5.0], [3.0, 5.0]])
+    rows = {r.vec_id: list(r.proj) if hasattr(r, "proj") else list(r.vec)
+            for r in standardize_embeddings(df, "embedding", "vec_id").collect()}
+    import math
+
+    std0 = math.sqrt(round(2 / 3, 9))
+    assert rows[0][0] == round((1 - 2) / std0, 6)
+    assert rows[1][0] == 0.0
+    assert rows[2][0] == round((3 - 2) / std0, 6)
+    assert all(v[1] == 0.0 for v in rows.values())
+
+
+def test_standardize_reuses_cov_and_guards(spark):
+    from etl_scripts_spark.operators.similarity import standardize_embeddings
+
+    df = _vecs(spark, [[1.0, 2.0], [3.0, 4.0], [5.0, 7.0]])
+    cov = embedding_covariance(df, "embedding")
+    a = {r.vec_id: list(r.vec) for r in standardize_embeddings(df, "embedding", "vec_id", cov_long=cov).collect()}
+    b = {r.vec_id: list(r.vec) for r in standardize_embeddings(df.repartition(5), "embedding", "vec_id").collect()}
+    assert a == b  # partitioning-invariant statistics -> identical output
+    # dim mismatch between vectors and statistics raises in-plan
+    other = _vecs(spark, [[1.0, 2.0, 3.0]])
+    with pytest.raises(Exception) as e:
+        standardize_embeddings(other, "embedding", "vec_id", cov_long=cov).collect()
+    assert "dimension mismatch" in str(e.value)
