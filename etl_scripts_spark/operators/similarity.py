@@ -613,6 +613,101 @@ def pq_topk(
     )
 
 
+def _snapped_vectors(
+    df: DataFrame, vec_col: str, grid: int, max_dim: int
+) -> DataFrame:
+    """Shared snap stage for the moment aggregates here: (_v, _d) with
+    every component snapped to the integer grid, NULL/empty vectors
+    dropped, loud in-plan raises for NULL/NaN/Inf components and for
+    dims past max_dim.  ONE copy — the exactness contract must not be
+    able to drift between the full-covariance and diagonal paths."""
+    if grid <= 0:
+        raise ValueError("grid must be positive")
+    lim = (1 << 62) // grid
+
+    def snap(x: Column) -> Column:
+        # x.isNull() first: a NULL component would otherwise snap to NULL,
+        # silently vanish from sum() while count() still counts the row,
+        # and skew every moment it touches
+        bad = x.isNull() | F.isnan(x) | (F.abs(x) >= F.lit(float(lim)))
+        return F.when(
+            bad,
+            F.raise_error(
+                F.lit("embedding_covariance: NULL/NaN/Inf or component too large for grid")
+            ).cast("double"),
+        ).otherwise(F.round(x.cast("double") * F.lit(grid), 0)).cast("bigint")
+
+    return (
+        # empty arrays are dropped like NULL vectors (they carry no
+        # moments; Spark's sequence(1, 0) counts DOWN and would index
+        # element 0) — the oracle's empty generate_series skips them too
+        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .select(F.transform(F.col(vec_col), snap).alias("_v"))
+        .localCheckpoint(eager=True)
+        .withColumn(
+            "_d",
+            F.when(
+                F.size("_v") > F.lit(max_dim),
+                F.raise_error(
+                    F.lit(f"embedding_covariance: dim exceeds max_dim={max_dim}")
+                ).cast("int"),
+            ).otherwise(F.size("_v")),
+        )
+    )
+
+
+def _diagonal_covariance(
+    df: DataFrame, vec_col: str, grid: int = 1_000_000, max_dim: int = 256
+) -> DataFrame:
+    """Diagonal-only covariance, same output columns as
+    embedding_covariance restricted to i == j: the statistics pass for
+    standardize_embeddings, which reads ONLY the d variances — the full
+    upper-triangle aggregate would explode d(d+1)/2 cells per row for
+    d useful ones (~(d+1)/2× wasted fan-out at d=256)."""
+    staged = _snapped_vectors(df, vec_col, grid, max_dim)
+    g2 = float(grid) * float(grid)
+    agg = (
+        staged.select(F.posexplode("_v").alias("_i0", "_x"))
+        .select((F.col("_i0") + 1).alias("i"), F.col("_x"))
+        .groupBy("i")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col("_x").cast("decimal(38,0)")).alias("_s"),
+            F.sum(
+                (
+                    F.col("_x").cast("decimal(38,0)")
+                    * F.col("_x").cast("decimal(38,0)")
+                )
+            ).alias("_q"),
+        )
+    )
+    raw_num = (
+        F.col("_n").cast("decimal(38,0)") * F.col("_q") - F.col("_s") * F.col("_s")
+    )
+    num = F.when(
+        raw_num.isNull(),
+        F.raise_error(
+            F.lit("embedding_covariance: moment arithmetic overflowed DECIMAL(38,0); lower grid")
+        ).cast("decimal(38,0)"),
+    ).otherwise(raw_num)
+    mean = F.round(
+        F.col("_s").cast("double") / F.col("_n") / F.lit(float(grid)), 9
+    )
+    return agg.select(
+        "i",
+        F.col("i").alias("j"),
+        F.col("_n").cast("bigint").alias("n"),
+        mean.alias("mean_i"),
+        mean.alias("mean_j"),
+        F.round(
+            num.cast("double")
+            / (F.col("_n").cast("double") * F.col("_n").cast("double"))
+            / F.lit(g2),
+            9,
+        ).alias("cov"),
+    )
+
+
 def embedding_covariance(
     df: DataFrame,
     vec_col: str,
@@ -643,39 +738,7 @@ def embedding_covariance(
     covariance).  NULL vectors are dropped; NaN/±Inf components raise
     (a NaN would snap to an engine-defined integer silently).
     """
-    if grid <= 0:
-        raise ValueError("grid must be positive")
-    lim = (1 << 62) // grid
-
-    def snap(x: Column) -> Column:
-        # x.isNull() first: a NULL component would otherwise snap to NULL,
-        # silently vanish from sum() while count() still counts the row,
-        # and skew every moment it touches
-        bad = x.isNull() | F.isnan(x) | (F.abs(x) >= F.lit(float(lim)))
-        return F.when(
-            bad,
-            F.raise_error(
-                F.lit("embedding_covariance: NULL/NaN/Inf or component too large for grid")
-            ).cast("double"),
-        ).otherwise(F.round(x.cast("double") * F.lit(grid), 0)).cast("bigint")
-
-    staged = (
-        # empty arrays are dropped like NULL vectors (they carry no
-        # moments; Spark's sequence(1, 0) counts DOWN and would index
-        # element 0) — the oracle's empty generate_series skips them too
-        df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
-        .select(F.transform(F.col(vec_col), snap).alias("_v"))
-        .localCheckpoint(eager=True)
-        .withColumn(
-            "_d",
-            F.when(
-                F.size("_v") > F.lit(max_dim),
-                F.raise_error(
-                    F.lit(f"embedding_covariance: dim exceeds max_dim={max_dim}")
-                ).cast("int"),
-            ).otherwise(F.size("_v")),
-        )
-    )
+    staged = _snapped_vectors(df, vec_col, grid, max_dim)
     idx = F.sequence(F.lit(1), F.col("_d"))
     tri = F.flatten(
         F.transform(
@@ -912,7 +975,8 @@ def standardize_embeddings(
     from .corpus import join_singleton
 
     if cov_long is None:
-        cov_long = embedding_covariance(df, vec_col, grid=grid)
+        # diagonal-only statistics: d cells per row, not d(d+1)/2
+        cov_long = _diagonal_covariance(df, vec_col, grid=grid)
     diag = (
         cov_long.filter(F.col("i") == F.col("j"))
         .select(F.struct(F.col("i"), F.col("mean_i"), F.col("cov")).alias("_c"))
@@ -931,10 +995,18 @@ def standardize_embeddings(
     ).select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_x"))
     z = F.transform(
         F.col("_x"),
+        # NULL/NaN components raise HERE too: with a reused cov_long the
+        # covariance op's snap guard never sees this frame, and a silent
+        # NaN z-score would corrupt every downstream distance
         lambda x, i: F.when(
-            F.size(F.col("_x")) != F.size(F.col("_means")),
+            (F.size(F.col("_x")) != F.size(F.col("_means")))
+            | x.isNull()
+            | F.isnan(x),
             F.raise_error(
-                F.lit("standardize_embeddings: vector/statistics dimension mismatch")
+                F.lit(
+                    "standardize_embeddings: NULL/NaN component or "
+                    "vector/statistics dimension mismatch"
+                )
             ).cast("double"),
         ).otherwise(
             F.when(

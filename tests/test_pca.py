@@ -203,7 +203,7 @@ def test_standardize_hand_computed(spark):
 
     # dim0: values 1,2,3 -> mean 2, var 2/3; dim1 constant -> std 0 -> z=0
     df = _vecs(spark, [[1.0, 5.0], [2.0, 5.0], [3.0, 5.0]])
-    rows = {r.vec_id: list(r.proj) if hasattr(r, "proj") else list(r.vec)
+    rows = {r.vec_id: list(r.vec)
             for r in standardize_embeddings(df, "embedding", "vec_id").collect()}
     import math
 
@@ -227,3 +227,16 @@ def test_standardize_reuses_cov_and_guards(spark):
     with pytest.raises(Exception) as e:
         standardize_embeddings(other, "embedding", "vec_id", cov_long=cov).collect()
     assert "dimension mismatch" in str(e.value)
+
+
+def test_standardize_nan_component_raises_even_with_reused_cov(spark):
+    from etl_scripts_spark.operators.similarity import standardize_embeddings
+
+    clean = _vecs(spark, [[1.0, 2.0], [3.0, 4.0], [5.0, 7.0]])
+    cov = embedding_covariance(clean, "embedding")
+    dirty = spark.createDataFrame(
+        [(9, [1.0, float("nan")])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception) as e:
+        standardize_embeddings(dirty, "embedding", "vec_id", cov_long=cov).collect()
+    assert "NULL/NaN" in str(e.value)
