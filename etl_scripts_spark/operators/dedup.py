@@ -1161,7 +1161,20 @@ def incremental_setsim(
             F.col("_cid").alias("best_match_id"),
         )
     )
-    ids = batch.select(F.col(id_col)).distinct()
+    # the final report join is null-UNSAFE by design, so a NULL batch id
+    # would silently come back is_dup=false — raise loudly instead, the
+    # convention every other id-keyed op in this module follows
+    id_type = batch.schema[id_col].dataType.simpleString()
+    ids = batch.select(
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit("incremental_setsim: NULL batch ids are not allowed")
+            ).cast(id_type),
+        )
+        .otherwise(F.col(id_col))
+        .alias(id_col)
+    ).distinct()
     return (
         ids.join(best, ids[id_col] == best["_bid"], "left")
         .select(

@@ -667,8 +667,8 @@ def _diagonal_covariance(
     staged = _snapped_vectors(df, vec_col, grid, max_dim)
     g2 = float(grid) * float(grid)
     agg = (
-        staged.select(F.posexplode("_v").alias("_i0", "_x"))
-        .select((F.col("_i0") + 1).alias("i"), F.col("_x"))
+        staged.select(F.posexplode("_v").alias("_i0", "_x"), F.col("_d"))
+        .select((F.col("_i0") + 1).alias("i"), F.col("_x"), F.col("_d"))
         .groupBy("i")
         .agg(
             F.count(F.lit(1)).alias("_n"),
@@ -679,7 +679,22 @@ def _diagonal_covariance(
                     * F.col("_x").cast("decimal(38,0)")
                 )
             ).alias("_q"),
+            # same mixed-dims guard as embedding_covariance: ragged input
+            # would give each dimension a DIFFERENT population (per-dim n
+            # varies) — a silently ill-defined statistic that only blows
+            # up later at projection time in standardize_embeddings
+            F.min("_d").alias("_dmin"),
+            F.max("_d").alias("_dmax"),
         )
+    )
+    agg = agg.withColumn(
+        "_n",
+        F.when(
+            F.col("_dmin") != F.col("_dmax"),
+            F.raise_error(
+                F.lit("embedding_covariance: mixed vector lengths in input")
+            ).cast("bigint"),
+        ).otherwise(F.col("_n")),
     )
     raw_num = (
         F.col("_n").cast("decimal(38,0)") * F.col("_q") - F.col("_s") * F.col("_s")

@@ -1084,11 +1084,17 @@ def stratified_sample_sql(
 ) -> str:
     """DuckDB twin of sampling.stratified_sample: identical Hamilton
     allocation in exact HUGEINT arithmetic, identical md5(salt|id)
-    selection order (both engines compare the lowercase hex string)."""
+    selection order (both engines compare the lowercase hex string).
+    The Spark side's total_n > row-count guard is mirrored with an
+    error() arm in `tot` — without it the twin would silently return
+    fewer than total_n rows where the op raises."""
     return f"""
 WITH src AS ({source_cte}),
 cnt AS (SELECT {stratum} AS st, count(*) AS ng FROM src GROUP BY 1),
-tot AS (SELECT sum(ng) AS n FROM cnt),
+tot AS (SELECT CASE WHEN {total_n} > sum(ng)
+                    THEN error('stratified_sample: total_n exceeds input rows')
+                    ELSE sum(ng) END AS n
+        FROM cnt),
 alloc0 AS (
   SELECT st, ng, n,
          ({total_n}::HUGEINT * ng) // n AS base,

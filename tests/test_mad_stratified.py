@@ -142,6 +142,21 @@ def test_stratified_null_stratum_and_guards(spark):
     assert stratified_sample(empty, 0, "grp", "id").count() == 0
 
 
+def test_stratified_oracle_mirrors_overbudget_guard(spark):
+    """The DuckDB twin raises on total_n > input rows just like the op —
+    without the mirrored guard it would silently return fewer rows."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, grp VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(1, "a"), (2, "b")])
+    with pytest.raises(duckdb.Error) as e:
+        con.execute(
+            oracle.stratified_sample_sql("SELECT id, grp FROM t", 99, "grp", "id")
+        ).fetchall()
+    assert "exceeds input rows" in str(e.value)
+
+
 def test_stratified_total_equals_input_takes_everything(spark):
     rows = [(i, "ab"[i % 2], i) for i in range(10)]
     assert stratified_sample(_vals(spark, rows), 10, "grp", "id").count() == 10

@@ -229,6 +229,22 @@ def test_standardize_reuses_cov_and_guards(spark):
     assert "dimension mismatch" in str(e.value)
 
 
+def test_standardize_ragged_input_raises_at_stats_stage(spark):
+    """The diagonal statistics path carries the same mixed-dims guard as
+    embedding_covariance: ragged vectors raise at the statistics pass,
+    not later (and not silently as per-dimension stats over different
+    populations)."""
+    from etl_scripts_spark.operators.similarity import standardize_embeddings
+
+    mixed = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0]), (3, [4.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception) as e:
+        standardize_embeddings(mixed, "embedding", "vec_id").collect()
+    assert "mixed vector lengths" in str(e.value)
+
+
 def test_standardize_nan_component_raises_even_with_reused_cov(spark):
     from etl_scripts_spark.operators.similarity import standardize_embeddings
 

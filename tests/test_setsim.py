@@ -126,6 +126,21 @@ def test_incremental_copy_and_novel(spark):
     assert len(got) == 4  # every batch doc reported exactly once
 
 
+def test_incremental_null_batch_id_raises(spark):
+    """The final report join is null-unsafe, so a NULL batch id would
+    silently come back is_dup=false — the op raises in-plan instead."""
+    from etl_scripts_spark.operators.dedup import incremental_setsim
+
+    corpus = _docs(spark, [(1, "alpha beta gamma delta")])
+    batch = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (None, "sneaky null id")],
+        "doc_id bigint, text string",
+    )
+    with pytest.raises(Exception) as e:
+        incremental_setsim(corpus, batch, t_num=6, t_den=10).collect()
+    assert "NULL batch ids" in str(e.value)
+
+
 def test_incremental_best_match_tiebreak(spark):
     from etl_scripts_spark.operators.dedup import incremental_setsim
 
