@@ -6584,6 +6584,282 @@ def q_refresh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-9 registrations: the pinned queue drain (CDC feed, spectrogram,
+# grouped OLS, expectations, PMI, PSI drift) + the TPC-H drip (Q17, Q22)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q_snapshot_changes",
+    oracle.table_changes_sql(
+        """SELECT o_orderkey AS k, o_orderstatus AS grp,
+                  round(o_totalprice * 100)::BIGINT AS x
+           FROM orders WHERE o_orderkey % 7 <> 0""",
+        """SELECT o_orderkey AS k,
+                  CASE WHEN o_orderkey % 5 = 0 THEN 'Z' ELSE o_orderstatus END AS grp,
+                  (round(o_totalprice * 100)::BIGINT
+                   + CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 97 ELSE 0 END) AS x
+           FROM orders WHERE o_orderkey % 11 <> 0""",
+        keys=["k"],
+        attrs=["grp", "x"],
+    ),
+)
+def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff (sinks/cdc.snapshot_changes): the change feed
+    between two orders snapshots — inserts (%7 keys absent from old),
+    deletes (%11 keys absent from new), measure updates (%3 keys), and
+    group migrations (%5 keys) as pre/post image pairs.  Same snapshot
+    recipe q_refresh_rollup consumes downstream, so the feed this query
+    verifies is exactly the one the rollup-refresh registration folds.
+    ONE full-outer join on the key (two exchanges total, plan-pinned in
+    tests/test_cdc.py) — O(old + new) at any scale, and the 4-way
+    classification is a projection, not four scans.  Reference analogue:
+    the dropbox re-registration diff (what changed since the last
+    openBIS sync) the reference recomputes by listing both trees."""
+    from etl_scripts_spark.sinks.cdc import snapshot_changes
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("grp"),
+        cents.alias("x"),
+    )
+    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit("Z"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("grp"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderkey") % 97).otherwise(
+                F.lit(0)
+            )
+        ).alias("x"),
+    )
+    return snapshot_changes(old, new, ["k"])
+
+
+@_register(
+    "q_audio_spectrogram",
+    oracle.spectrogram_law_sql("SELECT doc_id FROM documents"),
+)
+def q_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio frequency fingerprinting (multimodal.audio_spectrogram): a
+    REAL rFFT (numpy inside the Arrow stage) over the integer square-tone
+    WAV fixture — per frame the dominant non-DC bin and the exact int64
+    time-domain energy (Parseval-tied to the spectrum in the unit test,
+    so a broken transform cannot pass).  Map-only: cost scales with
+    payload bytes, zero shuffles; payloads never leave the Arrow batch.
+    The oracle is the fixture's closed-form law (sample rate, frame
+    count, fundamental bin, ±A energy), integer-exact in both engines."""
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.audio_spectrogram(multimodal.with_square_wav_payload(docs))
+
+
+@_register(
+    "q_grouped_ols",
+    oracle.grouped_ols_sql(
+        """SELECT l_returnflag,
+                  CASE WHEN l_orderkey % 19 <> 0 THEN round(l_quantity)::BIGINT END AS x,
+                  round(l_extendedprice * 100)::BIGINT AS y
+           FROM lineitem""",
+        y="y",
+        x="x",
+        by=["l_returnflag"],
+    ),
+)
+def q_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least squares (reports/regression.grouped_ols): price
+    cents regressed on quantity per return flag, with a %19 NULL-x band
+    exercising the pairwise-exclusion law (both moments must see the
+    same rows).  The five moment sums ride exact DECIMAL(38,0) in ONE
+    map-side-combined aggregate — order-independent hence partitioning-
+    invariant — and double division is the only float step, rounded to
+    the repo's 9-dp cross-engine contract.  The oracle recomputes the
+    identical closed forms in HUGEINT, NOT DuckDB's regr_* (those
+    accumulate in floating point and drift with scan order)."""
+    from etl_scripts_spark.reports.regression import grouped_ols
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.when(
+            F.col("l_orderkey") % 19 != 0, F.round(F.col("l_quantity")).cast("bigint")
+        ).alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    return grouped_ols(li, "y", "x", ["l_returnflag"])
+
+
+@_register(
+    "q_expectation_report",
+    oracle.expectation_report_sql(
+        "SELECT * FROM orders",
+        [
+            ("positive_price", "o_totalprice > 0"),
+            ("status_known", "o_orderstatus IN ('O', 'F', 'P')"),
+            ("priority_dashed", "o_orderpriority LIKE '%-%'"),
+            ("custkey_present", "o_custkey IS NOT NULL"),
+            ("below_cap", "o_totalprice < 300000"),
+        ],
+    ),
+)
+def q_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations engine (reports/expectations
+    .expectation_report): five named rules over orders evaluated as
+    conditional counts in ONE aggregate over ONE scan (never a scan per
+    rule), NULL predicates fail closed-world (`IS TRUE`), fail rate at
+    the 9-dp parity round.  `below_cap` fails on real rows so the
+    non-zero arm is driver-verified, not just the all-pass path.  The
+    Spark form of the reference's schema-validation-as-testing
+    (drop-boxes/register-imgag-dropbox/upload-metadata.schema.json:1-60,
+    register-omero.py:67,204-214)."""
+    from etl_scripts_spark.reports.expectations import expectation_report
+
+    o = _t(spark, sf_dir, "orders")
+    return expectation_report(
+        o,
+        [
+            ("positive_price", F.col("o_totalprice") > 0),
+            ("status_known", F.col("o_orderstatus").isin("O", "F", "P")),
+            ("priority_dashed", F.col("o_orderpriority").contains("-")),
+            ("custkey_present", F.col("o_custkey").isNotNull()),
+            ("below_cap", F.col("o_totalprice") < 300000),
+        ],
+    )
+
+
+@_register(
+    "q_pmi_collocations",
+    oracle.pmi_collocations_sql("SELECT text FROM documents", min_count=5),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (corpus.pmi_collocations): consecutive word
+    pairs over the documents corpus scored by PMI/NPMI — the phrase-
+    detection pass between tokenization and vocabulary construction.
+    Tokenize ONCE (staged `_w`, plan-guarded), one explode+groupBy per
+    n-gram order collapsing to vocabulary size map-side, min_count
+    prunes the bigram tail BEFORE the two vocabulary-keyed joins, corpus
+    totals attach as 1-row broadcasts.  Nothing downstream of the
+    explodes is corpus-sized — at 100 TB the joins move vocabulary
+    tables, not documents."""
+    from etl_scripts_spark.operators import corpus
+
+    return corpus.pmi_collocations(
+        _t(spark, sf_dir, "documents"), "text", min_count=5
+    )
+
+
+#: PSI histogram law shared by the Spark query and its oracle: cents in
+#: [0, 50M) over 100 bins — width 500000.0 is exact in binary, so the
+#: floor((v - lo)/width) bin math lands identically in both engines.
+_PSI_LO, _PSI_HI, _PSI_BINS = 0.0, 50_000_000.0, 100
+_PSI_SHIFT = 20_000_000
+
+
+def _psi_hist_cte(side: str) -> str:
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    parity = 0 if side == "base" else 1
+    shift = (
+        f" + CASE WHEN o_orderpriority LIKE '1%' THEN {_PSI_SHIFT} ELSE 0 END"
+        if side == "new"
+        else ""
+    )
+    return f"""(
+  SELECT grp, LEAST({_PSI_BINS - 1}, GREATEST(0,
+           floor((v::DOUBLE - {_PSI_LO!r}) / {width!r})::INT)) AS bin,
+         count(*) AS cnt
+  FROM (SELECT o_orderpriority AS grp,
+               round(o_totalprice * 100)::BIGINT{shift} AS v
+        FROM orders WHERE o_orderkey % 2 = {parity})
+  GROUP BY 1, 2
+)"""
+
+
+@_register(
+    "q_psi_report",
+    "SELECT grp, psi::DOUBLE AS psi, status FROM ("
+    + oracle.psi_report_sql(_psi_hist_cte("base"), _psi_hist_cte("new"), group_col="grp")
+    + ")",
+)
+def q_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (reports/drift.psi_report over
+    sketch.histogram_sketch): Population Stability Index per order
+    priority between the even- and odd-key halves of orders, with a
+    planted +200k shift on the '1-URGENT' group so the 'shifted' status
+    arm is driver-verified alongside 'stable'.  O(groups × bins) — the
+    diff compares persisted sketches, never the original batches (the
+    standing-index economics of the KMV/CMS merge laws); per-bin terms
+    round to 9 dp and sum as DECIMAL so PSI is aggregation-order-
+    independent and engine-portable.  The oracle recomputes the
+    identical smoothed-bin law from scratch in DuckDB."""
+    from etl_scripts_spark.operators.sketch import histogram_sketch
+    from etl_scripts_spark.reports.drift import psi_report
+
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderpriority").alias("grp"), cents.alias("v")
+    )
+    new = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderpriority").alias("grp"),
+        (
+            cents
+            + F.when(
+                F.col("o_orderpriority").startswith("1"), F.lit(_PSI_SHIFT)
+            ).otherwise(F.lit(0))
+        ).alias("v"),
+    )
+    bh = histogram_sketch(base, "grp", "v", _PSI_LO, _PSI_HI, _PSI_BINS)
+    nh = histogram_sketch(new, "grp", "v", _PSI_LO, _PSI_HI, _PSI_BINS)
+    out = psi_report(bh, nh, group_col="grp")
+    return out.select("grp", F.col("psi").cast("double").alias("psi"), "status")
+
+
+@_register("q_tpch_q17", None)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (reports/tpch.q17_small_quantity_revenue): revenue lost
+    on below-20%-of-average-quantity orders for one brand.  The rewrite
+    replaces the textbook correlated subquery with ONE map-side-combined
+    per-part aggregate joined back, and prunes the fact table to the
+    brand's parts (broadcast) BEFORE aggregating — the threshold divides
+    exact DECIMAL sums so the float compare is deterministic.  The
+    oracle is the INDEPENDENT textbook correlated form."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q17_small_quantity_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_register("q_tpch_q22", None)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (reports/tpch.q22_idle_balances): above-average-balance
+    customers with no high-value order, grouped by country code.  The
+    positive-balance average attaches as a 1-row broadcast (never a
+    correlated re-scan), NOT EXISTS is a left_anti join with orders
+    projected to the key first, balances ride exact BIGINT cents.  The
+    oracle is the textbook scalar-subquery + NOT EXISTS form."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q22_idle_balances(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+# bind the pre-pinned textbook oracles (the @_register literal slot can't
+# call module functions at decoration time without importing tpch eagerly)
+def _bind_tpch_oracles() -> None:
+    from etl_scripts_spark.reports import tpch
+
+    _ORACLES["q_tpch_q17"] = tpch.q17_oracle_sql()
+    _ORACLES["q_tpch_q22"] = tpch.q22_oracle_sql()
+
+
+_bind_tpch_oracles()
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 
@@ -6599,17 +6875,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh-green), so every query gets a driver check at least every ~3 rounds
 # — a regression in a long-green query can hide for at most that long.
 
-#: New in round 8 (never driver-green yet) → head of the rotation; the
-#: r6 verdict caps new registrations at ≤6 so the 50-slot window keeps
-#: cycling the full registry in ≤4 rounds.  Everything else rides the
-#: least-recently-green order (the r4-green ×21 cohort is up this round).
+#: New in round 9 (never driver-green yet) → head of the rotation: the
+#: six pinned queue operators plus the r8-verdict-requested TPC-H drip
+#: (Q17/Q22).  Budget check (the ≤6 cap exists to protect the 50-slot
+#: window): 8 new + the r5-green ×25 cohort = 33 ≤ 50, so the staleness
+#: floor still advances to r6 this round.  Everything else rides the
+#: least-recently-green order.
 _CHANGED_THIS_ROUND = (
-    "q_bloom_prune_join",
-    "q_scd2_apply",
-    "q_pagerank",
-    "q_skipping_report",
-    "q_interval_join",
-    "q_refresh_rollup",
+    "q_snapshot_changes",
+    "q_audio_spectrogram",
+    "q_grouped_ols",
+    "q_expectation_report",
+    "q_pmi_collocations",
+    "q_psi_report",
+    "q_tpch_q17",
+    "q_tpch_q22",
 )
 
 

@@ -129,6 +129,17 @@ HEADLINE = [
     "q_skipping_report",
     "q_interval_join",
     "q_refresh_rollup",
+    # round-9 additions: the queue drain (CDC feed, spectrogram FFT,
+    # grouped OLS, expectations engine, PMI collocations, PSI drift)
+    # plus the TPC-H drip (Q17 small-quantity, Q22 idle balances)
+    "q_snapshot_changes",
+    "q_audio_spectrogram",
+    "q_grouped_ols",
+    "q_expectation_report",
+    "q_pmi_collocations",
+    "q_psi_report",
+    "q_tpch_q17",
+    "q_tpch_q22",
 ]
 
 
@@ -221,6 +232,24 @@ def main() -> None:
             file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+    # Self-diagnosis against recorded standalone floors (BENCH_FLOORS.json,
+    # written by scripts/record_floors.py: min-of-2 across SEPARATE JVM
+    # sessions in small batches).  An in-suite time > 2x its floor is
+    # driver-box / suite-context noise, not a plan regression — r7 and r8
+    # each burned round time re-attributing such movers by hand; the flag
+    # makes the artifact carry its own attribution.  Floors below 0.2 s
+    # are skipped (jitter at that size trips 2x without meaning anything).
+    inflated: dict[str, dict[str, float]] = {}
+    floors_path = Path(__file__).resolve().parent / "BENCH_FLOORS.json"
+    if floors_path.exists():
+        try:
+            floors = json.loads(floors_path.read_text()).get("floors", {})
+        except ValueError:
+            floors = {}
+        for name, t in timings.items():
+            f = floors.get(name)
+            if f is not None and f >= 0.2 and t > 2 * f:
+                inflated[name] = {"suite": t, "floor": f}
     # Key order matters: the driver's capture keeps only the TAIL of stdout
     # (BENCH_r06 clipped the head mid-`runs` and lost the total), so the
     # bulky diagnostics (`runs`) go FIRST, then `queries`, and every scalar
@@ -231,10 +260,13 @@ def main() -> None:
     result = {"runs": runs}
     if errors:
         result["errors"] = errors
+    if inflated:
+        result["inflated"] = inflated
     result["queries"] = timings
     result["metric"] = "headline_suite_seconds"
     result["unit"] = "sec"
     result["sf"] = sf
+    result["n_inflated"] = len(inflated)
     result["n_queries"] = len(timings)
     result["value"] = total
     print(json.dumps(result, separators=(",", ":")))

@@ -16,6 +16,8 @@ All hashing is md5-based so the DuckDB oracle reproduces results exactly.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1073,13 +1075,52 @@ def setsim_pairs(
     )
 
 
-def incremental_setsim(
+class SetsimIndex(NamedTuple):
+    """Persisted corpus prefix index for :func:`incremental_setsim`:
+    the document-frequency table and the sorted-token doc table, both
+    localCheckpointed so consecutive batches reuse the materialized
+    build instead of re-tokenizing the corpus.  Thresholds ride along
+    because the prefix length p is a FUNCTION of t — reusing an index
+    built at a different threshold would silently under- or over-prune
+    candidates, so the consumer validates them loudly."""
+
+    freq: DataFrame
+    docs: DataFrame
+    t_num: int
+    t_den: int
+
+
+def setsim_index(
     corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    t_num: int = 7,
+    t_den: int = 10,
+) -> SetsimIndex:
+    """Build the standing corpus index incremental_setsim consumes: in
+    production this is built ONCE per corpus version and every arriving
+    batch joins against it — the O(batch + collisions) claim holds only
+    when the corpus tokenize + df shuffle + sort amortize across
+    batches (scripts/probe_incremental_setsim.py pins this end-to-end
+    with 3 consecutive batches against one index)."""
+    _check_setsim_threshold(t_num, t_den)
+    ctoks = _setsim_toks(corpus, text_col, id_col)
+    freq = (
+        ctoks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .localCheckpoint(eager=True)
+    )
+    return SetsimIndex(freq, _setsim_docs(ctoks, freq, t_num, t_den), t_num, t_den)
+
+
+def incremental_setsim(
+    corpus: DataFrame | None,
     batch: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     t_num: int = 7,
     t_den: int = 10,
+    index: SetsimIndex | None = None,
 ) -> DataFrame:
     """Batch-vs-history EXACT set-similarity check — the deterministic
     sibling of :func:`incremental_near_dups`: one row per batch document,
@@ -1109,15 +1150,21 @@ def incremental_setsim(
     _check_setsim_threshold(t_num, t_den)
     from pyspark.sql import Window
 
-    ctoks = _setsim_toks(corpus, text_col, id_col)
-    # checkpoint the df table: BOTH _setsim_docs calls consume it, and an
-    # uncached freq would re-run the corpus tokenize + df shuffle twice
-    freq = (
-        ctoks.groupBy("_tok")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .localCheckpoint(eager=True)
-    )
-    cdocs = _setsim_docs(ctoks, freq, t_num, t_den)
+    if index is not None:
+        if (index.t_num, index.t_den) != (t_num, t_den):
+            # p = s − ceil(t·s) + 1 is threshold-dependent: an index built
+            # at a different t has wrong prefixes for THIS query and would
+            # silently miss (or over-generate) candidates
+            raise ValueError(
+                "incremental_setsim: index was built at threshold "
+                f"{index.t_num}/{index.t_den}, query asks {t_num}/{t_den}"
+            )
+        freq, cdocs = index.freq, index.docs
+    else:
+        if corpus is None:
+            raise ValueError("incremental_setsim: pass either corpus or index")
+        idx = setsim_index(corpus, text_col, id_col, t_num, t_den)
+        freq, cdocs = idx.freq, idx.docs
     bdocs = _setsim_docs(_setsim_toks(batch, text_col, id_col), freq, t_num, t_den)
     bp = _setsim_prefixes(bdocs).select(
         F.col("_tok"), F.col("_id").alias("_bid"), F.col("_s").alias("_bs")

@@ -31,6 +31,9 @@ ARROW_STAGES = {
     "q_multimodal_resize",
     "q_multimodal_audio_stats",
     "q_multimodal_video_frames",
+    # square-tone WAV fixture synthesis + the rFFT itself (numpy inside
+    # the Arrow stage) — map-only, payloads never leave the batch
+    "q_audio_spectrogram",
     "q_pdf_metadata",
     "q_tool_dryrun",
     # parquet FOOTER sweep (mapInPandas+pyarrow) + distributed bucket writer
@@ -71,6 +74,11 @@ CROSS_JOINS_BY_DESIGN = {
     # bounded-subset brute-force ground truth + 1-row stat stitching
     # (the LSH-recall measurement baseline, like q_ivf_recall's brute arm)
     "q_lsh_recall",
+    # two 1-row corpus totals (N_uni, N_bi) attached via join_singleton
+    "q_pmi_collocations",
+    # the global positive-balance average as a 1-row broadcast threshold
+    # (join_singleton) — the decorrelated form of Q22's scalar subquery
+    "q_tpch_q22",
 }
 
 STREAMING = {

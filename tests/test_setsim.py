@@ -126,6 +126,38 @@ def test_incremental_copy_and_novel(spark):
     assert len(got) == 4  # every batch doc reported exactly once
 
 
+def test_incremental_persisted_index_equals_rebuild(spark):
+    """A setsim_index built once and reused across batches gives rows
+    identical to the rebuild-per-call path (the production persisted-
+    index claim), and a threshold mismatch between index and query
+    raises instead of silently mis-pruning."""
+    from etl_scripts_spark.operators.dedup import incremental_setsim, setsim_index
+
+    corpus = _docs(spark, [
+        (1, "alpha beta gamma delta"),
+        (2, "one two three four five"),
+    ])
+    idx = setsim_index(corpus, t_num=6, t_den=10)
+    for batch_rows in (
+        [(10, "alpha beta gamma delta"), (11, "novel words entirely here")],
+        [(20, "one two three four six"), (21, "alpha beta gamma epsilon")],
+    ):
+        batch = _docs(spark, batch_rows)
+        via_index = sorted(
+            tuple(r)
+            for r in incremental_setsim(None, batch, t_num=6, t_den=10, index=idx).collect()
+        )
+        rebuilt = sorted(
+            tuple(r)
+            for r in incremental_setsim(corpus, batch, t_num=6, t_den=10).collect()
+        )
+        assert via_index == rebuilt
+    with pytest.raises(ValueError, match="built at threshold"):
+        incremental_setsim(None, _docs(spark, [(30, "x")]), t_num=7, t_den=10, index=idx)
+    with pytest.raises(ValueError, match="corpus or index"):
+        incremental_setsim(None, _docs(spark, [(30, "x")]), t_num=6, t_den=10)
+
+
 def test_incremental_null_batch_id_raises(spark):
     """The final report join is null-unsafe, so a NULL batch id would
     silently come back is_dup=false — the op raises in-plan instead."""
