@@ -6860,6 +6860,361 @@ _bind_tpch_oracles()
 
 
 # ---------------------------------------------------------------------------
+# r10 pre-staged registrations.  NOT exposed through queries()/oracle_sql()
+# yet — the r8 verdict froze new banking and capped this round's
+# registrations, so these seven are fully written (query + oracle), verified
+# against their oracles at sf0.001/sf0.01 by tests/test_staged_r10.py, and
+# the r10 flip is pure plumbing: change @_stage_r10 to @_register, add the
+# names to _CHANGED_THIS_ROUND and bench.HEADLINE, flip the COVERAGE rows.
+# ---------------------------------------------------------------------------
+
+_STAGED_R10: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_STAGED_ORACLES: dict[str, str] = {}
+
+
+def _stage_r10(name: str, oracle_sql: str | None = None):
+    def deco(fn):
+        _STAGED_R10[name] = fn
+        if oracle_sql is not None:
+            _STAGED_ORACLES[name] = oracle_sql
+        return fn
+
+    return deco
+
+
+def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """r10 candidates — same contract as queries(), verified by
+    tests/test_staged_r10.py; not part of the driver surface yet."""
+    return dict(_STAGED_R10)
+
+
+def staged_oracle_sql() -> dict[str, str]:
+    return dict(_STAGED_ORACLES)
+
+
+@_stage_r10(
+    "q_image_ahash",
+    # ahash law over the pixel fixture, recomputed from doc_id arithmetic:
+    # luma = 1000·v replicates across channels (r=g=b in every fixture
+    # variant), so the 1000 cancels in the exact cross-multiply
+    # cell_sum·total_cnt > total_sum·cell_cnt; bit 8·cy+cx with the floor
+    # cell map (y·8//h, x·8//w); bit 63 wraps signed like the Spark side.
+    """
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+      FROM dims
+    ),
+    lum AS (
+      SELECT doc_id,
+             ((i % w) * 3 + (i // w) * 7 + doc_id) % 256 AS v,
+             ((i // w) * 8 // h) * 8 + ((i % w) * 8 // w) AS cell
+      FROM px
+    ),
+    cells AS (
+      SELECT doc_id, cell, sum(v)::HUGEINT AS cs, count(*)::HUGEINT AS cc
+      FROM lum GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(cs) AS ts, sum(cc) AS tc FROM cells GROUP BY 1),
+    raw AS (
+      SELECT c.doc_id,
+             sum(CASE WHEN c.cs * t.tc > t.ts * c.cc
+                      THEN 1::HUGEINT << c.cell ELSE 0 END) AS a
+      FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+      GROUP BY 1
+    )
+    SELECT doc_id,
+           (CASE WHEN a >= 9223372036854775808::HUGEINT
+                 THEN a - 18446744073709551616::HUGEINT ELSE a END)::BIGINT AS ahash
+    FROM raw
+    """,
+)
+def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing (multimodal.image_ahash): REAL decode
+    (PNG all-5-filters / BMP) → integer-luma 8×8 aHash, map-only Arrow
+    stage, signatures bit-reproducible via the exact cross-multiply.
+    The oracle recomputes every hash from the fixture's closed-form
+    pixel law — a one-byte decode bug flips signature bits."""
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.image_ahash(multimodal.with_pixel_image_payload(docs))
+
+
+@_stage_r10(
+    "q_signature_dup_clusters",
+    # synthetic signature table with planted near-groups (base hash ⊕
+    # {0, bits{0,3}, bit 20} per member): the oracle recomputes the sigs,
+    # brute-forces ALL pairs at hamming ≤ 3 over distinct-sig reps (no
+    # banding to hide in), closes them with a recursive label-propagation
+    # CTE, and re-attaches members by signature — the group-size-safe path
+    # (identical sigs never meet pairwise) verified end-to-end.
+    """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             xor(('0x' || substr(md5((doc_id // 3)::VARCHAR), 1, 15))::BIGINT,
+                 CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 9 ELSE 1048576 END) AS sig
+      FROM documents
+    ),
+    d AS (SELECT sig, min(doc_id) AS rep FROM s GROUP BY sig),
+    p AS (
+      SELECT a.rep AS id_a, b.rep AS id_b
+      FROM d a JOIN d b
+        ON a.rep < b.rep AND bit_count(xor(a.sig, b.sig)) <= 3
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION ALL SELECT id_b, id_a FROM p
+    ),
+    lp(id, lbl) AS (
+      SELECT rep, rep FROM d
+      UNION
+      SELECT e.dst, lp.lbl FROM lp, edges e WHERE lp.id = e.src
+    ),
+    comp AS (SELECT id, min(lbl) AS component FROM lp GROUP BY id),
+    reps AS (
+      SELECT d.sig, coalesce(c.component, d.rep) AS cluster
+      FROM d LEFT JOIN comp c ON d.rep = c.id
+    )
+    SELECT s.doc_id, r.cluster FROM s JOIN reps r ON s.sig = r.sig
+    """,
+)
+def q_signature_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-size-safe near-dup clustering over signatures
+    (multimodal.signature_dup_clusters): dedup signatures FIRST (a
+    million identical logos never meet pairwise), band-join DISTINCT
+    sigs only, min-label CC, members re-attach by signature —
+    O(docs + distinct_sigs + sig_pairs), never O(group²).  Signatures
+    here are a Catalyst-computed planted-group fixture (base-hash ⊕
+    ≤2-bit member perturbations) so the CLUSTERING path is what the
+    oracle verifies; q_image_ahash verifies the image-decode signature
+    stage, composing to the full image_dup_clusters pipeline."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    sig = docs.select(
+        "doc_id",
+        F.expr(
+            "conv(substring(md5(CAST(doc_id DIV 3 AS STRING)), 1, 15), 16, 10)"
+        ).cast("bigint").alias("_b"),
+        (F.col("doc_id") % 3).alias("_m"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "_b ^ CASE _m WHEN 0 THEN 0 WHEN 1 THEN 9 ELSE 1048576 END"
+        ).alias("ahash"),
+    )
+    return multimodal.signature_dup_clusters(sig, "doc_id", "ahash", max_hamming=3)
+
+
+@_stage_r10(
+    "q_mjpeg_video_stats",
+    # MJPEG fixture law: k = 2 + d%5 frames; sampled src = j·k//3; frame
+    # fid = d + src is (16 + fid%9) × (16 + 3·fid%9), 1 or 3 channels,
+    # v(x,y) = (5·(x//8) + 11·(y//8) + fid) mod 256 replicated across
+    # channels — the synthetic JPEG decodes EXACTLY (constant 8×8 blocks),
+    # so every pixel stat is doc_id arithmetic.
+    """
+    WITH dims AS (SELECT doc_id, 2 + doc_id % 5 AS k FROM documents),
+    f AS (SELECT doc_id, k, unnest([0, 1, 2]) AS j FROM dims),
+    fr AS (
+      SELECT doc_id, j, k, (j * k) // 3 AS src, doc_id + (j * k) // 3 AS fid
+      FROM f
+    ),
+    g AS (
+      SELECT doc_id, j, k, src, fid,
+             16 + fid % 9 AS w, 16 + (3 * fid) % 9 AS h,
+             CASE WHEN fid % 2 = 0 THEN 1 ELSE 3 END AS ch
+      FROM fr
+    ),
+    px AS (
+      SELECT doc_id, j, k, src, fid, w, h, ch,
+             unnest(generate_series(0, w * h - 1)) AS i
+      FROM g
+    )
+    SELECT doc_id, j::INT AS frame_idx, src::INT AS src_frame,
+           k::INT AS n_frames, h::INT AS height, w::INT AS width,
+           ch::INT AS channels,
+           (sum((5 * ((i % w) // 8) + 11 * ((i // w) // 8) + fid) % 256) * ch)::BIGINT AS px_sum,
+           min((5 * ((i % w) // 8) + 11 * ((i // w) // 8) + fid) % 256)::INT AS px_min,
+           max((5 * ((i % w) // 8) + 11 * ((i // w) // 8) + fid) % 256)::INT AS px_max
+    FROM px GROUP BY doc_id, j, k, src, fid, w, h, ch
+    """,
+)
+def q_mjpeg_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODEC-LEVEL video decode (multimodal.decode_video_frame_pixels):
+    demux the AVI movi list, even-sample 3 frames (src = j·k//3 — real
+    keyframe seeks, not byte slicing), baseline-JPEG-decode each sampled
+    frame to pixels, reduce to stats inside the Arrow stage.  Map-only;
+    frame pixels never leave the stage.  The oracle recomputes every
+    stat from the fixture's closed-form block law."""
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_video_frame_pixels(
+        multimodal.with_mjpeg_avi_payload(docs), n_frames=3
+    )
+
+
+@_stage_r10(
+    "q_resample_ffill",
+    """
+    WITH obs AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS ts,
+             max(round(value * 100)::BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, ((min(ts) + 3599) // 3600) * 3600 AS lo, max(ts) AS hi
+      FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, 3600)) AS ts
+      FROM bounds WHERE lo <= hi
+    )
+    SELECT g.user_id, g.ts, o.v AS v_ff, o.ts AS ts_ff
+    FROM grid g ASOF LEFT JOIN obs o
+      ON g.user_id = o.user_id AND o.ts <= g.ts
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-grid resampling with forward fill (operators/asof
+    .resample_ffill): per-user hourly ticks over the events stream, each
+    carrying the latest observation at or before it — the time-series
+    gap-filling step before any rolling/drift analysis.  Grid built
+    map-side from the (key, min, max) aggregate (never a driver loop),
+    carry = asof_join's tagged union, ONE key shuffle.  Observations
+    collapse to one per (user, second) first so the as-of pick is
+    tie-free in both engines.  Oracle: DuckDB's NATIVE ASOF JOIN over
+    generate_series — an independent formulation, not a mirror."""
+    from etl_scripts_spark.operators.asof import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(1000000)).cast("bigint").alias("ts"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max("v").alias("v"))
+    )
+    return resample_ffill(obs, by="user_id", on="ts", step=3600)
+
+
+@_stage_r10(
+    "q_weighted_bernoulli",
+    oracle.weighted_bernoulli_sql(
+        "SELECT doc_id, 1 + n_chars % 7 AS w FROM documents", "w", 1, 10
+    ),
+)
+def q_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row importance resampling (sampling.weighted_bernoulli_sample):
+    keep each document with probability w/10 via the exact 48-bit
+    md5(salt|id) draw and HUGEINT/DECIMAL cross-multiply — no float RNG,
+    membership a pure function of (salt, id, w), so re-runs, backfills
+    and any partitioning reproduce the identical sample.  Map-only, zero
+    shuffles.  The DSIR selection step downstream of dsir_logweights."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (1 + F.col("n_chars") % 7).alias("w")
+    )
+    return sampling.weighted_bernoulli_sample(docs, "w", 1, 10)
+
+
+@_stage_r10(
+    "q_batch_retrieval",
+    # score is summed as exact DECIMAL(18,6) in both engines, then cast
+    # to DOUBLE on BOTH sides for the driver hash (exact-decimal → IEEE
+    # is the same correctly-rounded value everywhere; a raw Decimal
+    # object hashes differently from DuckDB's fetched float64)
+    "SELECT query_id, rank, doc_id, score::DOUBLE AS score FROM ("
+    + oracle.batch_retrieval_sql(
+        "(SELECT doc_id, text FROM documents)",
+        "(SELECT doc_id AS query_id, substr(text, 1, 80) AS query_text"
+        " FROM documents WHERE doc_id % 41 = 0)",
+        top_k=10,
+    )
+    + ")",
+)
+def q_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch BM25 retrieval (corpus.batch_retrieval): every 41st doc's
+    80-char prefix queries the whole corpus, top-10 per query.  The
+    corpus becomes an inverted index ONCE (postings + df share one
+    shuffle), the query-term table broadcasts so unmatched postings drop
+    map-side, per-term contributions round to 6 dp and sum as
+    DECIMAL(18,6) (aggregation-order-independent), top-k rides
+    WindowGroupLimit.  The retrieval-evaluation / hard-negative-mining
+    workload at corpus scale."""
+    from etl_scripts_spark.operators import corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries_df = (
+        docs.filter(F.col("doc_id") % 41 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.substring("text", 1, 80).alias("query_text"),
+        )
+    )
+    out = corpus.batch_retrieval(docs, queries_df, top_k=10)
+    return out.withColumn("score", F.col("score").cast("double"))
+
+
+@_stage_r10(
+    "q_link_records",
+    oracle.link_records_sql(
+        """SELECT 1000000 + c_custkey AS rec_id,
+                  CASE c_custkey % 3
+                    WHEN 0 THEN substr(md5(c_custkey::VARCHAR), 1, 5) || ' ' ||
+                                substr(substr(md5(c_custkey::VARCHAR || 'x'), 1, 5), 1, 4) || 'z'
+                    WHEN 1 THEN substr(md5(c_custkey::VARCHAR || 'x'), 1, 5) || ' ' ||
+                                substr(md5(c_custkey::VARCHAR), 1, 5)
+                    ELSE substr(md5(c_custkey::VARCHAR || 'n'), 1, 5) || ' ' ||
+                         substr(md5(c_custkey::VARCHAR || 'm'), 1, 5)
+                  END AS name
+           FROM customer""",
+        """SELECT c_custkey AS rec_id,
+                  substr(md5(c_custkey::VARCHAR), 1, 5) || ' ' ||
+                  substr(md5(c_custkey::VARCHAR || 'x'), 1, 5) AS name
+           FROM customer""",
+        threshold=0.85,
+    ),
+)
+def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table record linkage (er.link_records): an incoming batch of
+    typo / token-reorder / novel name variants against the customer-
+    derived registry — the reference's register-time "existing entity or
+    new?" decision (register-imgag.py:190-218's nested candidate loops)
+    as a blocked, hot-capped, best-match-per-left pipeline.  md5-hex
+    two-token names distribute blocks uniformly (no hot keys by
+    construction) and are pre-normalized, so the oracle replays blocking
+    + both Levenshtein arms + the (sim DESC, id_r) best-match law
+    verbatim.  O(left + right + candidates), never all-pairs."""
+    from etl_scripts_spark.operators.er import link_records
+
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    t1 = F.substring(F.md5(k.cast("string")), 1, 5)
+    t2 = F.substring(F.md5(F.concat(k.cast("string"), F.lit("x"))), 1, 5)
+    right = cust.select(
+        k.alias("rec_id"), F.concat_ws(" ", t1, t2).alias("name")
+    )
+    left = cust.select(
+        (k + 1000000).alias("rec_id"),
+        F.when(
+            k % 3 == 0,
+            F.concat_ws(" ", t1, F.concat(F.substring(t2, 1, 4), F.lit("z"))),
+        )
+        .when(k % 3 == 1, F.concat_ws(" ", t2, t1))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                F.substring(F.md5(F.concat(k.cast("string"), F.lit("n"))), 1, 5),
+                F.substring(F.md5(F.concat(k.cast("string"), F.lit("m"))), 1, 5),
+            )
+        )
+        .alias("name"),
+    )
+    return link_records(left, right, "name", "name", threshold=0.85)
+
+
+# ---------------------------------------------------------------------------
 # Driver contract
 # ---------------------------------------------------------------------------
 

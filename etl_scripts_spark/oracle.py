@@ -1075,6 +1075,28 @@ FROM dev d LEFT JOIN mad {j2}
 """
 
 
+def weighted_bernoulli_sql(
+    source_cte: str,
+    weight: str,
+    rate_num: int,
+    rate_den: int,
+    id_col: str = "doc_id",
+    salt: str = "wbs-v1",
+) -> str:
+    """DuckDB twin of sampling.weighted_bernoulli_sample: identical
+    48-bit md5(salt|id) draw and exact HUGEINT cross-multiply — keep iff
+    u·rate_den < weight·rate_num·2^48.  NULL/negative weights and NULL
+    ids drop, matching the op (negative weight ⇒ rhs ≤ 0 < u·den)."""
+    scale = int(rate_num) * (1 << 48)
+    return f"""
+SELECT * FROM ({source_cte})
+WHERE {weight} IS NOT NULL AND {id_col} IS NOT NULL
+  AND ('0x' || substr(md5('{salt}|' || {id_col}::VARCHAR), 1, 12))::BIGINT
+      * {int(rate_den)}::HUGEINT
+      < {weight}::HUGEINT * {scale}::HUGEINT
+"""
+
+
 def stratified_sample_sql(
     source_cte: str,
     total_n: int,
