@@ -6860,21 +6860,25 @@ _bind_tpch_oracles()
 
 
 # ---------------------------------------------------------------------------
-# r10 pre-staged registrations.  NOT exposed through queries()/oracle_sql()
-# yet — the r8 verdict froze new banking and capped this round's
-# registrations, so these seven are fully written (query + oracle), verified
-# against their oracles at sf0.001/sf0.01 by tests/test_staged_r10.py, and
-# the r10 flip is pure plumbing: change @_stage_r10 to @_register, add the
-# names to _CHANGED_THIS_ROUND and bench.HEADLINE, flip the COVERAGE rows.
+# Pre-staged registrations (r10+).  NOT exposed through queries()/
+# oracle_sql() yet — registrations are capped per round to keep the driver's
+# 50-slot rotation window cycling, so the banked backlog drains on a
+# schedule.  Every entry here is fully written (query + oracle), verified
+# against its oracle at sf0.001/sf0.01 by tests/test_staged_r10.py with the
+# driver's own strictness, so a future round's flip is pure plumbing:
+# change @_stage to @_register, add the name to _CHANGED_THIS_ROUND and
+# bench.HEADLINE, flip the COVERAGE row, refresh its BENCH_FLOORS entry.
+# The first seven are the pinned r10 set; the rest drain the r11+ queue
+# (TPC-H completion wave first, then the banked operator families).
 # ---------------------------------------------------------------------------
 
-_STAGED_R10: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_STAGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _STAGED_ORACLES: dict[str, str] = {}
 
 
-def _stage_r10(name: str, oracle_sql: str | None = None):
+def _stage(name: str, oracle_sql: str | None = None):
     def deco(fn):
-        _STAGED_R10[name] = fn
+        _STAGED[name] = fn
         if oracle_sql is not None:
             _STAGED_ORACLES[name] = oracle_sql
         return fn
@@ -6882,10 +6886,13 @@ def _stage_r10(name: str, oracle_sql: str | None = None):
     return deco
 
 
+_stage_r10 = _stage  # the pinned r10 seven are tagged with this alias
+
+
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """r10 candidates — same contract as queries(), verified by
+    """Registration candidates — same contract as queries(), verified by
     tests/test_staged_r10.py; not part of the driver surface yet."""
-    return dict(_STAGED_R10)
+    return dict(_STAGED)
 
 
 def staged_oracle_sql() -> dict[str, str]:
@@ -7212,6 +7219,911 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("name"),
     )
     return link_records(left, right, "name", "name", threshold=0.85)
+
+
+# ---------------------------------------------------------------------------
+# Staged TPC-H completion wave (r11+ queue): the thirteen remaining shapes
+# from reports/tpch.py, each a Spark-first rewrite whose oracle is the
+# INDEPENDENT textbook correlated/nested form (pre-pinned qNN_oracle_sql
+# fns, bound below like the registered q17/q22).  Full rewrite rationale
+# and plan pins live in reports/tpch.py + tests/test_tpch_full_suite.py.
+# ---------------------------------------------------------------------------
+
+
+@_stage("q_tpch_q02")
+def q_tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (tpch.q02_min_cost_supplier): min-cost in-region supplier
+    per sized part — the correlated MIN decorrelated into one per-part
+    aggregate joined back with integer-cents tie equality, over the
+    deterministic derived-partsupp law both engines compute."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q02_min_cost_supplier(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"),
+    )
+
+
+@_stage("q_tpch_q04")
+def q_tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (tpch.q04_priority_exists): EXISTS → left_semi BEFORE the
+    aggregate (plan-pinned LeftSemi in test_tpch_full_suite)."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q04_priority_exists(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    )
+
+
+@_stage("q_tpch_q06")
+def q_tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (tpch.q06_forecast_revenue): the pure pushdown probe —
+    shipdate + quantity predicates plan-pinned into PushedFilters."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q06_forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+@_stage("q_tpch_q08")
+def q_tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (tpch.q08_market_share): CASE-inside-aggregate market
+    share over a broadcast dimension star."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q08_market_share(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"),
+        _t(spark, sf_dir, "part"),
+    )
+
+
+@_stage("q_tpch_q09")
+def q_tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (tpch.q09_product_profit): profit in exact e4 units,
+    BIGINT end-to-end over the derived-partsupp law — zero float."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q09_product_profit(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+    )
+
+
+@_stage("q_tpch_q10")
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (tpch.q10_returned_items): aggregate-then-deterministic
+    top-20 (exact-cents ordering + custkey tiebreak — the textbook LIMIT
+    is tie-nondeterministic, so the rewrite pins the total order)."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q10_returned_items(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"),
+    )
+
+
+@_stage("q_tpch_q11")
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (tpch.q11_important_stock): global-threshold HAVING
+    compared in exact integers (value·denom > total), threshold as a
+    1-row broadcast — never a correlated re-scan.  denom=20000 because
+    the textbook 1/200 share is scale-dependent (with >200 parts the
+    average share drops below it and the result goes empty — observed
+    at sf0.01); TPC-H itself scales this knob as 0.0001/SF."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q11_important_stock(
+        _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"),
+        fraction_denom=20000,
+    )
+
+
+@_stage("q_tpch_q12")
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (tpch.q12_shipmode_priority): both conditional priority
+    counts in ONE join pass (CASE sums, not two scans)."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q12_shipmode_priority(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_stage("q_tpch_q13")
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (tpch.q13_customer_distribution): LEFT-outer
+    zero-preserving two-level aggregate (count(o_orderkey), never
+    count(*) — the zero bucket is the shape's whole point)."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q13_customer_distribution(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    )
+
+
+@_stage("q_tpch_q14")
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (tpch.q14_promo_effect): promo revenue ratio from two
+    CASE sums in one pass over one broadcast part join."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q14_promo_effect(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_stage("q_tpch_q15")
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (tpch.q15_top_supplier): max-revenue scalar as a 1-row
+    broadcast with DECIMAL-exact tie keeping (every tied supplier
+    returned, the textbook's intent)."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q15_top_supplier(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+@_stage("q_tpch_q19")
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (tpch.q19_disjunctive_revenue): disjunction-of-conjuncts
+    as per-side envelope pushdown + equi-join residual (plan-pinned:
+    BroadcastHashJoin, never a nested loop)."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q19_disjunctive_revenue(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    )
+
+
+@_stage("q_tpch_q20")
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (tpch.q20_promotion_suppliers): correlated half-sum
+    decorrelated into one per-(part, supp) aggregate with INNER-join
+    NULL semantics preserved, over the derived-partsupp law."""
+    from etl_scripts_spark.reports import tpch
+
+    return tpch.q20_promotion_suppliers(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
+        _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
+def _bind_staged_tpch_oracles() -> None:
+    from etl_scripts_spark.reports import tpch
+
+    for n, fn in (
+        ("q02", tpch.q02_oracle_sql), ("q04", tpch.q04_oracle_sql),
+        ("q06", tpch.q06_oracle_sql), ("q08", tpch.q08_oracle_sql),
+        ("q09", tpch.q09_oracle_sql), ("q10", tpch.q10_oracle_sql),
+        ("q12", tpch.q12_oracle_sql),
+        ("q13", tpch.q13_oracle_sql), ("q14", tpch.q14_oracle_sql),
+        ("q15", tpch.q15_oracle_sql), ("q19", tpch.q19_oracle_sql),
+        ("q20", tpch.q20_oracle_sql),
+    ):
+        _STAGED_ORACLES[f"q_tpch_{n}"] = fn()
+    _STAGED_ORACLES["q_tpch_q11"] = tpch.q11_oracle_sql(fraction_denom=20000)
+
+
+_bind_staged_tpch_oracles()
+
+
+# ---------------------------------------------------------------------------
+# Staged operator-family backlog (r11+ queue): each banked family's pinned
+# parity fixture, lifted verbatim from its unit test onto the driver
+# contract.  Scale rationale lives in the operator docstrings + COVERAGE.md.
+# ---------------------------------------------------------------------------
+
+
+@_stage(
+    "q_hll_distinct",
+    oracle.hll_distinct_sql("SELECT * FROM documents", "source", "text", p=10),
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog (sketch.hll_distinct): distinct texts
+    per source from kilobyte register tables — ONE map-side-combined max
+    aggregate straight off raw rows (no dedup shuffle; max is idempotent
+    under duplicates), exact-integer harmonic denominator so the only
+    float steps are one division + the small-range ln."""
+    from etl_scripts_spark.operators.sketch import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "documents"), "source", "text", p=10)
+
+
+@_stage(
+    "q_exact_percentiles",
+    oracle.exact_percentiles_sql(
+        "SELECT * FROM lineitem", "l_extendedprice", (25, 50, 75, 99),
+        by="l_returnflag",
+    ),
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed PERCENTILE_DISC (windows.exact_percentiles):
+    target rank in EXACT integers ((pct·n+99) DIV 100 — never
+    ceil(float·n), which lands one rank high at IEEE boundaries like
+    0.07·100), per-group window rank in one key shuffle."""
+    from etl_scripts_spark.operators.windows import exact_percentiles
+
+    return exact_percentiles(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice", (25, 50, 75, 99),
+        by="l_returnflag",
+    )
+
+
+_PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
+
+
+@_stage(
+    "q_pivot_table",
+    oracle.pivot_table_sql(
+        "SELECT * FROM orders", "o_orderstatus", "o_orderpriority",
+        _PIVOT_PRIORITIES,
+    ),
+)
+def q_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (reshape.pivot_table): compiles
+    to CASE-inside-aggregate in ONE map-side-combined groupBy — Spark's
+    values-less pivot would run a hidden collect-distinct job, making
+    the schema data-dependent; absent cells are 0, not NULL."""
+    from etl_scripts_spark.operators.reshape import pivot_table
+
+    return pivot_table(
+        _t(spark, sf_dir, "orders"), "o_orderstatus", "o_orderpriority",
+        _PIVOT_PRIORITIES,
+    )
+
+
+@_stage(
+    "q_key_skew_report",
+    oracle.key_skew_report_sql("SELECT l_suppkey FROM lineitem", "l_suppkey", 8),
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (skew.key_skew_report): the step BEFORE
+    salted_agg / AQE skew-split — top-8 heaviest supplier keys with
+    EXACT integer ppm shares ((n·1e6) DIV total), NULLs counted, rank
+    cut via TakeOrdered so the key table never shuffles."""
+    from etl_scripts_spark.operators.skew import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_k=8)
+
+
+@_stage(
+    "q_table_fingerprint",
+    oracle.table_fingerprint_sql(
+        "SELECT doc_id, source, lang, doc_id % 2 = 0 AS even FROM documents",
+        ["doc_id", "lang", "even"],
+        by=["source"],
+    ),
+)
+def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order/partitioning-independent content checksum
+    (exactness.table_fingerprint): per-source (n_rows, Σ row-hash mod
+    2^61−1, bit_xor) over render-stable columns — multiset-exact, ONE
+    md5 projection + ONE map-side-combined aggregate; the verification
+    primitive for migrations/compaction/engine swaps, per-group so a
+    diff localizes to the partitions that changed."""
+    from etl_scripts_spark.exactness import table_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", (F.col("doc_id") % 2 == 0).alias("even")
+    )
+    return table_fingerprint(docs, cols=["doc_id", "lang", "even"], by=["source"])
+
+
+@_stage(
+    "q_hll_join_estimate",
+    oracle.hll_join_estimate_sql(
+        "SELECT source, lang AS v FROM documents WHERE doc_id % 3 <> 0",
+        "SELECT source, lang AS v FROM documents WHERE doc_id % 2 <> 0",
+        "source",
+        "v",
+    ),
+)
+def q_hll_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from sketches (sketch.hll_join_estimate):
+    distinct-key overlap of two sides per group via inclusion–exclusion
+    over three HLL estimates (union = algebraic max-merge) — the
+    join-planning primitive: kilobyte register tables, no scan or
+    shuffle of either side."""
+    from etl_scripts_spark.operators.sketch import hll_join_estimate, hll_registers
+
+    docs = _t(spark, sf_dir, "documents")
+    a_df = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "source", F.col("lang").cast("string").alias("v")
+    )
+    b_df = docs.filter(F.col("doc_id") % 2 != 0).select(
+        "source", F.col("lang").cast("string").alias("v")
+    )
+    return hll_join_estimate(
+        hll_registers(a_df, "source", "v"),
+        hll_registers(b_df, "source", "v"),
+        "source",
+    )
+
+
+@_stage(
+    "q_mad_outliers",
+    "SELECT * EXCLUDE (is_outlier), is_outlier::INT AS is_outlier FROM ("
+    + oracle.mad_outliers_sql(
+        "SELECT doc_id, source, length(text) AS v FROM documents",
+        "v",
+        by="source",
+        k_num=3,
+        k_den=2,
+    )
+    + ")",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (anomaly.mad_outliers): median/MAD is
+    50%-breakdown robust where mean/stddev are dragged by the outliers
+    they should expose; both medians are exact integer-rank
+    PERCENTILE_DISC passes and the fence dev·k_den > k_num·MAD stays in
+    exact DECIMAL cross-multiply.  is_outlier cast INT for the driver
+    hash (nullable BOOLEAN renders None/NaN differently per engine)."""
+    from etl_scripts_spark.reports.anomaly import mad_outliers
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("v")
+    )
+    return mad_outliers(docs, "v", by="source", k_num=3, k_den=2).withColumn(
+        "is_outlier", F.col("is_outlier").cast("int")
+    )
+
+
+@_stage(
+    "q_stratified_sample",
+    oracle.stratified_sample_sql(
+        "SELECT doc_id, source, lang FROM documents", 97, "source", "doc_id"
+    ),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling (sampling.stratified_sample): EXACTLY 97
+    documents via largest-remainder (Hamilton) allocation over sources —
+    Σalloc == total_n always (floor(frac·n_g) under/overshoots by up to
+    #strata; rand() is unreproducible); membership = salted-md5 order
+    per stratum, allocation math on the vocabulary-sized strata table."""
+    from etl_scripts_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return stratified_sample(docs, 97, "source", "doc_id")
+
+
+#: shared obs recipe for the rolling z-score staged query: collapse events
+#: to one observation per (user, second) so the (key, order) pair is
+#: tie-free — rolling_zscore RAISES on duplicates (with ties the ROWS
+#: frame contents are partitioning-dependent and the law silently stops
+#: being deterministic).
+_ZSCORE_OBS_SQL = """
+SELECT user_id, epoch_us(ts) // 1000000 AS ts,
+       max(round(value * 100)::BIGINT) AS v
+FROM events GROUP BY 1, 2
+"""
+
+
+@_stage(
+    "q_rolling_zscore",
+    "SELECT * EXCLUDE (is_anomaly), is_anomaly::INT AS is_anomaly FROM ("
+    + oracle.rolling_zscore_sql(
+        _ZSCORE_OBS_SQL, "user_id", "ts", "v", window=12, min_periods=4
+    )
+    + ")",
+)
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-frame anomaly detection (anomaly.rolling_zscore): per-user
+    z-score against the previous 12 observations (ROWS ... 1 PRECEDING —
+    the current row cannot mask itself), exact DECIMAL moment sums with
+    ONE canonical IEEE mean/var/z expression mirrored in the oracle,
+    NULL while warming up / on flat windows.  ONE key shuffle."""
+    from etl_scripts_spark.reports.anomaly import rolling_zscore
+
+    obs = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(1000000)).cast("bigint").alias("ts"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max("v").alias("v"))
+    )
+    return rolling_zscore(obs, "user_id", "ts", "v", window=12, min_periods=4).withColumn(
+        "is_anomaly", F.col("is_anomaly").cast("int")
+    )
+
+
+@_stage(
+    "q_hopping_rollup",
+    oracle.hopping_rollup_sql(
+        "SELECT ts, event_type, value FROM events", 3600, 900,
+        key="event_type", value="value",
+    ),
+)
+def q_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (windows.hopping_rollup): 1-hour windows
+    every 15 min per event type via Spark-native F.window multi-assign
+    (an Expand BEFORE the aggregate — map-side combine sees every copy
+    locally, no self-join); exact integer cents; the oracle assigns
+    windows via an INDEPENDENT generate_series law."""
+    from etl_scripts_spark.operators.windows import hopping_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return hopping_rollup(ev, 3600, 900, key_col="event_type", value_col="value")
+
+
+@_stage(
+    "q_attribution",
+    "SELECT * EXCLUDE (is_first, is_last), is_first::INT AS is_first, "
+    "is_last::INT AS is_last FROM ("
+    + oracle.attribute_conversions_sql(
+        "SELECT event_id, ts, user_id, event_type FROM events",
+        lookback_s=3600,
+    )
+    + ")",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (attribution.attribute_conversions):
+    first/last/linear credit in ONE pass — candidate (conversion, touch)
+    pairs via the binned point-in-interval join (never the nested-loop
+    inequality join), linear weights as exact integer ppm with
+    largest-remainder completion (Σ per conversion == 1,000,000 ALWAYS).
+    The oracle is the DIRECT range join — no binning to hide in."""
+    from etl_scripts_spark.reports.attribution import attribute_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        attribute_conversions(ev, lookback_s=3600)
+        .withColumn("is_first", F.col("is_first").cast("int"))
+        .withColumn("is_last", F.col("is_last").cast("int"))
+    )
+
+
+@_stage(
+    "q_segment_sentences",
+    oracle.segment_sentences_sql("SELECT doc_id, text FROM documents"),
+)
+def q_segment_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (text.segment_sentences): one row per
+    sentence in document order — a maximal non-terminator run + trailing
+    terminators, a deliberately LOOKAROUND-FREE regex so Spark (Java)
+    and DuckDB (RE2) extract identical pieces.  Map-only fan-out, zero
+    shuffles; the chunking/packing on-ramp for RAG pipelines."""
+    from etl_scripts_spark.operators.text import segment_sentences
+
+    return segment_sentences(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+_PHRASES = [
+    (0, "data line"),
+    (1, "sort merge"),
+    (2, "the batch value"),
+    (3, "window window"),
+    (4, "zebra xylophone quux"),
+]
+
+
+@_stage(
+    "q_phrase_search",
+    oracle.phrase_search_sql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{p}')" for i, p in _PHRASES)
+        + ") t(query_id, phrase)",
+    ),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search (corpus.phrase_search): positional companion
+    to BM25 ("sort merge" must not match scattered words) — explode doc
+    tokens with positions ONCE, broadcast the phrase (token, offset)
+    batch, a candidate (doc, query, start = pos−off) matches iff its
+    count equals the phrase length.  ONE candidate shuffle; the no-hit
+    phrase pins the absent arm."""
+    from etl_scripts_spark.operators.corpus import phrase_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    phrases = spark.createDataFrame(_PHRASES, "query_id bigint, phrase string")
+    return phrase_search(docs, phrases)
+
+
+@_stage(
+    "q_setsim_pairs",
+    oracle.setsim_pairs_sql("SELECT doc_id, text FROM documents", 5, 10),
+)
+def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join (dedup.setsim_pairs, AllPairs
+    prefix filter): the COMPLETE word-set Jaccard ≥ 0.5 pair set — the
+    deterministic complement to MinHash-LSH.  Candidates = prefix-index
+    equi-join with the integer size filter fused; verification keeps
+    inter·t_den ≥ union·t_num (cannot flip on IEEE boundaries).  The
+    oracle is the BRUTE-FORCE no-prefix formulation, so a pruning false
+    negative cannot hide in its own mirror."""
+    from etl_scripts_spark.operators.dedup import setsim_pairs
+
+    return setsim_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", t_num=5, t_den=10
+    )
+
+
+@_stage(
+    "q_incremental_setsim_feed",
+    "SELECT * EXCLUDE (is_dup), is_dup::INT AS is_dup FROM ("
+    + oracle.incremental_setsim_sql(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0",
+        "SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0",
+        4,
+        10,
+    )
+    + ")",
+)
+def q_incremental_setsim_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus EXACT dedup (dedup.incremental_setsim): every
+    %4==0 document checked against the standing corpus index built from
+    the rest — a GUARANTEED is_dup verdict (∃ corpus doc with J ≥ 0.4),
+    O(batch + collisions) against the persisted prefix index
+    (setsim_index; 3-batch steady state probed 6.3× below
+    rebuild-per-call in SCALE.md)."""
+    from etl_scripts_spark.operators.dedup import incremental_setsim
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    return incremental_setsim(corpus, batch, t_num=4, t_den=10).withColumn(
+        "is_dup", F.col("is_dup").cast("int")
+    )
+
+
+@_stage(
+    "q_contamination_report",
+    oracle.contamination_report_sql(
+        "SELECT * FROM documents WHERE doc_id % 17 <> 0",
+        "SELECT * FROM documents WHERE doc_id % 17 = 0",
+        n=8,
+    ),
+)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.contamination_report): the
+    GPT-3/PaLM train×eval exact 8-gram test — per-train-doc hit-position
+    fraction via DISTINCT gram sets on both sides and ONE uniform-hash
+    equi-join (never a broadcast of the data-dependent bench set);
+    rides the SAME positional-gram law as dup_ngram_spans so detection
+    and decontamination can never disagree on what an n-gram is."""
+    from etl_scripts_spark.operators.dedup import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_report(train, bench, n=8)
+
+
+@_stage(
+    "q_hashed_embedding",
+    "SELECT doc_id, array_to_string(vec, ',') AS vec FROM ("
+    + oracle.hashed_embedding_sql("SELECT doc_id, text FROM documents", dim=32)
+    + ")",
+)
+def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick text embedding (corpus.hashed_embedding, Weinberger
+    et al. 2009): 32-dim exact-BIGINT vectors — bucket = first 48 md5
+    bits mod dim, sign = parity of the DISJOINT 13th hex char; ONE
+    (id, bucket) groupBy with map-side combine.  The TEXT on-ramp to
+    the whole vector stack.  Vector rendered as a CSV string on both
+    sides so the driver hash sees identical scalars."""
+    from etl_scripts_spark.operators.corpus import hashed_embedding
+
+    docs = _t(spark, sf_dir, "documents")
+    out = hashed_embedding(docs, "text", "doc_id", dim=32)
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", F.col("vec").cast("array<string>")).alias("vec"),
+    )
+
+
+@_stage(
+    "q_embedding_covariance",
+    oracle.embedding_covariance_sql("SELECT embedding FROM embeddings"),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed covariance (similarity.embedding_covariance):
+    components snap to an integer grid, all moments (n, Σxᵢ, Σxᵢxⱼ) ride
+    DECIMAL(38,0) exact integer sums with map-side combine, upper
+    triangle only — ONE (i, j) shuffle carrying partials; final
+    covariance is one float division at the 9-dp parity round.  The
+    statistics pass under standardization and PCA."""
+    from etl_scripts_spark.operators.similarity import embedding_covariance
+
+    return embedding_covariance(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
+#: derived deterministic graph laws for the staged BFS / k-core queries —
+#: both engines compute the identical edge tables from orders arithmetic.
+#: dst uses an INDEPENDENT digit of the key (k DIV p, not another
+#: polynomial in k): any f(k) that factors through k mod p makes dst a
+#: function of src, collapsing the graph to out-degree 1 — the k-core
+#: fixture-collapse failure mode (caught at sf0.001: a 4-core cannot
+#: exist in a functional graph; 7919 ≡ −1 mod 60).
+_BFS_EDGES_SQL = """
+SELECT src, dst FROM (
+  SELECT o_orderkey % 120 AS src, (o_orderkey // 7) % 120 AS dst
+  FROM orders WHERE o_orderkey % 5 = 0
+) WHERE src <> dst
+"""
+_KCORE_EDGES_SQL = """
+SELECT src, dst FROM (
+  SELECT o_orderkey % 53 AS src, (o_orderkey // 53) % 53 AS dst
+  FROM orders WHERE o_orderkey % 3 = 0
+) WHERE src <> dst
+"""
+
+
+@_stage(
+    "q_bfs_distances",
+    oracle.bfs_distances_sql(_BFS_EDGES_SQL, "SELECT unnest([0, 1]) AS node", 4),
+)
+def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS (graph.bfs_distances): minimal hop distance from
+    seeds {0, 1} within 4 hops over the orders-derived edge law —
+    level-synchronous (minimality is structural), per round ONE
+    frontier⋈edges shuffle + anti-join against the visited set; state is
+    node-sized, never edges² (10× probe: 1.15× flat, SCALE.md)."""
+    from etl_scripts_spark.operators.graph import bfs_distances
+
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        o.filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            (F.col("o_orderkey") % 120).alias("src"),
+            (F.expr("o_orderkey DIV 7") % 120).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "node long")
+    return bfs_distances(edges, seeds, max_hops=4)
+
+
+@_stage(
+    "q_k_core",
+    oracle.k_core_sql(_KCORE_EDGES_SQL, k=4, rounds=12),
+)
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (graph.k_core): the density diagnostic beyond
+    component size — peel fixpoint over the orders-derived edge law,
+    per round ONE map-side-combined degree aggregate + two endpoint
+    semi-joins on a shrinking localCheckpointed edge table; result is
+    peel-order-independent.  The oracle unrolls 12 peel rounds (extra
+    rounds past convergence are no-ops)."""
+    from etl_scripts_spark.operators.graph import k_core
+
+    o = _t(spark, sf_dir, "orders")
+    edges = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            (F.col("o_orderkey") % 53).alias("src"),
+            (F.expr("o_orderkey DIV 53") % 53).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return k_core(edges, k=4)
+
+
+# --- staged codec stats: each fixture's closed-form law recomputed in SQL —
+# a one-byte decode bug shifts px_sum / sum_samples.  ADPCM stays unit-only
+# (its adaptive state is path-dependent, not SQL-expressible; G.711 is the
+# stateless member of the audio family and carries the driver check).
+
+
+@_stage(
+    "q_g711_audio_stats",
+    # µ-law expansion replayed in SQL (verified against the table for all
+    # 256 bytes): u' = 255−u; t = (((u'&15)<<3)+132) << ((u'&112)>>4);
+    # sample = 132−t if sign bit else t−132.  Byte stream (37d + 11i) % 256.
+    """
+    WITH dims AS (SELECT doc_id, 128 + doc_id % 128 AS n FROM documents),
+    sm AS (
+      SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM dims
+    ),
+    e AS (
+      SELECT doc_id, n, 255 - ((doc_id * 37 + i * 11) % 256) AS v FROM sm
+    ),
+    s AS (
+      SELECT doc_id, n,
+             CASE WHEN (v & 128) <> 0
+                  THEN 132 - ((((v & 15) << 3) + 132) << ((v & 112) >> 4))
+                  ELSE ((((v & 15) << 3) + 132) << ((v & 112) >> 4)) - 132
+             END AS samp
+      FROM e
+    )
+    SELECT doc_id, 8000::INT AS sample_rate, n::INT AS n_samples,
+           sum(samp)::BIGINT AS sum_samples, max(abs(samp))::INT AS peak
+    FROM s GROUP BY doc_id, n
+    """,
+)
+def q_g711_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 µ-law decode (multimodal.decode_wav_pcm fmt=7): the
+    telephony codec — stateless per-byte expansion through the fixed
+    public table, one np.take over the raw stream inside the Arrow
+    stage.  Map-only, zero shuffles.  The oracle replays the expansion
+    law itself in SQL, so a wrong table entry cannot hide."""
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_audio_stats(multimodal.with_g711_payload(docs, law=7))
+
+
+@_stage(
+    "q_gif_pixel_stats",
+    # GIF fixture law: pixel index p(i) = (13d + 7i) % 16 row-major,
+    # palette j = ((17j+d)%256, (23j+2d)%256, (29j+3d)%256).  Interlace
+    # (every 3rd doc) only reorders rows — SUM is order-invariant, so one
+    # law covers both layouts; a broken interlace pass would change
+    # WHICH pixels exist only via decode errors (NULL stats), which the
+    # hash would catch.
+    """
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, (13 * doc_id + 7 * unnest(generate_series(0, w * h - 1))) % 16 AS j
+      FROM dims
+    ),
+    agg AS (
+      SELECT doc_id, w, h,
+             sum((17 * j + doc_id) % 256 + (23 * j + 2 * doc_id) % 256
+                 + (29 * j + 3 * doc_id) % 256) AS s
+      FROM px GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, 'gif' AS format, w::INT AS width, h::INT AS height,
+           3::INT AS channels, s::BIGINT AS px_sum,
+           round(s::DOUBLE / (w * h * 3), 4) AS mean_px
+    FROM agg
+    """,
+)
+def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (operators/gif.py: variable-width LSB-first LZW
+    with CLEAR reset and KwKwK synthesis, global color table, all four
+    interlace passes) → per-image pixel stats.  Map-only Arrow stage;
+    the oracle recomputes every RGB value from the fixture's palette +
+    index laws — a palette-order or LZW-width bug shifts px_sum."""
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_pixel_stats(multimodal.with_gif_payload(docs))
+
+
+@_stage(
+    "q_tiff_pixel_stats",
+    # shared _pixel_pattern law v(x,y) = (3x + 7y + d) % 256, grayscale;
+    # every 3rd doc PackBits-compressed — same sum either way, so a
+    # PackBits miscount surfaces as a decode error (NULL stats).
+    """
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + (doc_id * 3) % 8 AS h
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(generate_series(0, w * h - 1)) AS i
+      FROM dims
+    ),
+    agg AS (
+      SELECT doc_id, w, h,
+             sum(((i % w) * 3 + (i // w) * 7 + doc_id) % 256) AS s
+      FROM px GROUP BY doc_id, w, h
+    )
+    SELECT doc_id, 'tiff' AS format, w::INT AS width, h::INT AS height,
+           1::INT AS channels, s::BIGINT AS px_sum,
+           round(s::DOUBLE / (w * h), 4) AS mean_px
+    FROM agg
+    """,
+)
+def q_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline TIFF decode (operators/tiff.py: IFD walk, strip
+    layout with external tag values, both byte orders, PackBits RLE
+    clamped to the strip's expected bytes) → per-image pixel stats over
+    the shared _pixel_pattern law.  Map-only Arrow stage."""
+    docs = _tp(spark, sf_dir, "documents").select("doc_id")
+    return multimodal.decode_pixel_stats(multimodal.with_tiff_payload(docs))
+
+
+@_stage(
+    "q_plan_compaction",
+    oracle.plan_compaction_sql(
+        "(SELECT 'f' || o_orderkey::VARCHAR AS path,"
+        " (o_orderkey * 97) % 50000 + 1 AS size_bytes FROM orders)",
+        1_000_000,
+    ),
+)
+def q_plan_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning (sinks/layout.plan_compaction): bin-pack a
+    file listing into ~1 MB merge bins — (size DESC, path) total order,
+    the exact global running sum computed DISTRIBUTED
+    (windows.global_running_sum: range partition + local prefix +
+    broadcast offsets, never a one-task sort), bin = (run−1) DIV target.
+    The planning half of lakehouse OPTIMIZE; listing derived from
+    orders arithmetic so both engines pack the identical files."""
+    from etl_scripts_spark.sinks.layout import plan_compaction
+
+    files = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("f"), F.col("o_orderkey").cast("string")).alias("path"),
+        ((F.col("o_orderkey") * 97) % 50000 + 1).alias("size_bytes"),
+    )
+    return plan_compaction(files, 1_000_000)
+
+
+@_stage(
+    "q_profile_columns",
+    oracle.profile_columns_sql("documents", ["doc_id", "source", "lang"], k=16),
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (reports/drift.profile_columns): per column exact
+    n/n_null + a KMV distinct estimate (k=16 so doc_id exercises the
+    estimate branch, source/lang the exact branch) — ONE pass, sketch-
+    sized state; the schema-drift monitor upstream of psi_report."""
+    from etl_scripts_spark.reports.drift import profile_columns
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return profile_columns(docs, k=16)
+
+
+@_stage(
+    "q_stream_rolling_zscore",
+    "SELECT * EXCLUDE (is_anomaly), is_anomaly::INT AS is_anomaly FROM ("
+    + oracle.rolling_zscore_sql(
+        "SELECT user_id, epoch_us(ts) AS ts_us,"
+        " floor(value * 100 + 0.5)::BIGINT AS v FROM events",
+        "user_id",
+        "ts_us",
+        "v",
+        window=12,
+        min_periods=4,
+    )
+    + ")",
+)
+def q_stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly alerts (streaming/stateful
+    .stateful_rolling_zscore_available_now): the batch rolling z-score
+    run LIVE — per-user ring buffer of the trailing 12 observations in
+    the state store, cents and the 9-dp round as Catalyst projections
+    around the stateful stage so batch and streaming share Spark's own
+    arithmetic.  The oracle is the BATCH law (rolling_zscore_sql) over
+    the same events — drain == batch row-for-row is the contract."""
+    from etl_scripts_spark.streaming.stateful import (
+        stateful_rolling_zscore_available_now,
+    )
+
+    out = stateful_rolling_zscore_available_now(
+        spark, f"{sf_dir}/events.parquet", window=12, min_periods=4
+    )
+    return out.withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
+
+
+@_stage(
+    "q_stream_hll",
+    # the regs CTE of oracle.hll_distinct_sql at p=10 (m=1024): identical
+    # disjoint-md5-range bucket/rho law, exact leading-zero count via
+    # length(bin(w))
+    """
+    WITH hsh AS (
+      SELECT event_type, md5(user_id::VARCHAR) AS h
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT event_type,
+           (('0x' || substr(h, 1, 4))::BIGINT % 1024)::INT AS bucket,
+           max(CASE WHEN ('0x' || substr(h, 5, 12))::BIGINT = 0 THEN 49
+                    ELSE 49 - length(bin(('0x' || substr(h, 5, 12))::BIGINT))
+               END)::INT AS register
+    FROM hsh GROUP BY event_type, bucket
+    """,
+)
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog maintenance (streaming/stateful
+    .stateful_hll_available_now): the per-event-type register array
+    lives in the state store (~4 KB/key forever), each micro-batch
+    maxes its (bucket, rho) rows in; bucket/rho computed as a Catalyst
+    projection BEFORE the stateful stage via the shared
+    sketch.hll_bucket_rho law.  Drain == batch register table
+    row-for-row; the oracle recomputes the register law in SQL."""
+    from etl_scripts_spark.streaming.stateful import stateful_hll_available_now
+
+    return stateful_hll_available_now(spark, f"{sf_dir}/events.parquet")
 
 
 # ---------------------------------------------------------------------------

@@ -259,11 +259,14 @@ def plan_compaction_sql(files_cte: str, target_bytes: int) -> str:
     total order, exact running sum, bin = (running-1) // target.
     `files_cte` provides (path, size_bytes).  Prepared for the r8
     registration (plan_compaction is banked, unit-tested)."""
+    # the ::BIGINT matters for driver-hash parity: the running sum is
+    # HUGEINT, and HUGEINT // int stays HUGEINT, which fetchdf renders
+    # as float64 where Spark emits int64
     return f"""
 SELECT path, size_bytes,
-       (sum(size_bytes) OVER (ORDER BY size_bytes DESC, path
-                              ROWS UNBOUNDED PRECEDING) - 1)
-       // {int(target_bytes)} AS bin_id
+       ((sum(size_bytes) OVER (ORDER BY size_bytes DESC, path
+                               ROWS UNBOUNDED PRECEDING) - 1)
+        // {int(target_bytes)})::BIGINT AS bin_id
 FROM {files_cte}
 """
 

@@ -1,8 +1,10 @@
-"""r10 pre-staged registrations (__spark_entry__._STAGED_R10): every
+"""Pre-staged registrations (__spark_entry__._STAGED — the pinned r10
+seven plus the whole r11+ banked backlog, TPC-H wave included): every
 staged query must already match its DuckDB oracle with the driver's own
 strictness (tests/parity.compare — column-sorted, row-sorted, exact
-values), so the r10 registration flip is pure plumbing with no new
-verification risk.  Runs at sf0.001 (the driver_sim fast tier)."""
+values), so each future round's registration flip is pure plumbing with
+no new verification risk.  Runs at sf0.001 (the driver_sim fast tier);
+the sf0.01 sweep is run in-session before each staging commit."""
 
 from __future__ import annotations
 
