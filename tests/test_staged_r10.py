@@ -32,3 +32,58 @@ def test_staged_query_matches_oracle(spark, name):
     problems = compare(pdf, want)
     assert problems == [], problems
     assert len(pdf) > 0, f"{name} returned no rows at sf0.001"
+
+
+# --- plan audit: the registered-query scale contract, applied at staging
+# time so a flip never imports a plan regression -------------------------
+
+#: staged queries whose plans intentionally contain an Arrow-batched
+#: Python stage (codec decode inside mapInPandas) — never BatchEvalPython.
+STAGED_ARROW = {
+    "q_image_ahash",
+    "q_mjpeg_video_stats",
+    "q_g711_audio_stats",
+    "q_gif_pixel_stats",
+    "q_tiff_pixel_stats",
+}
+
+#: declared 1-row / small-broadcast nested-loop sites: corpus-stats
+#: attaches (join_singleton) and the part×supplier-grid derived-partsupp
+#: law (reports/tpch.partsupp_df — a broadcast of the 10·SF-row supplier
+#: dim against part, the deterministic stand-in for the missing table).
+STAGED_BNLJ = {
+    "q_batch_retrieval",      # 1-row corpus stats (bm25 shape)
+    "q_key_skew_report",      # 1-row total attach
+    "q_stratified_sample",    # 1-row total + 1-row leftover attach
+    "q_tpch_q02",             # partsupp grid
+    "q_tpch_q09",             # partsupp grid
+    "q_tpch_q11",             # partsupp grid + 1-row threshold broadcast
+    "q_tpch_q20",             # partsupp grid
+}
+
+#: AvailableNow streaming twins — the helper executes the drain at call
+#: time, so there is no lazy plan to audit (the batch-law oracle is the
+#: contract instead).
+STAGED_STREAMING = {"q_stream_rolling_zscore", "q_stream_hll"}
+
+
+@pytest.mark.parametrize("name", sorted(set(STAGED) - STAGED_STREAMING))
+def test_staged_plan_stays_on_the_scale_contract(spark, name):
+    import contextlib
+    import io
+
+    df = entrymod.staged_queries()[name](spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time UDF"
+    if name not in STAGED_ARROW:
+        for m in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+            assert m not in plan, f"{name} has an undeclared Python stage ({m})"
+    if name not in STAGED_BNLJ:
+        for m in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            assert m not in plan, f"{name} has an undeclared cross join ({m})"
+    assert "element_at(split(trim(regexp_replace" not in plan, (
+        f"{name} inlines the tokenizer expression into a HOF lambda"
+    )
