@@ -34,6 +34,7 @@ from etl_scripts_spark.pipelines.wf_results import (
     register_wf_results,
 )
 from etl_scripts_spark.reports import core as reports
+from etl_scripts_spark.reports import tpch
 from etl_scripts_spark.sinks.merge import merge_upsert
 from etl_scripts_spark.sinks.outbox import build_outbox
 from etl_scripts_spark.operators import external
@@ -6816,7 +6817,7 @@ def q_psi_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("grp", F.col("psi").cast("double").alias("psi"), "status")
 
 
-@_register("q_tpch_q17", None)
+@_register("q_tpch_q17", tpch.q17_oracle_sql())
 def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 (reports/tpch.q17_small_quantity_revenue): revenue lost
     on below-20%-of-average-quantity orders for one brand.  The rewrite
@@ -6825,14 +6826,12 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand's parts (broadcast) BEFORE aggregating — the threshold divides
     exact DECIMAL sums so the float compare is deterministic.  The
     oracle is the INDEPENDENT textbook correlated form."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q17_small_quantity_revenue(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     )
 
 
-@_register("q_tpch_q22", None)
+@_register("q_tpch_q22", tpch.q22_oracle_sql())
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (reports/tpch.q22_idle_balances): above-average-balance
     customers with no high-value order, grouped by country code.  The
@@ -6840,23 +6839,11 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated re-scan), NOT EXISTS is a left_anti join with orders
     projected to the key first, balances ride exact BIGINT cents.  The
     oracle is the textbook scalar-subquery + NOT EXISTS form."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q22_idle_balances(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
 
 
-# bind the pre-pinned textbook oracles (the @_register literal slot can't
-# call module functions at decoration time without importing tpch eagerly)
-def _bind_tpch_oracles() -> None:
-    from etl_scripts_spark.reports import tpch
-
-    _ORACLES["q_tpch_q17"] = tpch.q17_oracle_sql()
-    _ORACLES["q_tpch_q22"] = tpch.q22_oracle_sql()
-
-
-_bind_tpch_oracles()
 
 
 # ---------------------------------------------------------------------------
@@ -7060,14 +7047,39 @@ def q_mjpeg_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: shared tie-free observation law for the time-series staged queries
+#: (q_resample_ffill, q_rolling_zscore, and q_stream_rolling_zscore's
+#: batch twin): collapse events to one observation per (user, second) —
+#: with ties the as-of pick and the ROWS frame contents are
+#: partitioning-dependent and the laws silently stop being
+#: deterministic (rolling_zscore RAISES on duplicates).  ONE copy each
+#: of the SQL and Spark forms so the cents rounding / per-second
+#: collapse cannot drift between queries.
+_EVENTS_OBS_SQL = """
+SELECT user_id, epoch_us(ts) // 1000000 AS ts,
+       max(round(value * 100)::BIGINT) AS v
+FROM events GROUP BY 1, 2
+"""
+
+
+def _events_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _EVENTS_OBS_SQL."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            (F.unix_micros("ts") / F.lit(1000000)).cast("bigint").alias("ts"),
+            F.round(F.col("value") * 100).cast("bigint").alias("v"),
+        )
+        .groupBy("user_id", "ts")
+        .agg(F.max("v").alias("v"))
+    )
+
+
 @_stage_r10(
     "q_resample_ffill",
-    """
-    WITH obs AS (
-      SELECT user_id, epoch_us(ts) // 1000000 AS ts,
-             max(round(value * 100)::BIGINT) AS v
-      FROM events GROUP BY 1, 2
-    ),
+    f"""
+    WITH obs AS ({_EVENTS_OBS_SQL}),
     bounds AS (
       SELECT user_id, ((min(ts) + 3599) // 3600) * 3600 AS lo, max(ts) AS hi
       FROM obs GROUP BY 1
@@ -7089,21 +7101,12 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side from the (key, min, max) aggregate (never a driver loop),
     carry = asof_join's tagged union, ONE key shuffle.  Observations
     collapse to one per (user, second) first so the as-of pick is
-    tie-free in both engines.  Oracle: DuckDB's NATIVE ASOF JOIN over
-    generate_series — an independent formulation, not a mirror."""
+    tie-free in both engines (_events_obs).  Oracle: DuckDB's NATIVE
+    ASOF JOIN over generate_series — an independent formulation, not a
+    mirror."""
     from etl_scripts_spark.operators.asof import resample_ffill
 
-    ev = _t(spark, sf_dir, "events")
-    obs = (
-        ev.select(
-            "user_id",
-            (F.unix_micros("ts") / F.lit(1000000)).cast("bigint").alias("ts"),
-            F.round(F.col("value") * 100).cast("bigint").alias("v"),
-        )
-        .groupBy("user_id", "ts")
-        .agg(F.max("v").alias("v"))
-    )
-    return resample_ffill(obs, by="user_id", on="ts", step=3600)
+    return resample_ffill(_events_obs(spark, sf_dir), by="user_id", on="ts", step=3600)
 
 
 @_stage_r10(
@@ -7230,46 +7233,38 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_stage("q_tpch_q02")
+@_stage("q_tpch_q02", tpch.q02_oracle_sql())
 def q_tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (tpch.q02_min_cost_supplier): min-cost in-region supplier
     per sized part — the correlated MIN decorrelated into one per-part
     aggregate joined back with integer-cents tie equality, over the
     deterministic derived-partsupp law both engines compute."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q02_min_cost_supplier(
         _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"),
         _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"),
     )
 
 
-@_stage("q_tpch_q04")
+@_stage("q_tpch_q04", tpch.q04_oracle_sql())
 def q_tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 (tpch.q04_priority_exists): EXISTS → left_semi BEFORE the
     aggregate (plan-pinned LeftSemi in test_tpch_full_suite)."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q04_priority_exists(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
     )
 
 
-@_stage("q_tpch_q06")
+@_stage("q_tpch_q06", tpch.q06_oracle_sql())
 def q_tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (tpch.q06_forecast_revenue): the pure pushdown probe —
     shipdate + quantity predicates plan-pinned into PushedFilters."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q06_forecast_revenue(_t(spark, sf_dir, "lineitem"))
 
 
-@_stage("q_tpch_q08")
+@_stage("q_tpch_q08", tpch.q08_oracle_sql())
 def q_tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (tpch.q08_market_share): CASE-inside-aggregate market
     share over a broadcast dimension star."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q08_market_share(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"),
@@ -7278,12 +7273,10 @@ def q_tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q09")
+@_stage("q_tpch_q09", tpch.q09_oracle_sql())
 def q_tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (tpch.q09_product_profit): profit in exact e4 units,
     BIGINT end-to-end over the derived-partsupp law — zero float."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q09_product_profit(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"),
@@ -7291,20 +7284,18 @@ def q_tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q10")
+@_stage("q_tpch_q10", tpch.q10_oracle_sql())
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (tpch.q10_returned_items): aggregate-then-deterministic
     top-20 (exact-cents ordering + custkey tiebreak — the textbook LIMIT
     is tie-nondeterministic, so the rewrite pins the total order)."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q10_returned_items(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders"),
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "nation"),
     )
 
 
-@_stage("q_tpch_q11")
+@_stage("q_tpch_q11", tpch.q11_oracle_sql(fraction_denom=20000))
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (tpch.q11_important_stock): global-threshold HAVING
     compared in exact integers (value·denom > total), threshold as a
@@ -7312,8 +7303,6 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     the textbook 1/200 share is scale-dependent (with >200 parts the
     average share drops below it and the result goes empty — observed
     at sf0.01); TPC-H itself scales this knob as 0.0001/SF."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q11_important_stock(
         _t(spark, sf_dir, "part"), _t(spark, sf_dir, "supplier"),
         _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region"),
@@ -7321,71 +7310,59 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q12")
+@_stage("q_tpch_q12", tpch.q12_oracle_sql())
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 (tpch.q12_shipmode_priority): both conditional priority
     counts in ONE join pass (CASE sums, not two scans)."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q12_shipmode_priority(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     )
 
 
-@_stage("q_tpch_q13")
+@_stage("q_tpch_q13", tpch.q13_oracle_sql())
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (tpch.q13_customer_distribution): LEFT-outer
     zero-preserving two-level aggregate (count(o_orderkey), never
     count(*) — the zero bucket is the shape's whole point)."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q13_customer_distribution(
         _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
     )
 
 
-@_stage("q_tpch_q14")
+@_stage("q_tpch_q14", tpch.q14_oracle_sql())
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (tpch.q14_promo_effect): promo revenue ratio from two
     CASE sums in one pass over one broadcast part join."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q14_promo_effect(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     )
 
 
-@_stage("q_tpch_q15")
+@_stage("q_tpch_q15", tpch.q15_oracle_sql())
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (tpch.q15_top_supplier): max-revenue scalar as a 1-row
     broadcast with DECIMAL-exact tie keeping (every tied supplier
     returned, the textbook's intent)."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q15_top_supplier(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
     )
 
 
-@_stage("q_tpch_q19")
+@_stage("q_tpch_q19", tpch.q19_oracle_sql())
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 (tpch.q19_disjunctive_revenue): disjunction-of-conjuncts
     as per-side envelope pushdown + equi-join residual (plan-pinned:
     BroadcastHashJoin, never a nested loop)."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q19_disjunctive_revenue(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     )
 
 
-@_stage("q_tpch_q20")
+@_stage("q_tpch_q20", tpch.q20_oracle_sql())
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 (tpch.q20_promotion_suppliers): correlated half-sum
     decorrelated into one per-(part, supp) aggregate with INNER-join
     NULL semantics preserved, over the derived-partsupp law."""
-    from etl_scripts_spark.reports import tpch
-
     return tpch.q20_promotion_suppliers(
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part"),
         _t(spark, sf_dir, "supplier"), _t(spark, sf_dir, "nation"),
@@ -7393,23 +7370,6 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bind_staged_tpch_oracles() -> None:
-    from etl_scripts_spark.reports import tpch
-
-    for n, fn in (
-        ("q02", tpch.q02_oracle_sql), ("q04", tpch.q04_oracle_sql),
-        ("q06", tpch.q06_oracle_sql), ("q08", tpch.q08_oracle_sql),
-        ("q09", tpch.q09_oracle_sql), ("q10", tpch.q10_oracle_sql),
-        ("q12", tpch.q12_oracle_sql),
-        ("q13", tpch.q13_oracle_sql), ("q14", tpch.q14_oracle_sql),
-        ("q15", tpch.q15_oracle_sql), ("q19", tpch.q19_oracle_sql),
-        ("q20", tpch.q20_oracle_sql),
-    ):
-        _STAGED_ORACLES[f"q_tpch_{n}"] = fn()
-    _STAGED_ORACLES["q_tpch_q11"] = tpch.q11_oracle_sql(fraction_denom=20000)
-
-
-_bind_staged_tpch_oracles()
 
 
 # ---------------------------------------------------------------------------
@@ -7592,23 +7552,11 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, 97, "source", "doc_id")
 
 
-#: shared obs recipe for the rolling z-score staged query: collapse events
-#: to one observation per (user, second) so the (key, order) pair is
-#: tie-free — rolling_zscore RAISES on duplicates (with ties the ROWS
-#: frame contents are partitioning-dependent and the law silently stops
-#: being deterministic).
-_ZSCORE_OBS_SQL = """
-SELECT user_id, epoch_us(ts) // 1000000 AS ts,
-       max(round(value * 100)::BIGINT) AS v
-FROM events GROUP BY 1, 2
-"""
-
-
 @_stage(
     "q_rolling_zscore",
     "SELECT * EXCLUDE (is_anomaly), is_anomaly::INT AS is_anomaly FROM ("
     + oracle.rolling_zscore_sql(
-        _ZSCORE_OBS_SQL, "user_id", "ts", "v", window=12, min_periods=4
+        _EVENTS_OBS_SQL, "user_id", "ts", "v", window=12, min_periods=4
     )
     + ")",
 )
@@ -7617,22 +7565,13 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     z-score against the previous 12 observations (ROWS ... 1 PRECEDING —
     the current row cannot mask itself), exact DECIMAL moment sums with
     ONE canonical IEEE mean/var/z expression mirrored in the oracle,
-    NULL while warming up / on flat windows.  ONE key shuffle."""
+    NULL while warming up / on flat windows.  ONE key shuffle.
+    Observations via the shared _events_obs collapse."""
     from etl_scripts_spark.reports.anomaly import rolling_zscore
 
-    obs = (
-        _t(spark, sf_dir, "events")
-        .select(
-            "user_id",
-            (F.unix_micros("ts") / F.lit(1000000)).cast("bigint").alias("ts"),
-            F.round(F.col("value") * 100).cast("bigint").alias("v"),
-        )
-        .groupBy("user_id", "ts")
-        .agg(F.max("v").alias("v"))
-    )
-    return rolling_zscore(obs, "user_id", "ts", "v", window=12, min_periods=4).withColumn(
-        "is_anomaly", F.col("is_anomaly").cast("int")
-    )
+    return rolling_zscore(
+        _events_obs(spark, sf_dir), "user_id", "ts", "v", window=12, min_periods=4
+    ).withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
 
 
 @_stage(
@@ -8097,21 +8036,10 @@ def q_stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_stage(
     "q_stream_hll",
-    # the regs CTE of oracle.hll_distinct_sql at p=10 (m=1024): identical
-    # disjoint-md5-range bucket/rho law, exact leading-zero count via
-    # length(bin(w))
-    """
-    WITH hsh AS (
-      SELECT event_type, md5(user_id::VARCHAR) AS h
-      FROM events WHERE user_id IS NOT NULL
-    )
-    SELECT event_type,
-           (('0x' || substr(h, 1, 4))::BIGINT % 1024)::INT AS bucket,
-           max(CASE WHEN ('0x' || substr(h, 5, 12))::BIGINT = 0 THEN 49
-                    ELSE 49 - length(bin(('0x' || substr(h, 5, 12))::BIGINT))
-               END)::INT AS register
-    FROM hsh GROUP BY event_type, bucket
-    """,
+    # the register-table half of the HLL law at p=10 (m=1024), from the
+    # ONE shared helper hll_distinct_sql itself builds on — the
+    # bucket/rho law cannot drift between the batch and streaming twins
+    oracle.hll_registers_sql("SELECT * FROM events", "event_type", "user_id", p=10),
 )
 def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming HyperLogLog maintenance (streaming/stateful

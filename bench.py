@@ -243,9 +243,17 @@ def main() -> None:
     floors_path = Path(__file__).resolve().parent / "BENCH_FLOORS.json"
     if floors_path.exists():
         try:
-            floors = json.loads(floors_path.read_text()).get("floors", {})
-        except ValueError:
-            floors = {}
+            payload = json.loads(floors_path.read_text())
+        except (OSError, ValueError):
+            # an unreadable/garbled floors file must never cost the
+            # one-JSON-line artifact after the suite has already run
+            payload = {}
+        # floors are only meaningful at the scale they were recorded at:
+        # comparing an sf1 run against sf0.1 floors would flag nearly
+        # every query as "inflated" (i.e. mislabel genuine scale cost as
+        # suite noise) and bury real regressions
+        same_sf = str(payload.get("sf_dir", "")).rstrip("/") == sf_dir.rstrip("/")
+        floors = payload.get("floors", {}) if same_sf else {}
         for name, t in timings.items():
             f = floors.get(name)
             if f is not None and f >= 0.2 and t > 2 * f:

@@ -1151,6 +1151,16 @@ def incremental_setsim(
     from pyspark.sql import Window
 
     if index is not None:
+        if corpus is not None:
+            # ambiguous call: silently preferring the index would dedup
+            # against a potentially STALE corpus version while the passed
+            # corpus is never consulted — is_dup=false lies for docs that
+            # duplicate it.  Same loud-guard convention as the threshold
+            # and NULL-id checks below.
+            raise ValueError(
+                "incremental_setsim: pass corpus OR index, not both "
+                "(an index already embeds its corpus)"
+            )
         if (index.t_num, index.t_den) != (t_num, t_den):
             # p = s − ceil(t·s) + 1 is threshold-dependent: an index built
             # at a different t has wrong prefixes for THIS query and would

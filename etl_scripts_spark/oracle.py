@@ -855,30 +855,42 @@ def _hll_alpha(p: int) -> float:
     return {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / (1 << p)))
 
 
-def hll_distinct_sql(source_sql: str, group: str, value: str, p: int = 12) -> str:
-    """DuckDB twin of sketch.hll_distinct: identical md5-derived
-    bucket/rho law (disjoint hex ranges, length(bin(w)) for the exact
-    leading-zero count), identical exact-integer harmonic denominator
-    (1 << (49-M), HUGEINT sum), identical single-division + small-range
-    linear-counting branch.  The float `num` constant is computed ONCE in
-    Python and embedded verbatim in both engines."""
+def hll_registers_sql(source_sql: str, group: str, value: str, p: int = 12) -> str:
+    """The register-table half of the HLL law — one row per (group,
+    bucket) with the max rho — shared by hll_distinct_sql and the
+    streaming-drain oracle (q_stream_hll), so the bucket/rho law
+    (disjoint md5 hex ranges, exact leading-zero count via
+    length(bin(w)), the 49-cap for w=0) lives in ONE place and the
+    twins cannot drift."""
     m = 1 << p
-    num = _hll_alpha(p) * m * m * float(1 << 49)
     return f"""
 WITH hsh AS (
   SELECT {group} AS grp, md5(({value})::VARCHAR) AS h
   FROM ({source_sql}) WHERE {value} IS NOT NULL
-), regs AS (
-  SELECT grp,
-         (('0x' || substr(h, 1, 4))::BIGINT % {m})::INT AS bucket,
-         max(CASE WHEN ('0x' || substr(h, 5, 12))::BIGINT = 0 THEN 49
-                  ELSE 49 - length(bin(('0x' || substr(h, 5, 12))::BIGINT))
-             END)::INT AS register
-  FROM hsh GROUP BY grp, bucket
-), agg AS (
-  SELECT grp, count(*)::BIGINT AS np,
+)
+SELECT grp AS {group},
+       (('0x' || substr(h, 1, 4))::BIGINT % {m})::INT AS bucket,
+       max(CASE WHEN ('0x' || substr(h, 5, 12))::BIGINT = 0 THEN 49
+                ELSE 49 - length(bin(('0x' || substr(h, 5, 12))::BIGINT))
+           END)::INT AS register
+FROM hsh GROUP BY grp, bucket
+"""
+
+
+def hll_distinct_sql(source_sql: str, group: str, value: str, p: int = 12) -> str:
+    """DuckDB twin of sketch.hll_distinct: identical md5-derived
+    bucket/rho law (hll_registers_sql), identical exact-integer harmonic
+    denominator (1 << (49-M), HUGEINT sum), identical single-division +
+    small-range linear-counting branch.  The float `num` constant is
+    computed ONCE in Python and embedded verbatim in both engines."""
+    m = 1 << p
+    num = _hll_alpha(p) * m * m * float(1 << 49)
+    return f"""
+WITH regs AS ({hll_registers_sql(source_sql, group, value, p)}),
+agg AS (
+  SELECT {group} AS grp, count(*)::BIGINT AS np,
          sum((1::BIGINT << (49 - register))::HUGEINT) AS denp
-  FROM regs GROUP BY grp
+  FROM regs GROUP BY {group}
 ), est AS (
   SELECT grp, ({m} - np) AS zeros,
          {num!r} / (denp + ({m} - np)::HUGEINT

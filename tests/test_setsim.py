@@ -156,6 +156,10 @@ def test_incremental_persisted_index_equals_rebuild(spark):
         incremental_setsim(None, _docs(spark, [(30, "x")]), t_num=7, t_den=10, index=idx)
     with pytest.raises(ValueError, match="corpus or index"):
         incremental_setsim(None, _docs(spark, [(30, "x")]), t_num=6, t_den=10)
+    # ambiguous call: both corpus AND index — silently preferring the index
+    # would dedup against a stale corpus version, so the op raises
+    with pytest.raises(ValueError, match="not both"):
+        incremental_setsim(corpus, _docs(spark, [(30, "x")]), t_num=6, t_den=10, index=idx)
 
 
 def test_incremental_null_batch_id_raises(spark):
