@@ -6536,30 +6536,27 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_join(left, right, by="g", bin_width=64)
 
 
-@_register(
-    "q_refresh_rollup",
-    """
-    SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'Z' ELSE o_orderstatus END AS grp,
-           count(*)::BIGINT AS n,
-           sum(round(o_totalprice * 100)::BIGINT
-               + CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 97 ELSE 0 END)::BIGINT AS sum_x
-    FROM orders WHERE o_orderkey % 11 <> 0
-    GROUP BY 1
-    """,
-)
-def q_refresh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental materialized-rollup maintenance (sinks/cdc.py
-    snapshot_changes → sinks/materialized.py refresh_rollup): the OLD
-    orders snapshot's per-status rollup is folded forward with a change
-    feed carrying inserts (%7 keys absent from old), deletes (%11 keys
-    absent from new), measure updates (%3 keys), and GROUP MIGRATION
-    (%5 keys move to status 'Z' — the pre/post pair splits into -old
-    +new group deltas).  O(groups + changes), never O(base); the oracle
-    is the refresh LAW itself — recomputing the rollup over the post-
-    change base must give the identical table."""
-    from etl_scripts_spark.sinks.cdc import snapshot_changes
-    from etl_scripts_spark.sinks.materialized import refresh_rollup, rollup_table
+#: the post-change rollup law — the ONE oracle for every query that must
+#: land on the NEW orders snapshot's per-status rollup, whether it got
+#: there incrementally (q_refresh_rollup) or through the streaming MV
+#: drain (q_stream_mv_drain): recomputing over the post-change base is
+#: the refresh law itself.
+_ORDERS_ROLLUP_POST_SQL = """
+SELECT CASE WHEN o_orderkey % 5 = 0 THEN 'Z' ELSE o_orderstatus END AS grp,
+       count(*)::BIGINT AS n,
+       sum(round(o_totalprice * 100)::BIGINT
+           + CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey % 97 ELSE 0 END)::BIGINT AS sum_x
+FROM orders WHERE o_orderkey % 11 <> 0
+GROUP BY 1
+"""
 
+
+def _orders_snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared OLD/NEW orders snapshot recipe for the CDC/rollup family
+    (q_snapshot_changes, q_refresh_rollup, q_stream_mv_drain): OLD drops
+    %7 keys, NEW drops %11 keys, bumps %3 measures and migrates %5 keys
+    to group 'Z'.  ONE copy, so the feed the CDC query verifies is
+    exactly the one both rollup-maintenance queries fold."""
     o = _t(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     old = o.filter(F.col("o_orderkey") % 7 != 0).select(
@@ -6579,6 +6576,25 @@ def q_refresh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("x"),
     )
+    return old, new
+
+
+@_register("q_refresh_rollup", _ORDERS_ROLLUP_POST_SQL)
+def q_refresh_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance (sinks/cdc.py
+    snapshot_changes → sinks/materialized.py refresh_rollup): the OLD
+    orders snapshot's per-status rollup is folded forward with a change
+    feed carrying inserts (%7 keys absent from old), deletes (%11 keys
+    absent from new), measure updates (%3 keys), and GROUP MIGRATION
+    (%5 keys move to status 'Z' — the pre/post pair splits into -old
+    +new group deltas).  O(groups + changes), never O(base); the oracle
+    is the refresh LAW itself — recomputing the rollup over the post-
+    change base must give the identical table.  Snapshots via the shared
+    _orders_snapshots recipe."""
+    from etl_scripts_spark.sinks.cdc import snapshot_changes
+    from etl_scripts_spark.sinks.materialized import refresh_rollup, rollup_table
+
+    old, new = _orders_snapshots(spark, sf_dir)
     current = rollup_table(old, ["grp"], ["x"])
     feed = snapshot_changes(old, new, ["k"])
     return refresh_rollup(current, feed, ["grp"], ["x"])
@@ -6616,28 +6632,11 @@ def q_snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_cdc.py) — O(old + new) at any scale, and the 4-way
     classification is a projection, not four scans.  Reference analogue:
     the dropbox re-registration diff (what changed since the last
-    openBIS sync) the reference recomputes by listing both trees."""
+    openBIS sync) the reference recomputes by listing both trees.
+    Snapshots via the shared _orders_snapshots recipe."""
     from etl_scripts_spark.sinks.cdc import snapshot_changes
 
-    o = _t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    old = o.filter(F.col("o_orderkey") % 7 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.col("o_orderstatus").alias("grp"),
-        cents.alias("x"),
-    )
-    new = o.filter(F.col("o_orderkey") % 11 != 0).select(
-        F.col("o_orderkey").alias("k"),
-        F.when(F.col("o_orderkey") % 5 == 0, F.lit("Z"))
-        .otherwise(F.col("o_orderstatus"))
-        .alias("grp"),
-        (
-            cents
-            + F.when(F.col("o_orderkey") % 3 == 0, F.col("o_orderkey") % 97).otherwise(
-                F.lit(0)
-            )
-        ).alias("x"),
-    )
+    old, new = _orders_snapshots(spark, sf_dir)
     return snapshot_changes(old, new, ["k"])
 
 
@@ -8052,6 +8051,160 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_scripts_spark.streaming.stateful import stateful_hll_available_now
 
     return stateful_hll_available_now(spark, f"{sf_dir}/events.parquet")
+
+
+@_stage("q_stream_mv_drain", _ORDERS_ROLLUP_POST_SQL)
+def q_stream_mv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming materialized-view maintenance
+    (streaming/mv.rollup_maintenance_available_now): the orders CDC feed
+    lands as three parquet files — two insert shards seeding the MV from
+    empty, then the old→new diff — drained AvailableNow one file per
+    micro-batch; every batch folds through refresh_rollup and commits
+    through the CAS manifest carrying its batch_id watermark, so a
+    replayed batch is a committed no-op.  The final committed rollup
+    must equal the batch law over the NEW snapshot — the SAME oracle
+    the incremental q_refresh_rollup registration pins, now holding
+    through the streaming + manifest machinery end-to-end.  Per
+    micro-batch cost is O(groups + batch); the base table never
+    re-scans.  Snapshots via the shared _orders_snapshots recipe;
+    scratch state is wiped per call so replays start from a fresh
+    checkpoint/table root."""
+    import os
+    import shutil
+    import time
+
+    from etl_scripts_spark.sinks.cdc import snapshot_changes
+    from etl_scripts_spark.streaming.mv import rollup_maintenance_available_now
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dest = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "mv", tag
+    )
+    shutil.rmtree(dest, ignore_errors=True)
+    old, new = _orders_snapshots(spark, sf_dir)
+    feeds = [
+        snapshot_changes(None, old.filter(F.col("k") % 2 == 0), ["k"]),
+        snapshot_changes(None, old.filter(F.col("k") % 2 == 1), ["k"]),
+        snapshot_changes(old, new, ["k"]),
+    ]
+    now = time.time()
+    for i, feed in enumerate(feeds):
+        fdir = os.path.join(dest, "feed", f"f{i}")
+        feed.coalesce(1).write.parquet(fdir)
+        # the file source orders micro-batches by mtime; pin strictly
+        # ascending stamps so the insert shards always precede the diff
+        # (a delete surfacing before its insert is the documented
+        # loud-wedge case, not a silent wrong table)
+        for name in os.listdir(fdir):
+            stamp = now - 60 + i * 20
+            os.utime(os.path.join(fdir, name), (stamp, stamp))
+    return rollup_maintenance_available_now(
+        spark,
+        os.path.join(dest, "feed", "f*"),
+        "k bigint, grp string, x bigint, _change_type string",
+        os.path.join(dest, "root"),
+        ["grp"],
+        ["x"],
+        checkpoint_dir=os.path.join(dest, "ckpt"),
+    )
+
+
+@_stage(
+    "q_vacuum_report",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS k, o_orderstatus AS grp,
+             round(o_totalprice * 100)::BIGINT AS x
+      FROM orders
+    ),
+    per AS (
+      SELECT v.version,
+             count(DISTINCT grp)::BIGINT AS n_groups,
+             count(*)::BIGINT AS total_n,
+             sum(x)::BIGINT AS total_sum
+      FROM src JOIN (VALUES (4), (5)) AS v(version) ON k % 7 < v.version
+      GROUP BY v.version
+    )
+    SELECT version::INT AS version, n_groups, total_n, total_sum,
+           3::INT AS removed_manifests, 4::INT AS removed_dirs,
+           3::INT AS leftover_dirs
+    FROM per
+    """,
+)
+def q_vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention GC on a real version chain (sinks/commit.vacuum): five
+    committed versions of a growing orders rollup (version v holds keys
+    with o_orderkey %7 < v), plus one aged and one fresh unreferenced
+    data dir; vacuum(keep=2, grace=1h) must evict versions 1–3 and the
+    aged orphan while shielding the fresh orphan (a live writer's
+    staging window) and the retained window.  The result carries the
+    count law AND the read-back aggregates of BOTH surviving snapshots
+    — a vacuum that touched a retained data dir breaks the value match,
+    not just the counts.  Driver-side work is O(versions) filesystem
+    metadata (a bounded constant here, never data-sized); the snapshot
+    writes and read-backs are distributed.  Scratch state is wiped per
+    call."""
+    import os
+    import shutil
+    import time
+
+    from etl_scripts_spark.sinks.commit import (
+        read_version,
+        try_publish_version,
+        vacuum,
+    )
+    from etl_scripts_spark.sinks.files import staged_write
+    from etl_scripts_spark.sinks.materialized import rollup_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dest = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", "vacuum", tag
+    )
+    shutil.rmtree(dest, ignore_errors=True)
+    root = os.path.join(dest, "root")
+    data_root = os.path.join(root, "data")
+    os.makedirs(data_root, exist_ok=True)
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+    )
+    for v in range(1, 6):
+        snap = rollup_table(base.filter(F.col("k") % 7 < v), ["grp"], ["x"])
+        path = staged_write(snap, os.path.join(data_root, f"v{v}d"))
+        if not try_publish_version(root, v, path, base=v - 1):
+            raise RuntimeError(f"q_vacuum_report: lost CAS on private root v{v}")
+    now = time.time()
+    for name, age in (("orphan-aged", 7200.0), ("orphan-fresh", 0.0)):
+        d = os.path.join(data_root, name)
+        os.makedirs(d)
+        os.utime(d, (now - age, now - age))
+    rep = vacuum(root, keep=2, grace_seconds=3600.0)
+    leftover = sum(
+        os.path.isdir(os.path.join(data_root, n)) for n in os.listdir(data_root)
+    )
+    out = None
+    for v in rep["retained_versions"]:
+        row = (
+            read_version(spark, root, v)
+            .agg(
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum("n").alias("total_n"),
+                F.sum("sum_x").alias("total_sum"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                "n_groups",
+                "total_n",
+                "total_sum",
+                F.lit(len(rep["removed_manifests"])).cast("int").alias("removed_manifests"),
+                F.lit(len(rep["removed_dirs"])).cast("int").alias("removed_dirs"),
+                F.lit(leftover).cast("int").alias("leftover_dirs"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -63,8 +63,9 @@ STAGED_BNLJ = {
 
 #: AvailableNow streaming twins — the helper executes the drain at call
 #: time, so there is no lazy plan to audit (the batch-law oracle is the
-#: contract instead).
-STAGED_STREAMING = {"q_stream_rolling_zscore", "q_stream_hll"}
+#: contract instead).  q_stream_mv_drain also wipes and replays its
+#: scratch MV root per call.
+STAGED_STREAMING = {"q_stream_rolling_zscore", "q_stream_hll", "q_stream_mv_drain"}
 
 
 @pytest.mark.parametrize("name", sorted(set(STAGED) - STAGED_STREAMING))
