@@ -72,6 +72,31 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return catalog.load_parallel(spark, sf_dir, name)
 
 
+def _scratch_dir(kind: str, sf_dir: str, wipe: bool = False) -> str:
+    """Per-(query-kind, input-dir) scratch root for the side-effecting
+    queries (skipping/MV/vacuum), anchored to this module's checkout —
+    the repo is not guaranteed to live at /root/repo on the driver box.
+    Keyed by the FULL normalized sf_dir (basename + an 8-hex path
+    digest), so two data dirs sharing a basename can never share — and
+    wipe — each other's state.  `wipe` clears the previous call's state
+    first (checkpoint/manifest chains must not leak between calls).
+    Concurrent calls on the SAME sf_dir are not supported — the driver
+    runs queries serially."""
+    import hashlib
+    import os
+    import shutil
+
+    norm = os.path.normpath(os.path.abspath(sf_dir))
+    tag = f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:8]}"
+    dest = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".scratch", kind, tag
+    )
+    if wipe:
+        shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    return dest
+
+
 # ---------------------------------------------------------------------------
 # Flagship / bench queries
 # ---------------------------------------------------------------------------
@@ -6448,13 +6473,7 @@ def q_skipping_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_scripts_spark.sinks.layout import rowgroup_stats, skipping_report
 
     g_rows, lo, hi = 1024, 100.0, 299.0
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    # anchored to this module's checkout, not a hardcoded absolute path —
-    # the repo is not guaranteed to live at /root/repo on the driver box
-    dest = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".scratch", "skipping", tag
-    )
-    os.makedirs(dest, exist_ok=True)
+    dest = _scratch_dir("skipping", sf_dir)
     li = _t(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") % 8).alias("bucket"),
         F.col("l_partkey").alias("v"),
@@ -8070,17 +8089,12 @@ def q_stream_mv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     scratch state is wiped per call so replays start from a fresh
     checkpoint/table root."""
     import os
-    import shutil
     import time
 
     from etl_scripts_spark.sinks.cdc import snapshot_changes
     from etl_scripts_spark.streaming.mv import rollup_maintenance_available_now
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    dest = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".scratch", "mv", tag
-    )
-    shutil.rmtree(dest, ignore_errors=True)
+    dest = _scratch_dir("mv", sf_dir, wipe=True)
     old, new = _orders_snapshots(spark, sf_dir)
     feeds = [
         snapshot_changes(None, old.filter(F.col("k") % 2 == 0), ["k"]),
@@ -8098,7 +8112,7 @@ def q_stream_mv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name in os.listdir(fdir):
             stamp = now - 60 + i * 20
             os.utime(os.path.join(fdir, name), (stamp, stamp))
-    return rollup_maintenance_available_now(
+    out = rollup_maintenance_available_now(
         spark,
         os.path.join(dest, "feed", "f*"),
         "k bigint, grp string, x bigint, _change_type string",
@@ -8107,6 +8121,9 @@ def q_stream_mv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["x"],
         checkpoint_dir=os.path.join(dest, "ckpt"),
     )
+    # pin the (groups-sized) result off the scratch files: the next call
+    # wipes them, and a lazily-held result would dangle on deleted parquet
+    return out.localCheckpoint(eager=True)
 
 
 @_stage(
@@ -8145,7 +8162,6 @@ def q_vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes and read-backs are distributed.  Scratch state is wiped per
     call."""
     import os
-    import shutil
     import time
 
     from etl_scripts_spark.sinks.commit import (
@@ -8156,11 +8172,7 @@ def q_vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_scripts_spark.sinks.files import staged_write
     from etl_scripts_spark.sinks.materialized import rollup_table
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    dest = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), ".scratch", "vacuum", tag
-    )
-    shutil.rmtree(dest, ignore_errors=True)
+    dest = _scratch_dir("vacuum", sf_dir, wipe=True)
     root = os.path.join(dest, "root")
     data_root = os.path.join(root, "data")
     os.makedirs(data_root, exist_ok=True)
@@ -8204,7 +8216,9 @@ def q_vacuum_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         out = row if out is None else out.unionByName(row)
-    return out
+    # pin the 2-row result off the scratch files (same dangle hazard as
+    # q_stream_mv_drain: the next call wipes the retained snapshots)
+    return out.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------

@@ -61,14 +61,20 @@ STAGED_BNLJ = {
     "q_tpch_q20",             # partsupp grid
 }
 
-#: AvailableNow streaming twins — the helper executes the drain at call
-#: time, so there is no lazy plan to audit (the batch-law oracle is the
-#: contract instead).  q_stream_mv_drain also wipes and replays its
-#: scratch MV root per call.
-STAGED_STREAMING = {"q_stream_rolling_zscore", "q_stream_hll", "q_stream_mv_drain"}
+#: Queries whose real work executes eagerly at call time, so there is no
+#: lazy plan to audit (the oracle is the contract instead): the
+#: AvailableNow streaming twins, the scratch-root MV drain, and the
+#: vacuum chain (auditing its trivial read-back union would just re-run
+#: the whole 5-version write + GC for nothing).
+STAGED_EAGER = {
+    "q_stream_rolling_zscore",
+    "q_stream_hll",
+    "q_stream_mv_drain",
+    "q_vacuum_report",
+}
 
 
-@pytest.mark.parametrize("name", sorted(set(STAGED) - STAGED_STREAMING))
+@pytest.mark.parametrize("name", sorted(set(STAGED) - STAGED_EAGER))
 def test_staged_plan_stays_on_the_scale_contract(spark, name):
     import contextlib
     import io
@@ -88,3 +94,15 @@ def test_staged_plan_stays_on_the_scale_contract(spark, name):
     assert "element_at(split(trim(regexp_replace" not in plan, (
         f"{name} inlines the tokenizer expression into a HOF lambda"
     )
+
+
+def test_scratch_backed_result_survives_a_second_call(spark):
+    """The scratch-root queries wipe their state per call; a result held
+    across a later call must not dangle on deleted files (both return
+    eagerly localCheckpointed frames)."""
+    mv = entrymod.staged_queries()["q_stream_mv_drain"]
+    first = mv(spark, SF_SMALL)
+    second = mv(spark, SF_SMALL)  # wipes the first call's scratch root
+    rows = sorted(tuple(r) for r in first.collect())
+    assert rows == sorted(tuple(r) for r in second.collect())
+    assert len(rows) > 0
