@@ -21,6 +21,7 @@ from typing import NamedTuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import free_local_checkpoint
 from .text import normalize_text, words
 
 
@@ -241,6 +242,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         ).localCheckpoint(eager=True)
         m = obs.get
         new_fp = (m["n"], m["h"])
+        # the superseded round's label blocks are dead the moment the new
+        # eager checkpoint has materialized — free them now instead of
+        # letting them pressure the block manager until JVM GC (ckpt.py)
+        free_local_checkpoint(labels)
         labels = new_labels
         if new_fp == fp:
             converged = True
@@ -254,6 +259,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             "(graph diameter exceeds the cap); use connected_components_star, "
             "which converges in O(log^2 n) rounds regardless of shape"
         )
+    # the result references only the final label checkpoint — the edge
+    # checkpoint's blocks are dead weight from here on
+    free_local_checkpoint(edges)
     return labels.select("id", F.col("lbl").alias("component"))
 
 
@@ -368,6 +376,12 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 30) -> DataFrame
     converged = False
     for _ in range(max_iter):
         new_e, new_fp = checkpoint_with_fingerprint(small_star(large_star(E)))
+        # a chain-shaped graph runs 30+ rounds here; without an eager free
+        # every round's edge checkpoint stays pinned until JVM GC and the
+        # retained blocks inflate whatever runs next on the executor
+        # (SCALE.md's measured ~4x neighbor effect) — the old round is
+        # dead once the new checkpoint has materialized
+        free_local_checkpoint(E)
         E = new_e
         if new_fp == fp:
             converged = True

@@ -44,6 +44,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import free_local_checkpoint
+
 
 def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
     return edges.groupBy(F.col(src).alias("node")).agg(
@@ -70,8 +72,14 @@ def pagerank(
     deg = out_degrees(edges, src)
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
+    prev_cp = None
     for _ in range(rounds):
         ranks = ranks.localCheckpoint(eager=True)
+        # materializing this round's checkpoint consumed the previous
+        # round's blocks for the last time — free them eagerly (ckpt.py);
+        # the final checkpoint stays live under the returned plan
+        free_local_checkpoint(prev_cp)
+        prev_cp = ranks
         # SQL DIV, not `/`: Spark's `/` on bigints routes through DOUBLE,
         # which silently loses exactness past 2^53 — DIV stays integral
         # (and equals DuckDB `//` on the non-negative values here)
@@ -168,6 +176,9 @@ def bfs_distances(
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
+            # the empty terminal frontier joins no result — free it now;
+            # every non-empty slice stays live inside the returned union
+            free_local_checkpoint(nxt)
             break
         dist = dist.unionByName(nxt)
         frontier = nxt
@@ -233,7 +244,14 @@ def k_core(
         )
         n2 = e2.count()
         if n2 == n_edges:
+            # converged: the result reads `deg`, which derives from the
+            # PREVIOUS checkpoint `e` — e2 holds identical content and is
+            # referenced by nothing, so its blocks are already dead
+            free_local_checkpoint(e2)
             return deg.filter(F.col("degree") >= k)
+        # not converged: this round's degree/semi-join work was the last
+        # reader of the old edge checkpoint
+        free_local_checkpoint(e)
         e, n_edges = e2, n2
     if n_edges == 0:
         # fully peeled: nothing reaches degree k.  The empty frame's

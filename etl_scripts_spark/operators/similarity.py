@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..ckpt import free_local_checkpoint
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential double-precision dot product of two array columns."""
@@ -369,6 +371,7 @@ def kmeans_centroids_row(
     )
     cents_row = centroids_row(corpus, k, id_col, vec_col)
     fp = None
+    prev_cents = None
     for _ in range(n_iter):
         assigned = _assign_to_centroids(staged, cents_row, id_col)
         dims = assigned.select("cid", F.posexplode("_v").alias("pos", "val"))
@@ -405,6 +408,11 @@ def kmeans_centroids_row(
         )
         m = obs.get
         new_fp = (m["n"], m["h"])
+        # the previous round's centroid checkpoint fed this round's
+        # assignment and is now superseded — free its blocks (ckpt.py);
+        # the checkpoint backing the RETURNED cents_row is never freed
+        free_local_checkpoint(prev_cents)
+        prev_cents = new_cents
         cents_row = _centroid_row_from(new_cents)
         if new_fp == fp:
             break
@@ -559,6 +567,7 @@ def pq_topk(
             "blk", F.col("vid").alias("cid"), F.col("_v").alias("cv")
         )
     )
+    prev_cents = None
     for _ in range(n_iter):
         assigned = assign(corpus_long, cents, "vid")
         dims = assigned.select("blk", "cid", F.posexplode("_v").alias("pos", "val"))
@@ -579,6 +588,10 @@ def pq_topk(
             )
             .localCheckpoint(eager=True)  # ONE job per round for all m blocks
         )
+        # superseded round's blocks are dead once this checkpoint exists
+        # (the last checkpoint stays live under `cents`/`codes` below)
+        free_local_checkpoint(prev_cents)
+        prev_cents = new_cents
         cents = cents_row_from(new_cents)
 
     codes = assign(corpus_long, cents, "vid").select(

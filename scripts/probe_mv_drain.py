@@ -58,8 +58,13 @@ now = time.time()
 for i, feed in enumerate(feeds):
     fdir = os.path.join(tmp, "feed", f"f{i}")
     feed.coalesce(4).write.parquet(fdir)
-    for name in os.listdir(fdir):
-        stamp = now - 60 + i * 20
+    # per-FILE offsets, not one per-feed stamp: the file source orders
+    # micro-batches by mtime, and identical stamps would leave the order
+    # of a feed's 4 shards arbitrary — harmless for these commuting
+    # insert deltas, but the probe should pin the causal order mv.py
+    # documents rather than rely on commutativity (ADVICE r9)
+    for j, name in enumerate(sorted(os.listdir(fdir))):
+        stamp = now - 60 + i * 20 + j
         os.utime(os.path.join(fdir, name), (stamp, stamp))
 
 t0 = time.time()
