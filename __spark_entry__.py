@@ -87,7 +87,10 @@ def _scratch_dir(kind: str, sf_dir: str, wipe: bool = False) -> str:
     import shutil
 
     norm = os.path.normpath(os.path.abspath(sf_dir))
-    tag = f"{os.path.basename(norm)}-{hashlib.md5(norm.encode()).hexdigest()[:8]}"
+    # sha256, not md5: the digest is only a path-uniqueness tag, but md5
+    # constructors raise on FIPS-enforcing Python builds and would take
+    # the skipping/MV/vacuum queries down with them
+    tag = f"{os.path.basename(norm)}-{hashlib.sha256(norm.encode()).hexdigest()[:8]}"
     dest = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".scratch", kind, tag
     )
@@ -6865,7 +6868,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Pre-staged registrations (r10+).  NOT exposed through queries()/
+# Pre-staged registrations (r11+).  NOT exposed through queries()/
 # oracle_sql() yet — registrations are capped per round to keep the driver's
 # 50-slot rotation window cycling, so the banked backlog drains on a
 # schedule.  Every entry here is fully written (query + oracle), verified
@@ -6873,8 +6876,12 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver's own strictness, so a future round's flip is pure plumbing:
 # change @_stage to @_register, add the name to _CHANGED_THIS_ROUND and
 # bench.HEADLINE, flip the COVERAGE row, refresh its BENCH_FLOORS entry.
-# The first seven are the pinned r10 set; the rest drain the r11+ queue
-# (TPC-H completion wave first, then the banked operator families).
+# r10 flipped the pinned seven (image_ahash, signature_dup_clusters,
+# mjpeg_video_stats, resample_ffill, weighted_bernoulli, batch_retrieval,
+# link_records) plus the two scratch-root shapes (stream_mv_drain,
+# vacuum_report) and the first TPC-H completion-wave trio (q06/q12/q14) —
+# those twelve now live in the registered sections above.  The rest drain
+# the r11+ queue (remaining TPC-H wave first, then the banked families).
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -6891,9 +6898,6 @@ def _stage(name: str, oracle_sql: str | None = None):
     return deco
 
 
-_stage_r10 = _stage  # the pinned r10 seven are tagged with this alias
-
-
 def staged_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration candidates — same contract as queries(), verified by
     tests/test_staged_r10.py; not part of the driver surface yet."""
@@ -6904,7 +6908,7 @@ def staged_oracle_sql() -> dict[str, str]:
     return dict(_STAGED_ORACLES)
 
 
-@_stage_r10(
+@_register(
     "q_image_ahash",
     # ahash law over the pixel fixture, recomputed from doc_id arithmetic:
     # luma = 1000·v replicates across channels (r=g=b in every fixture
@@ -6954,7 +6958,7 @@ def q_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.image_ahash(multimodal.with_pixel_image_payload(docs))
 
 
-@_stage_r10(
+@_register(
     "q_signature_dup_clusters",
     # synthetic signature table with planted near-groups (base hash ⊕
     # {0, bits{0,3}, bit 20} per member): the oracle recomputes the sigs,
@@ -7018,7 +7022,7 @@ def q_signature_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.signature_dup_clusters(sig, "doc_id", "ahash", max_hamming=3)
 
 
-@_stage_r10(
+@_register(
     "q_mjpeg_video_stats",
     # MJPEG fixture law: k = 2 + d%5 frames; sampled src = j·k//3; frame
     # fid = d + src is (16 + fid%9) × (16 + 3·fid%9), 1 or 3 channels,
@@ -7094,7 +7098,7 @@ def _events_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage_r10(
+@_register(
     "q_resample_ffill",
     f"""
     WITH obs AS ({_EVENTS_OBS_SQL}),
@@ -7127,7 +7131,7 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(_events_obs(spark, sf_dir), by="user_id", on="ts", step=3600)
 
 
-@_stage_r10(
+@_register(
     "q_weighted_bernoulli",
     oracle.weighted_bernoulli_sql(
         "SELECT doc_id, 1 + n_chars % 7 AS w FROM documents", "w", 1, 10
@@ -7146,7 +7150,7 @@ def q_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.weighted_bernoulli_sample(docs, "w", 1, 10)
 
 
-@_stage_r10(
+@_register(
     "q_batch_retrieval",
     # score is summed as exact DECIMAL(18,6) in both engines, then cast
     # to DOUBLE on BOTH sides for the driver hash (exact-decimal → IEEE
@@ -7184,7 +7188,7 @@ def q_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("score", F.col("score").cast("double"))
 
 
-@_stage_r10(
+@_register(
     "q_link_records",
     oracle.link_records_sql(
         """SELECT 1000000 + c_custkey AS rec_id,
@@ -7272,7 +7276,7 @@ def q_tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q06", tpch.q06_oracle_sql())
+@_register("q_tpch_q06", tpch.q06_oracle_sql())
 def q_tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 (tpch.q06_forecast_revenue): the pure pushdown probe —
     shipdate + quantity predicates plan-pinned into PushedFilters."""
@@ -7328,7 +7332,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q12", tpch.q12_oracle_sql())
+@_register("q_tpch_q12", tpch.q12_oracle_sql())
 def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 (tpch.q12_shipmode_priority): both conditional priority
     counts in ONE join pass (CASE sums, not two scans)."""
@@ -7347,7 +7351,7 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q14", tpch.q14_oracle_sql())
+@_register("q_tpch_q14", tpch.q14_oracle_sql())
 def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 (tpch.q14_promo_effect): promo revenue ratio from two
     CASE sums in one pass over one broadcast part join."""
@@ -8072,7 +8076,7 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stateful_hll_available_now(spark, f"{sf_dir}/events.parquet")
 
 
-@_stage("q_stream_mv_drain", _ORDERS_ROLLUP_POST_SQL)
+@_register("q_stream_mv_drain", _ORDERS_ROLLUP_POST_SQL)
 def q_stream_mv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once streaming materialized-view maintenance
     (streaming/mv.rollup_maintenance_available_now): the orders CDC feed
@@ -8108,9 +8112,11 @@ def q_stream_mv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the file source orders micro-batches by mtime; pin strictly
         # ascending stamps so the insert shards always precede the diff
         # (a delete surfacing before its insert is the documented
-        # loud-wedge case, not a silent wrong table)
-        for name in os.listdir(fdir):
-            stamp = now - 60 + i * 20
+        # loud-wedge case, not a silent wrong table).  Per-FILE offsets
+        # within the feed too — coalesce(1) writes one data file today,
+        # but the ordering contract shouldn't hinge on that
+        for j, name in enumerate(sorted(os.listdir(fdir))):
+            stamp = now - 60 + i * 20 + j
             os.utime(os.path.join(fdir, name), (stamp, stamp))
     out = rollup_maintenance_available_now(
         spark,
@@ -8126,7 +8132,7 @@ def q_stream_mv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.localCheckpoint(eager=True)
 
 
-@_stage(
+@_register(
     "q_vacuum_report",
     """
     WITH src AS (
@@ -8237,21 +8243,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh-green), so every query gets a driver check at least every ~3 rounds
 # — a regression in a long-green query can hide for at most that long.
 
-#: New in round 9 (never driver-green yet) → head of the rotation: the
-#: six pinned queue operators plus the r8-verdict-requested TPC-H drip
-#: (Q17/Q22).  Budget check (the ≤6 cap exists to protect the 50-slot
-#: window): 8 new + the r5-green ×25 cohort = 33 ≤ 50, so the staleness
-#: floor still advances to r6 this round.  Everything else rides the
-#: least-recently-green order.
+#: New in round 10 (never driver-green yet) → head of the rotation: the
+#: pre-staged r10 seven, the two scratch-root shapes, and the first
+#: TPC-H completion-wave trio.  Budget check (the cap exists to protect
+#: the 50-slot window): 12 new + the r6-green ×33 cohort = 45 ≤ 50, so
+#: the staleness floor still advances to r7 this round with 5 slots of
+#: r7 refresh to spare.  Everything else rides the least-recently-green
+#: order.
 _CHANGED_THIS_ROUND = (
-    "q_snapshot_changes",
-    "q_audio_spectrogram",
-    "q_grouped_ols",
-    "q_expectation_report",
-    "q_pmi_collocations",
-    "q_psi_report",
-    "q_tpch_q17",
-    "q_tpch_q22",
+    "q_image_ahash",
+    "q_signature_dup_clusters",
+    "q_mjpeg_video_stats",
+    "q_resample_ffill",
+    "q_weighted_bernoulli",
+    "q_batch_retrieval",
+    "q_link_records",
+    "q_stream_mv_drain",
+    "q_vacuum_report",
+    "q_tpch_q06",
+    "q_tpch_q12",
+    "q_tpch_q14",
 )
 
 

@@ -140,6 +140,23 @@ HEADLINE = [
     "q_psi_report",
     "q_tpch_q17",
     "q_tpch_q22",
+    # round-10 additions: the pre-staged flip — real image-hash decode,
+    # signature clustering, MJPEG frame decode, grid resample + ffill,
+    # exact weighted sampling, batch BM25 retrieval, record linkage,
+    # the scratch-root pair (streaming MV drain, vacuum GC), and the
+    # first TPC-H completion trio (Q6 pushdown probe, Q12, Q14)
+    "q_image_ahash",
+    "q_signature_dup_clusters",
+    "q_mjpeg_video_stats",
+    "q_resample_ffill",
+    "q_weighted_bernoulli",
+    "q_batch_retrieval",
+    "q_link_records",
+    "q_stream_mv_drain",
+    "q_vacuum_report",
+    "q_tpch_q06",
+    "q_tpch_q12",
+    "q_tpch_q14",
 ]
 
 
@@ -194,8 +211,15 @@ def main() -> None:
         # operators (k-means, CC, BPE) eagerly checkpoint per round, and 60
         # queries of retained blocks in one JVM turn into GC pressure that
         # showed up as a 4x slowdown on late suite entries (8.1 s vs 2.1 s
-        # standalone for q_kmeans_assign)
+        # standalone for q_kmeans_assign).  Python gc drops the py4j refs,
+        # but the JVM only releases the blocks at its own GC (which may
+        # not run for many queries on a 128 GiB heap) — so ALSO unpersist
+        # every leftover persistent RDD explicitly.  Safe because nothing
+        # in the engine `.cache()`s across queries: anything still
+        # registered here is a finished query's checkpoint litter.
         gc.collect()
+        for _rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
+            _rdd.unpersist(False)
         raws: list[float] = []
         rows = -1
         for _ in range(2):
@@ -240,6 +264,7 @@ def main() -> None:
     # makes the artifact carry its own attribution.  Floors below 0.2 s
     # are skipped (jitter at that size trips 2x without meaning anything).
     inflated: dict[str, dict[str, float]] = {}
+    floors_skipped: dict[str, str] | None = None
     floors_path = Path(__file__).resolve().parent / "BENCH_FLOORS.json"
     if floors_path.exists():
         try:
@@ -251,9 +276,15 @@ def main() -> None:
         # floors are only meaningful at the scale they were recorded at:
         # comparing an sf1 run against sf0.1 floors would flag nearly
         # every query as "inflated" (i.e. mislabel genuine scale cost as
-        # suite noise) and bury real regressions
-        same_sf = str(payload.get("sf_dir", "")).rstrip("/") == sf_dir.rstrip("/")
+        # suite noise) and bury real regressions.  Compare realpaths, not
+        # strings — a symlink / '//' / relative spelling of the SAME dir
+        # must not silently disable the gate — and when floors ARE dropped
+        # say so in the artifact instead of leaving a hole nobody can see.
+        recorded = str(payload.get("sf_dir", ""))
+        same_sf = bool(recorded) and os.path.realpath(recorded) == os.path.realpath(sf_dir)
         floors = payload.get("floors", {}) if same_sf else {}
+        if payload and not same_sf:
+            floors_skipped = {"recorded": recorded, "run": sf_dir}
         for name, t in timings.items():
             f = floors.get(name)
             if f is not None and f >= 0.2 and t > 2 * f:
@@ -270,6 +301,10 @@ def main() -> None:
         result["errors"] = errors
     if inflated:
         result["inflated"] = inflated
+    if floors_skipped is not None:
+        # floors existed but were recorded at a different data dir — the
+        # inflation gate is OFF for this run, and the artifact says so
+        result["floors_skipped_scale_mismatch"] = floors_skipped
     result["queries"] = timings
     result["metric"] = "headline_suite_seconds"
     result["unit"] = "sec"

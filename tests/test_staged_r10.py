@@ -40,8 +40,6 @@ def test_staged_query_matches_oracle(spark, name):
 #: staged queries whose plans intentionally contain an Arrow-batched
 #: Python stage (codec decode inside mapInPandas) — never BatchEvalPython.
 STAGED_ARROW = {
-    "q_image_ahash",
-    "q_mjpeg_video_stats",
     "q_g711_audio_stats",
     "q_gif_pixel_stats",
     "q_tiff_pixel_stats",
@@ -52,7 +50,6 @@ STAGED_ARROW = {
 #: law (reports/tpch.partsupp_df — a broadcast of the 10·SF-row supplier
 #: dim against part, the deterministic stand-in for the missing table).
 STAGED_BNLJ = {
-    "q_batch_retrieval",      # 1-row corpus stats (bm25 shape)
     "q_key_skew_report",      # 1-row total attach
     "q_stratified_sample",    # 1-row total + 1-row leftover attach
     "q_tpch_q02",             # partsupp grid
@@ -63,14 +60,12 @@ STAGED_BNLJ = {
 
 #: Queries whose real work executes eagerly at call time, so there is no
 #: lazy plan to audit (the oracle is the contract instead): the
-#: AvailableNow streaming twins, the scratch-root MV drain, and the
-#: vacuum chain (auditing its trivial read-back union would just re-run
-#: the whole 5-version write + GC for nothing).
+#: AvailableNow streaming twins.  (The scratch-root MV drain and vacuum
+#: chain flipped to the registered surface in r10 — their eager
+#: exemption now lives in tests/test_plans.py.)
 STAGED_EAGER = {
     "q_stream_rolling_zscore",
     "q_stream_hll",
-    "q_stream_mv_drain",
-    "q_vacuum_report",
 }
 
 
@@ -99,8 +94,10 @@ def test_staged_plan_stays_on_the_scale_contract(spark, name):
 def test_scratch_backed_result_survives_a_second_call(spark):
     """The scratch-root queries wipe their state per call; a result held
     across a later call must not dangle on deleted files (both return
-    eagerly localCheckpointed frames)."""
-    mv = entrymod.staged_queries()["q_stream_mv_drain"]
+    eagerly localCheckpointed frames).  q_stream_mv_drain registered in
+    r10 but the wipe-survival property is pinned here with its scratch
+    siblings."""
+    mv = entrymod.queries()["q_stream_mv_drain"]
     first = mv(spark, SF_SMALL)
     second = mv(spark, SF_SMALL)  # wipes the first call's scratch root
     rows = sorted(tuple(r) for r in first.collect())
