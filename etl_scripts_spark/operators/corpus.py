@@ -913,10 +913,22 @@ def batch_retrieval(
     qtoks = queries.select(
         F.col(query_id_col), words(F.col(query_text_col)).alias("_qw")
     )
+    # qterms is consumed three times (the semi probe below, the df join,
+    # and the query fanout); relevant twice (df + scoring).  Without a
+    # materialization Catalyst rebuilds each consumer's whole subtree, so
+    # the corpus explode+aggregate — the ONE big shuffle this operator is
+    # designed around — would run once per consumer (verified: 3 corpus
+    # scans in the unmaterialized plan).  Checkpoint both reuse
+    # boundaries: qterms is query-vocabulary-sized (tiny), and relevant
+    # is the MATCHED postings — already bounded by the query vocabulary,
+    # and exactly the data every downstream consumer needs, so
+    # materializing it replaces two extra full-corpus passes with one
+    # executor-local write of the pruned index.
     qterms = (
         qtoks.select(F.col(query_id_col), F.explode("_qw").alias("term"))
         .filter(F.col("term") != "")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # prune postings to query terms FIRST (semi on the broadcast query
     # vocabulary), and derive the df table from the PRUNED postings —
@@ -926,12 +938,9 @@ def batch_retrieval(
     # size and would not survive 100 TB).
     relevant = postings.join(
         F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-    )
+    ).localCheckpoint(eager=True)
     dfreq = relevant.groupBy("term").agg(F.count("*").alias("df"))
-    matched = relevant.join(F.broadcast(qterms), "term").join(
-        F.broadcast(dfreq), "term"
-    )
-    scored = join_singleton(matched, stats)
+    scored = join_singleton(relevant.join(F.broadcast(dfreq), "term"), stats)
     idf = F.log(
         1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -941,9 +950,18 @@ def batch_retrieval(
     contrib = F.round(idf * (F.col("tf") * (k1 + 1.0)) / denom, 6).cast(
         "decimal(18,6)"
     )
-    pair_scores = scored.select(
-        F.col(query_id_col), F.col(id_col), contrib.alias("_c")
-    ).groupBy(query_id_col, id_col).agg(F.sum("_c").alias("score"))
+    # contrib is a function of the posting (tf, dl) and per-term/corpus
+    # stats (df, n_docs, sum_dl) — never of the query — so evaluate it
+    # ONCE per matched posting BEFORE the query fanout join; the fanout
+    # replicates a finished decimal instead of re-running
+    # log/divide/round per (query, posting) row.  Catalyst does not
+    # hoist expressions below joins by itself.
+    posting_scores = scored.select("term", F.col(id_col), contrib.alias("_c"))
+    pair_scores = (
+        posting_scores.join(F.broadcast(qterms), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_c").alias("score"))
+    )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )
