@@ -8114,9 +8114,14 @@ def q_stream_mv_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (a delete surfacing before its insert is the documented
         # loud-wedge case, not a silent wrong table).  Per-FILE offsets
         # within the feed too — coalesce(1) writes one data file today,
-        # but the ordering contract shouldn't hinge on that
-        for j, name in enumerate(sorted(os.listdir(fdir))):
-            stamp = now - 60 + i * 20 + j
+        # but the ordering contract shouldn't hinge on that.  The gap is
+        # DERIVED from the file count so every feed-i stamp stays strictly
+        # below feed-(i+1)'s window whatever the shard count — a fixed
+        # +j offset would invert the cross-feed order past 20 files.
+        names = sorted(os.listdir(fdir))
+        gap = 20.0 / (len(names) + 1)
+        for j, name in enumerate(names):
+            stamp = now - 60 + i * 20 + (j + 1) * gap
             os.utime(os.path.join(fdir, name), (stamp, stamp))
     out = rollup_maintenance_available_now(
         spark,

@@ -218,8 +218,13 @@ def main() -> None:
         # in the engine `.cache()`s across queries: anything still
         # registered here is a finished query's checkpoint litter.
         gc.collect()
-        for _rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
-            _rdd.unpersist(False)
+        try:
+            for _rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
+                _rdd.unpersist(False)
+        except Exception as exc:  # noqa: BLE001 — hygiene must not kill the suite
+            # a py4j hiccup here (long GC pause is exactly when this runs)
+            # must not cost the remaining queries their bench signal
+            print(f"# checkpoint sweep skipped: {exc}", file=sys.stderr, flush=True)
         raws: list[float] = []
         rows = -1
         for _ in range(2):
@@ -269,10 +274,14 @@ def main() -> None:
     if floors_path.exists():
         try:
             payload = json.loads(floors_path.read_text())
-        except (OSError, ValueError):
+        except (OSError, ValueError) as exc:
             # an unreadable/garbled floors file must never cost the
-            # one-JSON-line artifact after the suite has already run
+            # one-JSON-line artifact after the suite has already run —
+            # but the gate being OFF must be visible in the artifact,
+            # same as the scale-mismatch case
             payload = {}
+            floors_skipped = {"recorded": "", "run": sf_dir,
+                              "unreadable": f"{type(exc).__name__}"}
         # floors are only meaningful at the scale they were recorded at:
         # comparing an sf1 run against sf0.1 floors would flag nearly
         # every query as "inflated" (i.e. mislabel genuine scale cost as

@@ -1,8 +1,12 @@
 """Eager release of localCheckpoint block storage.
 
-Every iterative operator here (star-CC, label-prop CC, lineage fixpoint,
-PageRank, BFS, k-core peel, k-means) pins each round's state with
-``localCheckpoint(eager=True)`` so the plan stays flat.  Spark only frees
+Every iterative operator here (star-CC, label-prop CC, PageRank, BFS,
+k-core peel, k-means, BPE training, perceptron) pins each round's state
+with ``localCheckpoint(eager=True)`` so the plan stays flat.  (The
+lineage fixpoint also checkpoints per hop but CANNOT free: every hop's
+result slice still reads its round's checkpoint when the returned union
+is collected — do not add a free there; an unpersisted localCheckpoint
+cannot be recomputed and the collect would raise.)  Spark only frees
 those blocks when the JVM-side RDD object is garbage-collected — which,
 through the py4j reference chain, can lag the Python side by a long time.
 On a shared executor that lag is real memory pressure: SCALE.md measured a

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..ckpt import free_local_checkpoint
 from .dedup import shingles_from_words
 from .text import words
 
@@ -512,7 +513,7 @@ def _bpe_train(
         # (best is empty — e.g. every word is a single symbol already)
         # leaves the segmentation UNCHANGED instead of emptying the table
         # through an inner cross-join with zero rows
-        seg_tbl = (
+        new_seg = (
             seg_tbl.join(
                 F.broadcast(
                     best.select(
@@ -529,6 +530,13 @@ def _bpe_train(
             )
             .localCheckpoint(eager=True)
         )
+        # the superseded round's segmentation checkpoint is dead once the
+        # new one has materialized (each best row is independently
+        # checkpointed; only the FINAL seg_tbl is returned) — free its
+        # blocks eagerly instead of leaking one pinned set per merge
+        # round until JVM GC (ckpt.py)
+        free_local_checkpoint(seg_tbl)
+        seg_tbl = new_seg
     out = best_rows[0]
     for b in best_rows[1:]:
         out = out.union(b)
@@ -870,6 +878,7 @@ def batch_retrieval(
     top_k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    materialize: bool = True,
 ) -> DataFrame:
     """BM25 top-k documents for a BATCH of queries — the offline
     retrieval-evaluation / hard-negative-mining workload (score a
@@ -913,22 +922,27 @@ def batch_retrieval(
     qtoks = queries.select(
         F.col(query_id_col), words(F.col(query_text_col)).alias("_qw")
     )
-    # qterms is consumed three times (the semi probe below, the df join,
-    # and the query fanout); relevant twice (df + scoring).  Without a
+    # qterms is consumed twice (the semi probe below and the query
+    # fanout) and relevant twice (df + scoring).  Without a
     # materialization Catalyst rebuilds each consumer's whole subtree, so
     # the corpus explode+aggregate — the ONE big shuffle this operator is
-    # designed around — would run once per consumer (verified: 3 corpus
-    # scans in the unmaterialized plan).  Checkpoint both reuse
-    # boundaries: qterms is query-vocabulary-sized (tiny), and relevant
-    # is the MATCHED postings — already bounded by the query vocabulary,
-    # and exactly the data every downstream consumer needs, so
-    # materializing it replaces two extra full-corpus passes with one
-    # executor-local write of the pruned index.
-    qterms = (
+    # designed around — appears three times in the unmaterialized plan
+    # (verified: 3 corpus scans).  Checkpoint both reuse boundaries:
+    # qterms is query-vocabulary-sized (tiny), and relevant is the
+    # MATCHED postings — already bounded by the query vocabulary, and
+    # exactly the data every downstream consumer needs, so materializing
+    # it replaces two extra full-corpus passes with one executor-local
+    # write of the pruned index.  The two checkpoints stay pinned under
+    # the returned plan for the session (they cannot be freed — the
+    # result reads them); callers that only want the PLAN (audits,
+    # explain) pass materialize=False and get the fully lazy form.
+    def _pin(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=True) if materialize else frame
+
+    qterms = _pin(
         qtoks.select(F.col(query_id_col), F.explode("_qw").alias("term"))
         .filter(F.col("term") != "")
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # prune postings to query terms FIRST (semi on the broadcast query
     # vocabulary), and derive the df table from the PRUNED postings —
@@ -936,9 +950,11 @@ def batch_retrieval(
     # is then bounded by the query vocabulary, never the corpus
     # vocabulary (a full-vocab dfreq broadcast is unbounded in corpus
     # size and would not survive 100 TB).
-    relevant = postings.join(
-        F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
-    ).localCheckpoint(eager=True)
+    relevant = _pin(
+        postings.join(
+            F.broadcast(qterms.select("term").distinct()), "term", "left_semi"
+        )
+    )
     dfreq = relevant.groupBy("term").agg(F.count("*").alias("df"))
     scored = join_singleton(relevant.join(F.broadcast(dfreq), "term"), stats)
     idf = F.log(

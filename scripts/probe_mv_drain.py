@@ -60,11 +60,15 @@ for i, feed in enumerate(feeds):
     feed.coalesce(4).write.parquet(fdir)
     # per-FILE offsets, not one per-feed stamp: the file source orders
     # micro-batches by mtime, and identical stamps would leave the order
-    # of a feed's 4 shards arbitrary — harmless for these commuting
+    # of a feed's shards arbitrary — harmless for these commuting
     # insert deltas, but the probe should pin the causal order mv.py
-    # documents rather than rely on commutativity (ADVICE r9)
-    for j, name in enumerate(sorted(os.listdir(fdir))):
-        stamp = now - 60 + i * 20 + j
+    # documents rather than rely on commutativity (ADVICE r9).  Gap
+    # derived from the file count so feed i's stamps never reach feed
+    # i+1's window at any coalesce factor.
+    names = sorted(os.listdir(fdir))
+    gap = 20.0 / (len(names) + 1)
+    for j, name in enumerate(names):
+        stamp = now - 60 + i * 20 + (j + 1) * gap
         os.utime(os.path.join(fdir, name), (stamp, stamp))
 
 t0 = time.time()

@@ -465,3 +465,41 @@ def test_ms_register_windows_share_one_exchange(spark):
         if int(m.group(1)) > join_id
     ]
     assert len(above) == 1, f"window allocators re-shuffle: exchanges at {above}"
+
+
+def test_batch_retrieval_lazy_plan_stays_on_the_scale_contract(spark):
+    """q_batch_retrieval checkpoints its reuse boundaries, which hides the
+    postings-build subtree behind LogicalRDD scans in the registered
+    query's plan — so audit the UNMATERIALIZED form directly: the full
+    inverted-index pipeline must stay JVM-side (no Python stages, no
+    inlined tokenizer) and prune postings with a broadcast semi on the
+    query vocabulary, and the top-k cut must ride WindowGroupLimit."""
+    import io as _io
+    import contextlib as _ctx
+
+    from pyspark.sql import functions as F
+
+    from etl_scripts_spark.operators.corpus import batch_retrieval
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    queries_df = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 80).alias("query_text"),
+    )
+    out = batch_retrieval(docs, queries_df, top_k=10, materialize=False)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        out.explain("extended")
+    plan = buf.getvalue()
+    assert "BatchEvalPython" not in plan
+    for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"undeclared Python stage ({marker})"
+    assert "element_at(split(trim(regexp_replace" not in plan, (
+        "tokenizer expression inlined into a HOF lambda"
+    )
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        out.explain("formatted")
+    formatted = buf.getvalue()
+    assert "LeftSemi" in formatted, "postings not pruned by the query vocabulary"
+    assert "WindowGroupLimit" in formatted, "top-k cut lost its group-limit"

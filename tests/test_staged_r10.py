@@ -1,6 +1,7 @@
-"""Pre-staged registrations (__spark_entry__._STAGED — the pinned r10
-seven plus the whole r11+ banked backlog, TPC-H wave included): every
-staged query must already match its DuckDB oracle with the driver's own
+"""Pre-staged registrations (__spark_entry__._STAGED — the r11+ banked
+backlog; the pinned r10 twelve were flipped into queries()/oracle_sql()
+in r10 and are covered by tests/test_oracle_parity.py now): every staged
+query must already match its DuckDB oracle with the driver's own
 strictness (tests/parity.compare — column-sorted, row-sorted, exact
 values), so each future round's registration flip is pure plumbing with
 no new verification risk.  Runs at sf0.001 (the driver_sim fast tier);
