@@ -6878,10 +6878,13 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bench.HEADLINE, flip the COVERAGE row, refresh its BENCH_FLOORS entry.
 # r10 flipped the pinned seven (image_ahash, signature_dup_clusters,
 # mjpeg_video_stats, resample_ffill, weighted_bernoulli, batch_retrieval,
-# link_records) plus the two scratch-root shapes (stream_mv_drain,
-# vacuum_report) and the first TPC-H completion-wave trio (q06/q12/q14) —
-# those twelve now live in the registered sections above.  The rest drain
-# the r11+ queue (remaining TPC-H wave first, then the banked families).
+# link_records), the two scratch-root shapes (stream_mv_drain,
+# vacuum_report), and EIGHT TPC-H completion-wave queries (q06/q12/q14
+# early, then q04/q10/q13/q15/q19 into the window's 5 spare slots —
+# 17 new + the 33-query r6-stale cohort = exactly the 50-slot budget).
+# Those seventeen now live in the registered sections above.  The rest
+# drain the r11+ queue (derived-partsupp TPC-H q02/q09/q11/q20 + q08
+# first, then the banked families).
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -7267,7 +7270,7 @@ def q_tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q04", tpch.q04_oracle_sql())
+@_register("q_tpch_q04", tpch.q04_oracle_sql())
 def q_tpch_q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 (tpch.q04_priority_exists): EXISTS → left_semi BEFORE the
     aggregate (plan-pinned LeftSemi in test_tpch_full_suite)."""
@@ -7306,7 +7309,7 @@ def q_tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q10", tpch.q10_oracle_sql())
+@_register("q_tpch_q10", tpch.q10_oracle_sql())
 def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (tpch.q10_returned_items): aggregate-then-deterministic
     top-20 (exact-cents ordering + custkey tiebreak — the textbook LIMIT
@@ -7341,7 +7344,7 @@ def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q13", tpch.q13_oracle_sql())
+@_register("q_tpch_q13", tpch.q13_oracle_sql())
 def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 (tpch.q13_customer_distribution): LEFT-outer
     zero-preserving two-level aggregate (count(o_orderkey), never
@@ -7360,7 +7363,7 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q15", tpch.q15_oracle_sql())
+@_register("q_tpch_q15", tpch.q15_oracle_sql())
 def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 (tpch.q15_top_supplier): max-revenue scalar as a 1-row
     broadcast with DECIMAL-exact tie keeping (every tied supplier
@@ -7370,7 +7373,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q19", tpch.q19_oracle_sql())
+@_register("q_tpch_q19", tpch.q19_oracle_sql())
 def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 (tpch.q19_disjunctive_revenue): disjunction-of-conjuncts
     as per-side envelope pushdown + equi-join residual (plan-pinned:
@@ -8268,6 +8271,11 @@ _CHANGED_THIS_ROUND = (
     "q_tpch_q06",
     "q_tpch_q12",
     "q_tpch_q14",
+    "q_tpch_q04",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q19",
 )
 
 

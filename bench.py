@@ -157,6 +157,11 @@ HEADLINE = [
     "q_tpch_q06",
     "q_tpch_q12",
     "q_tpch_q14",
+    "q_tpch_q04",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q15",
+    "q_tpch_q19",
 ]
 
 

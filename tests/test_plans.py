@@ -87,6 +87,9 @@ CROSS_JOINS_BY_DESIGN = {
     # 1-row corpus stats (N, avgdl) attached via join_singleton — the
     # bm25 shape, batch-query form
     "q_batch_retrieval",
+    # the quarter's max revenue as a 1-row broadcast (join_singleton) —
+    # the decorrelated form of Q15's scalar view, ties kept exactly
+    "q_tpch_q15",
 }
 
 STREAMING = {
