@@ -112,6 +112,12 @@ def candidate_pairs(
     """Distinct (id_a < id_b) pairs sharing a block key, with blocks
     larger than `max_block` records EXCLUDED before the self-join — the
     quadratic-blowup guard."""
+    # the key table is consumed by the hot-block aggregate AND both arms
+    # of the self-join; without a materialization its upstream plan (the
+    # per-record normalize + key explode over the corpus) re-executes
+    # per consumer.  Key-sized (2 narrow columns), lives under the
+    # returned plan.
+    keys = keys.localCheckpoint(eager=True)
     capped = keys.join(
         keys.groupBy("block_key")
         .agg(F.count("*").alias("_n"))
@@ -224,6 +230,11 @@ def link_candidates(
     join (a block with 10k existing records is noise evidence exactly as
     in the self-join case — and the fan-out is left_n × right_n, so one
     hot side is enough to blow up)."""
+    # each side's key table feeds its hot-block aggregate AND its
+    # anti-join arm — materialize once per side so the normalize+explode
+    # upstream runs once, not twice (same rationale as candidate_pairs)
+    left_keys = left_keys.localCheckpoint(eager=True)
+    right_keys = right_keys.localCheckpoint(eager=True)
     hot = (
         left_keys.groupBy("block_key").agg(F.count("*").alias("_n"))
         .filter(F.col("_n") > max_block)

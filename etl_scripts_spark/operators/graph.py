@@ -64,12 +64,23 @@ def pagerank(
     """(node, rank) after `rounds` integer-exact power-iteration rounds
     over the directed edge list; every node starts at `scale` units and
     the damping term is the integer percentage `damping_pct`."""
+    # one materialization of the (possibly derived) edge list, node set
+    # and degree table instead of per-round re-executions of their
+    # upstream plans: every round's in-sum join re-reads edges, and every
+    # round's left join / contrib join re-reads nodes / deg — without
+    # checkpoints a `rounds`-round run re-scans the edge source rounds+2
+    # times and re-aggregates the node set each round (label-prop CC
+    # pins its edge table the same way).  All three stay live under the
+    # returned plan, so they are never freed here; bench/driver sessions
+    # release them with their between-query sweep.
+    edges = edges.select(F.col(src), F.col(dst)).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    deg = out_degrees(edges, src)
+    deg = out_degrees(edges, src).localCheckpoint(eager=True)
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     prev_cp = None
@@ -143,8 +154,10 @@ def bfs_distances(
     round's new slice is localCheckpointed (the kmeans/pagerank round
     pattern) so the plan stays flat across rounds.  Rounds stop early on
     an empty frontier (isEmpty — an aggregate action, no row data to the
-    driver).  The edge table rescans per round from its storage
-    partitioning, as pagerank does.
+    driver).  The (possibly derived) edge table is materialized ONCE at
+    entry instead of re-executing its upstream plan every hop, and freed
+    before return — the result union reads only the per-hop checkpoints,
+    never the edge table itself.
 
     `sources`' FIRST column is the seed node id; duplicates are fine.
     NULL endpoints and NULL seeds are dropped up front: a NULL is not a
@@ -158,7 +171,9 @@ def bfs_distances(
         e = e.unionByName(
             edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
         )
-    e = e.filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+    e = e.filter(
+        F.col("_s").isNotNull() & F.col("_d").isNotNull()
+    ).localCheckpoint(eager=True)
     dist = (
         sources.select(F.col(sources.columns[0]).alias("node"))
         .filter(F.col("node").isNotNull())
@@ -182,6 +197,9 @@ def bfs_distances(
             break
         dist = dist.unionByName(nxt)
         frontier = nxt
+    # every returned slice is its own checkpoint (lineage truncated), so
+    # the edge materialization has no remaining reader — free it now
+    free_local_checkpoint(e)
     return dist
 
 

@@ -77,7 +77,11 @@ def test_pagerank_frees_rounds_and_keeps_result_live(spark):
     before = _n_persistent(spark)
     out = pagerank(edges, rounds=4)
     leaked = _n_persistent(spark) - before
-    assert leaked <= 1, f"pagerank retained {leaked} checkpoints"
+    # 4 = the edges/nodes/deg input materializations (live under the
+    # returned plan BY DESIGN — they stop per-round re-scans of the edge
+    # source) + the final round's rank checkpoint.  The per-round leak
+    # this test exists to catch would add one more per extra round.
+    assert leaked <= 4, f"pagerank retained {leaked} checkpoints"
     rows = out.toPandas()
     # 20-cycle: every node has in/out degree 1 → identical ranks
     assert len(set(rows["rank"])) == 1
