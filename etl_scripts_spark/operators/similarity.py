@@ -449,6 +449,13 @@ def semdedup(
         l2_norm(F.col(vec_col)).alias("_nrm"),
     )
     cents_row = kmeans_centroids_row(corpus, k, n_iter, id_col, vec_col)
+    # NOT checkpointed, deliberately: the assignment feeds both self-join
+    # arms and the final keep join, but both arms shuffle by cid from the
+    # identical subplan, so Spark reuses one exchange — the corpus is
+    # scanned ~2×, not 3×, and each scan is a cheap column-pruned read +
+    # k map-side dot products.  An eager materialization of the vector
+    # arrays measured 45% SLOWER at sf0.1 (the deserialized array write
+    # costs more than the re-scan it saves) — see SCALE.md r10.
     assigned = _assign_to_centroids(staged, cents_row, id_col)
     a = assigned.select(
         F.col(id_col).alias("id_a"), "cid",
