@@ -357,6 +357,14 @@ def dsir_logweights(
     tgt_vocab = (
         toks.filter(F.col("_tgt")).groupBy("term").agg(F.count("*").alias("c_tgt"))
     )
+    # NOT checkpointed, deliberately: same-methodology A/B at sf0.1
+    # (fresh JVM per run, both variants) measured NO win from
+    # materializing this vocab join (2.25-2.47 s with vs ~2.30 s
+    # without) — its two consumers (stats total + scoring join) share
+    # the aggregates' exchanges at runtime, so the eager join job buys
+    # nothing here, unlike pmi/bigram_lm where the checkpoint removed
+    # real tokenize re-runs.  Default to lazy when the measurement is
+    # neutral.
     vocab = src_vocab.join(tgt_vocab, "term", "left").select(
         "term", "c_src", F.coalesce("c_tgt", F.lit(0)).alias("c_tgt")
     )
@@ -824,7 +832,17 @@ def bigram_lm_scores(
     """
     wdf = df.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
     toks = wdf.select(F.col(id_col), F.explode("_w").alias("term"))
-    vocab = toks.groupBy("term").agg(F.count("*").alias("cu"))
+    # vocab and big are each consumed twice (their own total/context
+    # aggregate + the scoring join); both are VOCABULARY-sized, so the
+    # materialization is near-free and caps the corpus tokenize+explode
+    # at one pass per count table (the pmi_collocations pattern).  The
+    # corpus-sized `pairs`/`toks` stay lazy — materializing those is the
+    # semdedup-class losing trade.
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cu"))
+        .localCheckpoint(eager=True)
+    )
     stats = vocab.agg(
         F.count("*").alias("v"), F.sum("cu").alias("n_tok")
     )
@@ -844,7 +862,11 @@ def bigram_lm_scores(
             )
         ).alias("_p"),
     ).select(id_col, "_p.w1", "_p.w2")
-    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=True)
+    )
     ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = join_singleton(
         pairs.join(big, ["w1", "w2"])
@@ -1016,8 +1038,18 @@ def pmi_collocations(
     """
     w = df.select(words(F.col(text_col)).alias("_w"))
 
-    uni = w.select(F.explode("_w").alias("w")).groupBy("w").agg(
-        F.count(F.lit(1)).alias("c_uni")
+    # both vocabulary tables are consumed 2-3 times (their corpus total
+    # + the scored joins); each is VOCABULARY-sized, so materializing is
+    # near-free and caps the corpus tokenize+explode at exactly one pass
+    # per n-gram order — without it the total aggregate and each join
+    # consumer can re-run the explode (5 static corpus scans in the lazy
+    # plan).  The favorable case of the materialize-only-when-measured
+    # rule: tiny write, heavy subtree (cf. semdedup's documented revert).
+    uni = (
+        w.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+        .localCheckpoint(eager=True)
     )
     n_uni = uni.agg(F.sum("c_uni").alias("n_uni"))
 
@@ -1036,6 +1068,7 @@ def pmi_collocations(
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
+        .localCheckpoint(eager=True)
     )
     n_bi = bi.agg(F.sum("c_ab").alias("n_bi"))
 
