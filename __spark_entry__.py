@@ -8252,12 +8252,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # — a regression in a long-green query can hide for at most that long.
 
 #: New in round 10 (never driver-green yet) → head of the rotation: the
-#: pre-staged r10 seven, the two scratch-root shapes, and the first
-#: TPC-H completion-wave trio.  Budget check (the cap exists to protect
-#: the 50-slot window): 12 new + the r6-green ×33 cohort = 45 ≤ 50, so
-#: the staleness floor still advances to r7 this round with 5 slots of
-#: r7 refresh to spare.  Everything else rides the least-recently-green
-#: order.
+#: pre-staged r10 seven, the two scratch-root shapes, and EIGHT TPC-H
+#: completion-wave queries.  Budget check (the cap exists to protect
+#: the 50-slot window): 17 new + the r6-green ×33 cohort = exactly 50 —
+#: the staleness floor still advances to r7 this round, with ZERO spare
+#: slots (r11 must budget its flips against the r7×~50 cohort).
+#: Everything else rides the least-recently-green order.
 _CHANGED_THIS_ROUND = (
     "q_image_ahash",
     "q_signature_dup_clusters",

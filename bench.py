@@ -15,6 +15,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod
+from etl_scripts_spark.ckpt import free_session_litter
 from etl_scripts_spark.session import get_spark
 
 #: headline set: one per operator family — scans/agg, join chain, lineage
@@ -223,13 +224,10 @@ def main() -> None:
         # in the engine `.cache()`s across queries: anything still
         # registered here is a finished query's checkpoint litter.
         gc.collect()
-        try:
-            for _rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
-                _rdd.unpersist(False)
-        except Exception as exc:  # noqa: BLE001 — hygiene must not kill the suite
-            # a py4j hiccup here (long GC pause is exactly when this runs)
-            # must not cost the remaining queries their bench signal
-            print(f"# checkpoint sweep skipped: {exc}", file=sys.stderr, flush=True)
+        # (free_session_litter is best-effort internally — a py4j hiccup
+        # during a long GC pause must not cost the remaining queries
+        # their bench signal)
+        free_session_litter(spark)
         raws: list[float] = []
         rows = -1
         for _ in range(2):

@@ -52,3 +52,30 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
         plan.rdd().unpersist(False)
     except Exception:  # pragma: no cover - py4j/session teardown races
         pass
+
+
+def free_session_litter(spark) -> int:
+    """Unpersist EVERY leftover persistent RDD in the session — the
+    release path for loop consumers of operators that pin their inputs
+    under the returned plan (pagerank, link_records, batch_retrieval,
+    the n-gram scorers): call it after each fully-consumed result, as
+    bench.py does between queries.  Safe because nothing in this engine
+    `.cache()`s across calls — anything registered on the context after
+    a result has been collected is a finished call's checkpoint litter.
+
+    CONTRACT: only call AFTER every outstanding result DataFrame has
+    been consumed (collected / written) — a lazily-held result whose
+    checkpoint this frees raises CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on
+    its next action (loud, never silently wrong).  Returns the number
+    of RDDs released (best-effort; py4j hiccups return early).
+    """
+    n = 0
+    try:
+        for rdd in dict(
+            spark.sparkContext._jsc.getPersistentRDDs()  # noqa: SLF001
+        ).values():
+            rdd.unpersist(False)
+            n += 1
+    except Exception:  # pragma: no cover - py4j/session teardown races
+        pass
+    return n

@@ -815,7 +815,10 @@ def source_overlap(
 
 
 def bigram_lm_scores(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document interpolated bigram-LM mean log-likelihood:
     p(w2|w1) = 0.75·c(w1,w2)/c(w1·) + 0.25·p_uni(w2) with add-one unigram
@@ -837,12 +840,12 @@ def bigram_lm_scores(
     # materialization is near-free and caps the corpus tokenize+explode
     # at one pass per count table (the pmi_collocations pattern).  The
     # corpus-sized `pairs`/`toks` stay lazy — materializing those is the
-    # semdedup-class losing trade.
-    vocab = (
-        toks.groupBy("term")
-        .agg(F.count("*").alias("cu"))
-        .localCheckpoint(eager=True)
-    )
+    # semdedup-class losing trade.  materialize=False = fully lazy form
+    # for plan audits.
+    def _pin(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=True) if materialize else frame
+
+    vocab = _pin(toks.groupBy("term").agg(F.count("*").alias("cu")))
     stats = vocab.agg(
         F.count("*").alias("v"), F.sum("cu").alias("n_tok")
     )
@@ -862,11 +865,7 @@ def bigram_lm_scores(
             )
         ).alias("_p"),
     ).select(id_col, "_p.w1", "_p.w2")
-    big = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count("*").alias("c2"))
-        .localCheckpoint(eager=True)
-    )
+    big = _pin(pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2")))
     ctx = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     scored = join_singleton(
         pairs.join(big, ["w1", "w2"])
@@ -1014,6 +1013,7 @@ def pmi_collocations(
     df: DataFrame,
     text_col: str = "text",
     min_count: int = 5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Collocation mining: consecutive word pairs scored by PMI and NPMI
     — the phrase-detection step (word2vec-style "new_york" merging,
@@ -1045,11 +1045,15 @@ def pmi_collocations(
     # consumer can re-run the explode (5 static corpus scans in the lazy
     # plan).  The favorable case of the materialize-only-when-measured
     # rule: tiny write, heavy subtree (cf. semdedup's documented revert).
-    uni = (
+    # materialize=False returns the fully lazy plan for audits/explain
+    # (checkpoints hide subtrees behind LogicalRDD scans).
+    def _pin(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=True) if materialize else frame
+
+    uni = _pin(
         w.select(F.explode("_w").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c_uni"))
-        .localCheckpoint(eager=True)
     )
     n_uni = uni.agg(F.sum("c_uni").alias("n_uni"))
 
@@ -1063,12 +1067,11 @@ def pmi_collocations(
         ),
         lambda p: p["w2"].isNotNull(),
     )
-    bi = (
+    bi = _pin(
         w.select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .localCheckpoint(eager=True)
     )
     n_bi = bi.agg(F.sum("c_ab").alias("n_bi"))
 

@@ -32,11 +32,14 @@ graphs whose node count × scale approaches 2^63) instead of wrapping.
 Scale shape (100 TB of edges): per round, ONE shuffle keyed by src (rank
 table ⋈ edges; both sides hash-partition on the same uniform key) and ONE
 shuffle keyed by dst (the in-sum groupBy, map-side partial combine
-absorbing hub fan-in).  The edge table is read from its scan partitioning
-every round but never rewritten; the per-round state is the node-sized
-rank table, localCheckpointed between rounds exactly like
-similarity.kmeans_* — rounds compose the plan, the driver never touches
-row data.
+absorbing hub fan-in).  The edge table is materialized ONCE into executor
+block storage (one edge-sized localCheckpoint write, MEMORY_AND_DISK) so
+the rounds read the checkpoint instead of re-executing the edge source's
+upstream plan rounds+2 times — provision executor storage for one copy of
+the (2-column, pruned) edge list plus the node-sized rank/degree tables.
+The per-round state is the node-sized rank table, localCheckpointed
+between rounds exactly like similarity.kmeans_* — rounds compose the
+plan, the driver never touches row data.
 """
 
 from __future__ import annotations
@@ -60,6 +63,7 @@ def pagerank(
     scale: int = 10**12,
     src: str = "src",
     dst: str = "dst",
+    materialize: bool = True,
 ) -> DataFrame:
     """(node, rank) after `rounds` integer-exact power-iteration rounds
     over the directed edge list; every node starts at `scale` units and
@@ -71,16 +75,19 @@ def pagerank(
     # checkpoints a `rounds`-round run re-scans the edge source rounds+2
     # times and re-aggregates the node set each round (label-prop CC
     # pins its edge table the same way).  All three stay live under the
-    # returned plan, so they are never freed here; bench/driver sessions
-    # release them with their between-query sweep.
-    edges = edges.select(F.col(src), F.col(dst)).localCheckpoint(eager=True)
-    nodes = (
+    # returned plan, so they are never freed here; loop consumers release
+    # them between calls via ckpt.free_session_litter (bench.py does).
+    # materialize=False = audit/explain form (input subtrees stay lazy).
+    def _pin(frame: DataFrame) -> DataFrame:
+        return frame.localCheckpoint(eager=True) if materialize else frame
+
+    edges = _pin(edges.select(F.col(src), F.col(dst)))
+    nodes = _pin(
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    deg = out_degrees(edges, src).localCheckpoint(eager=True)
+    deg = _pin(out_degrees(edges, src))
     base = (100 - damping_pct) * scale // 100
     ranks = nodes.select("node", F.lit(scale).cast("bigint").alias("rank"))
     prev_cp = None
@@ -136,6 +143,7 @@ def bfs_distances(
     src: str = "src",
     dst: str = "dst",
     directed: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """(node, dist) — minimal hop distance from ANY source node, for every
     node reachable within `max_hops` hops (multi-source BFS; unreached
@@ -171,9 +179,9 @@ def bfs_distances(
         e = e.unionByName(
             edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
         )
-    e = e.filter(
-        F.col("_s").isNotNull() & F.col("_d").isNotNull()
-    ).localCheckpoint(eager=True)
+    e = e.filter(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+    if materialize:
+        e = e.localCheckpoint(eager=True)
     dist = (
         sources.select(F.col(sources.columns[0]).alias("node"))
         .filter(F.col("node").isNotNull())

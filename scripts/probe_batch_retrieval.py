@@ -71,6 +71,9 @@ agg = out.groupBy().agg(
 ).collect()[0]
 wall = time.time() - t0
 assert agg["nq"] == n // 50, f"queries lost: {agg['nq']} of {n // 50}"
+# s10 is NULL when no query reaches rank 10 (sparse matches) — that is a
+# probe-setup condition worth a clean message, not a TypeError
+assert agg["s10"] is not None, "no query matched 10 docs: vocab too sparse"
 assert agg["s1"] >= agg["s10"], "rank ordering broken"
 print(
     f"n={n} queries={n // 50} wall={wall:.1f}s rows={agg['rows']} "

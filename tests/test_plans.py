@@ -470,39 +470,89 @@ def test_ms_register_windows_share_one_exchange(spark):
     assert len(above) == 1, f"window allocators re-shuffle: exchanges at {above}"
 
 
-def test_batch_retrieval_lazy_plan_stays_on_the_scale_contract(spark):
-    """q_batch_retrieval checkpoints its reuse boundaries, which hides the
-    postings-build subtree behind LogicalRDD scans in the registered
-    query's plan — so audit the UNMATERIALIZED form directly: the full
-    inverted-index pipeline must stay JVM-side (no Python stages, no
-    inlined tokenizer) and prune postings with a broadcast semi on the
-    query vocabulary, and the top-k cut must ride WindowGroupLimit."""
-    import io as _io
+def _lazy_plan_of(df):
     import contextlib as _ctx
+    import io as _io
 
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("extended")
+    return buf.getvalue()
+
+
+def _audit_lazy(plan: str, label: str) -> None:
+    assert "BatchEvalPython" not in plan, f"{label}: row-at-a-time Python UDF"
+    for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan, f"{label}: undeclared Python stage ({marker})"
+    assert "element_at(split(trim(regexp_replace" not in plan, (
+        f"{label}: tokenizer expression inlined into a HOF lambda"
+    )
+
+
+def _lazy_forms(spark):
+    """Each operator that eagerly checkpoints a reuse boundary, built in
+    its materialize=False form — checkpoints hide subtrees behind
+    LogicalRDD scans, so the registered queries' plan audit cannot see
+    the tokenize/normalize/postings pipelines; this audits the FULL lazy
+    plan of each (and doubles as the explain-only-callers contract:
+    materialize=False must not launch jobs)."""
     from pyspark.sql import functions as F
 
-    from etl_scripts_spark.operators.corpus import batch_retrieval
+    from etl_scripts_spark.operators.corpus import (
+        batch_retrieval,
+        bigram_lm_scores,
+        pmi_collocations,
+    )
+    from etl_scripts_spark.operators.er import link_records, resolve_entities
 
     docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     queries_df = docs.filter(F.col("doc_id") % 41 == 0).select(
         F.col("doc_id").alias("query_id"),
         F.substring("text", 1, 80).alias("query_text"),
     )
-    out = batch_retrieval(docs, queries_df, top_k=10, materialize=False)
-    buf = _io.StringIO()
-    with _ctx.redirect_stdout(buf):
-        out.explain("extended")
-    plan = buf.getvalue()
-    assert "BatchEvalPython" not in plan
-    for marker in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
-        assert marker not in plan, f"undeclared Python stage ({marker})"
-    assert "element_at(split(trim(regexp_replace" not in plan, (
-        "tokenizer expression inlined into a HOF lambda"
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    left = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("rec_id"), F.col("c_name").alias("name")
     )
+    right = cust.filter(F.col("c_custkey") % 3 != 1).select(
+        F.col("c_custkey").alias("rec_id"), F.col("c_name").alias("name")
+    )
+    return {
+        "batch_retrieval": batch_retrieval(
+            docs, queries_df, top_k=10, materialize=False
+        ),
+        "pmi_collocations": pmi_collocations(docs, materialize=False),
+        "bigram_lm_scores": bigram_lm_scores(docs, materialize=False),
+        "resolve_entities": resolve_entities(
+            left, "name", materialize=False
+        ),
+        "link_records": link_records(
+            left, right, "name", "name", materialize=False
+        ),
+    }
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["batch_retrieval", "pmi_collocations", "bigram_lm_scores",
+     "resolve_entities", "link_records"],
+)
+def test_lazy_form_stays_on_the_scale_contract(spark, name):
+    df = _lazy_forms(spark)[name]
+    _audit_lazy(_lazy_plan_of(df), name)
+
+
+def test_batch_retrieval_lazy_plan_shape(spark):
+    """The inverted-index pipeline must prune postings with a broadcast
+    semi on the query vocabulary and cut top-k via WindowGroupLimit —
+    visible only in the unmaterialized form."""
+    import contextlib as _ctx
+    import io as _io
+
+    df = _lazy_forms(spark)["batch_retrieval"]
     buf = _io.StringIO()
     with _ctx.redirect_stdout(buf):
-        out.explain("formatted")
+        df.explain("formatted")
     formatted = buf.getvalue()
     assert "LeftSemi" in formatted, "postings not pruned by the query vocabulary"
     assert "WindowGroupLimit" in formatted, "top-k cut lost its group-limit"
