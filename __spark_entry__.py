@@ -7250,15 +7250,15 @@ def q_link_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Staged TPC-H completion wave (r11+ queue): the thirteen remaining shapes
-# from reports/tpch.py, each a Spark-first rewrite whose oracle is the
+# TPC-H completion wave (REGISTERED as of r11 — the suite is 22/22):
+# each a Spark-first rewrite from reports/tpch.py whose oracle is the
 # INDEPENDENT textbook correlated/nested form (pre-pinned qNN_oracle_sql
-# fns, bound below like the registered q17/q22).  Full rewrite rationale
-# and plan pins live in reports/tpch.py + tests/test_tpch_full_suite.py.
+# fns, bound like the earlier q17/q22).  Full rewrite rationale and plan
+# pins live in reports/tpch.py + tests/test_tpch_full_suite.py.
 # ---------------------------------------------------------------------------
 
 
-@_stage("q_tpch_q02", tpch.q02_oracle_sql())
+@_register("q_tpch_q02", tpch.q02_oracle_sql())
 def q_tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 (tpch.q02_min_cost_supplier): min-cost in-region supplier
     per sized part — the correlated MIN decorrelated into one per-part
@@ -7286,7 +7286,7 @@ def q_tpch_q06(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tpch.q06_forecast_revenue(_t(spark, sf_dir, "lineitem"))
 
 
-@_stage("q_tpch_q08", tpch.q08_oracle_sql())
+@_register("q_tpch_q08", tpch.q08_oracle_sql())
 def q_tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8 (tpch.q08_market_share): CASE-inside-aggregate market
     share over a broadcast dimension star."""
@@ -7298,7 +7298,7 @@ def q_tpch_q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q09", tpch.q09_oracle_sql())
+@_register("q_tpch_q09", tpch.q09_oracle_sql())
 def q_tpch_q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 (tpch.q09_product_profit): profit in exact e4 units,
     BIGINT end-to-end over the derived-partsupp law — zero float."""
@@ -7320,7 +7320,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q11", tpch.q11_oracle_sql(fraction_denom=20000))
+@_register("q_tpch_q11", tpch.q11_oracle_sql(fraction_denom=20000))
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (tpch.q11_important_stock): global-threshold HAVING
     compared in exact integers (value·denom > total), threshold as a
@@ -7383,7 +7383,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage("q_tpch_q20", tpch.q20_oracle_sql())
+@_register("q_tpch_q20", tpch.q20_oracle_sql())
 def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 (tpch.q20_promotion_suppliers): correlated half-sum
     decorrelated into one per-(part, supp) aggregate with INNER-join
@@ -7404,7 +7404,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@_stage(
+@_register(
     "q_hll_distinct",
     oracle.hll_distinct_sql("SELECT * FROM documents", "source", "text", p=10),
 )
@@ -7419,7 +7419,7 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_distinct(_t(spark, sf_dir, "documents"), "source", "text", p=10)
 
 
-@_stage(
+@_register(
     "q_exact_percentiles",
     oracle.exact_percentiles_sql(
         "SELECT * FROM lineitem", "l_extendedprice", (25, 50, 75, 99),
@@ -7442,7 +7442,7 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIVOT_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM"]
 
 
-@_stage(
+@_register(
     "q_pivot_table",
     oracle.pivot_table_sql(
         "SELECT * FROM orders", "o_orderstatus", "o_orderpriority",
@@ -7476,7 +7476,7 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_report(_t(spark, sf_dir, "lineitem"), "l_suppkey", top_k=8)
 
 
-@_stage(
+@_register(
     "q_table_fingerprint",
     oracle.table_fingerprint_sql(
         "SELECT doc_id, source, lang, doc_id % 2 = 0 AS even FROM documents",
@@ -7669,7 +7669,7 @@ _PHRASES = [
 ]
 
 
-@_stage(
+@_register(
     "q_phrase_search",
     oracle.phrase_search_sql(
         "SELECT doc_id, text FROM documents",
@@ -8251,31 +8251,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh-green), so every query gets a driver check at least every ~3 rounds
 # — a regression in a long-green query can hide for at most that long.
 
-#: New in round 10 (never driver-green yet) → head of the rotation: the
-#: pre-staged r10 seven, the two scratch-root shapes, and EIGHT TPC-H
-#: completion-wave queries.  Budget check (the cap exists to protect
-#: the 50-slot window): 17 new + the r6-green ×33 cohort = exactly 50 —
-#: the staleness floor still advances to r7 this round, with ZERO spare
-#: slots (r11 must budget its flips against the r7×~50 cohort).
-#: Everything else rides the least-recently-green order.
+#: New in round 11 (never driver-green yet) → head of the rotation: the
+#: pinned ten — the TPC-H completion five (finishes the 22-query suite)
+#: plus the five cheapest banked shapes.  Budget check (the cap exists
+#: to protect the 50-slot window): after the r10 run the staleness
+#: histogram is r7×50/r8×50/r9×50/r10×50, so these 10 flips + 40 of the
+#: r7×50 cohort fill the 50 slots; the 10 displaced r7 queries lead
+#: r12's refresh.  Everything else rides the least-recently-green order.
 _CHANGED_THIS_ROUND = (
-    "q_image_ahash",
-    "q_signature_dup_clusters",
-    "q_mjpeg_video_stats",
-    "q_resample_ffill",
-    "q_weighted_bernoulli",
-    "q_batch_retrieval",
-    "q_link_records",
-    "q_stream_mv_drain",
-    "q_vacuum_report",
-    "q_tpch_q06",
-    "q_tpch_q12",
-    "q_tpch_q14",
-    "q_tpch_q04",
-    "q_tpch_q10",
-    "q_tpch_q13",
-    "q_tpch_q15",
-    "q_tpch_q19",
+    "q_tpch_q02",
+    "q_tpch_q08",
+    "q_tpch_q09",
+    "q_tpch_q11",
+    "q_tpch_q20",
+    "q_hll_distinct",
+    "q_exact_percentiles",
+    "q_pivot_table",
+    "q_table_fingerprint",
+    "q_phrase_search",
 )
 
 

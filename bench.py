@@ -163,6 +163,21 @@ HEADLINE = [
     "q_tpch_q13",
     "q_tpch_q15",
     "q_tpch_q19",
+    # round-11 additions: the TPC-H completion five (derived-partsupp
+    # correlated shapes q02/q09/q11/q20 + the seven-table star q08 —
+    # the suite is now 22/22) and the five cheapest banked shapes
+    # (HLL distinct, exact windowed percentiles, explicit-values pivot,
+    # multiset table fingerprint, positional phrase search)
+    "q_tpch_q02",
+    "q_tpch_q08",
+    "q_tpch_q09",
+    "q_tpch_q11",
+    "q_tpch_q20",
+    "q_hll_distinct",
+    "q_exact_percentiles",
+    "q_pivot_table",
+    "q_table_fingerprint",
+    "q_phrase_search",
 ]
 
 

@@ -90,6 +90,14 @@ CROSS_JOINS_BY_DESIGN = {
     # the quarter's max revenue as a 1-row broadcast (join_singleton) —
     # the decorrelated form of Q15's scalar view, ties kept exactly
     "q_tpch_q15",
+    # r11 flips: the part×supplier-grid derived-partsupp law
+    # (reports/tpch.partsupp_df — a broadcast of the 10·SF-row supplier
+    # dim against part, the deterministic stand-in for the missing
+    # table); q11 additionally broadcasts its 1-row global threshold
+    "q_tpch_q02",
+    "q_tpch_q09",
+    "q_tpch_q11",
+    "q_tpch_q20",
 }
 
 STREAMING = {

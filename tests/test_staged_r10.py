@@ -53,10 +53,8 @@ STAGED_ARROW = {
 STAGED_BNLJ = {
     "q_key_skew_report",      # 1-row total attach
     "q_stratified_sample",    # 1-row total + 1-row leftover attach
-    "q_tpch_q02",             # partsupp grid
-    "q_tpch_q09",             # partsupp grid
-    "q_tpch_q11",             # partsupp grid + 1-row threshold broadcast
-    "q_tpch_q20",             # partsupp grid
+    # (the partsupp-grid TPC-H four flipped to the registered surface in
+    # r11 — their BNLJ declaration now lives in test_plans.py)
 }
 
 #: Queries whose real work executes eagerly at call time, so there is no
