@@ -288,6 +288,7 @@ def main() -> None:
     # are skipped (jitter at that size trips 2x without meaning anything).
     inflated: dict[str, dict[str, float]] = {}
     floors_skipped: dict[str, str] | None = None
+    floors_unreadable: dict[str, str] | None = None
     floors_path = Path(__file__).resolve().parent / "BENCH_FLOORS.json"
     if floors_path.exists():
         try:
@@ -296,10 +297,11 @@ def main() -> None:
             # an unreadable/garbled floors file must never cost the
             # one-JSON-line artifact after the suite has already run —
             # but the gate being OFF must be visible in the artifact,
-            # same as the scale-mismatch case
+            # under its OWN key (a parse failure is not a scale
+            # mismatch; consumers grep these keys)
             payload = {}
-            floors_skipped = {"recorded": "", "run": sf_dir,
-                              "unreadable": f"{type(exc).__name__}"}
+            floors_unreadable = {"run": sf_dir,
+                                 "error": f"{type(exc).__name__}"}
         # floors are only meaningful at the scale they were recorded at:
         # comparing an sf1 run against sf0.1 floors would flag nearly
         # every query as "inflated" (i.e. mislabel genuine scale cost as
@@ -332,10 +334,18 @@ def main() -> None:
         # floors existed but were recorded at a different data dir — the
         # inflation gate is OFF for this run, and the artifact says so
         result["floors_skipped_scale_mismatch"] = floors_skipped
+    if floors_unreadable is not None:
+        result["floors_skipped_unreadable"] = floors_unreadable
     result["queries"] = timings
     result["metric"] = "headline_suite_seconds"
     result["unit"] = "sec"
     result["sf"] = sf
+    # the inflated NAMES ride the clip-surviving tail: the driver's
+    # capture has clipped the bulky head (runs/queries) more than once,
+    # leaving n_inflated>0 with no way to tell WHICH queries flagged
+    # (BENCH_r10 lost 1 of 2) — the compact name list makes the
+    # artifact self-describing even when only the tail survives
+    result["inflated_names"] = sorted(inflated)
     result["n_inflated"] = len(inflated)
     result["n_queries"] = len(timings)
     result["value"] = total

@@ -950,13 +950,19 @@ def batch_retrieval(
     # designed around — appears three times in the unmaterialized plan
     # (verified: 3 corpus scans).  Checkpoint both reuse boundaries:
     # qterms is query-vocabulary-sized (tiny), and relevant is the
-    # MATCHED postings — already bounded by the query vocabulary, and
-    # exactly the data every downstream consumer needs, so materializing
-    # it replaces two extra full-corpus passes with one executor-local
-    # write of the pruned index.  The two checkpoints stay pinned under
-    # the returned plan for the session (they cannot be freed — the
-    # result reads them); callers that only want the PLAN (audits,
-    # explain) pass materialize=False and get the fully lazy form.
+    # MATCHED postings — its term SET is query-bounded but its ROW count
+    # is match-bounded: a stop-wordy query term that appears in nearly
+    # every document makes `relevant` approach the full postings size,
+    # so provision executor block storage (MEMORY_AND_DISK, like
+    # graph.pagerank's edge pin) for one copy of the 4-column pruned
+    # index at the worst-case match rate, not for the query vocabulary.
+    # The write still wins when it fits: it is exactly the data every
+    # downstream consumer needs, and replaces two extra full-corpus
+    # scan+tokenize passes (sf0.1 A/B: floor 10.69 -> 7.78 s).  The two
+    # checkpoints stay pinned under the returned plan for the session
+    # (they cannot be freed — the result reads them); callers that only
+    # want the PLAN (audits, explain) pass materialize=False and get the
+    # fully lazy form.
     def _pin(frame: DataFrame) -> DataFrame:
         return frame.localCheckpoint(eager=True) if materialize else frame
 
