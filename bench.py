@@ -181,6 +181,52 @@ HEADLINE = [
 ]
 
 
+def floors_gate(
+    floors_path: Path, sf_dir: str, timings: dict[str, float]
+) -> tuple[dict[str, dict[str, float]], dict[str, str] | None, dict[str, str] | None]:
+    """Self-diagnosis against recorded standalone floors: returns
+    (inflated, skipped_scale_mismatch, skipped_unreadable).  Pure so the
+    artifact-key contract is unit-testable (tests/test_bench_harness.py).
+
+    An in-suite time > 2x its standalone floor is driver-box /
+    suite-context noise, not a plan regression — the flag makes the
+    artifact carry its own attribution.  Floors below 0.2 s are skipped
+    (jitter at that size trips 2x without meaning anything).
+    """
+    inflated: dict[str, dict[str, float]] = {}
+    floors_skipped: dict[str, str] | None = None
+    floors_unreadable: dict[str, str] | None = None
+    if floors_path.exists():
+        try:
+            payload = json.loads(floors_path.read_text())
+        except (OSError, ValueError) as exc:
+            # an unreadable/garbled floors file must never cost the
+            # one-JSON-line artifact after the suite has already run —
+            # but the gate being OFF must be visible in the artifact,
+            # under its OWN key (a parse failure is not a scale
+            # mismatch; consumers grep these keys)
+            payload = {}
+            floors_unreadable = {"run": sf_dir,
+                                 "error": f"{type(exc).__name__}"}
+        # floors are only meaningful at the scale they were recorded at:
+        # comparing an sf1 run against sf0.1 floors would flag nearly
+        # every query as "inflated" (i.e. mislabel genuine scale cost as
+        # suite noise) and bury real regressions.  Compare realpaths, not
+        # strings — a symlink / '//' / relative spelling of the SAME dir
+        # must not silently disable the gate — and when floors ARE dropped
+        # say so in the artifact instead of leaving a hole nobody can see.
+        recorded = str(payload.get("sf_dir", ""))
+        same_sf = bool(recorded) and os.path.realpath(recorded) == os.path.realpath(sf_dir)
+        floors = payload.get("floors", {}) if same_sf else {}
+        if payload and not same_sf:
+            floors_skipped = {"recorded": recorded, "run": sf_dir}
+        for name, t in timings.items():
+            f = floors.get(name)
+            if f is not None and f >= 0.2 and t > 2 * f:
+                inflated[name] = {"suite": t, "floor": f}
+    return inflated, floors_skipped, floors_unreadable
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -279,45 +325,14 @@ def main() -> None:
             file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
-    # Self-diagnosis against recorded standalone floors (BENCH_FLOORS.json,
-    # written by scripts/record_floors.py: min-of-2 across SEPARATE JVM
-    # sessions in small batches).  An in-suite time > 2x its floor is
-    # driver-box / suite-context noise, not a plan regression — r7 and r8
-    # each burned round time re-attributing such movers by hand; the flag
-    # makes the artifact carry its own attribution.  Floors below 0.2 s
-    # are skipped (jitter at that size trips 2x without meaning anything).
-    inflated: dict[str, dict[str, float]] = {}
-    floors_skipped: dict[str, str] | None = None
-    floors_unreadable: dict[str, str] | None = None
+    # BENCH_FLOORS.json is written by scripts/record_floors.py (min-of-2
+    # across SEPARATE JVM sessions in small batches); r7 and r8 each
+    # burned round time re-attributing suite-noise movers by hand before
+    # the gate existed.
     floors_path = Path(__file__).resolve().parent / "BENCH_FLOORS.json"
-    if floors_path.exists():
-        try:
-            payload = json.loads(floors_path.read_text())
-        except (OSError, ValueError) as exc:
-            # an unreadable/garbled floors file must never cost the
-            # one-JSON-line artifact after the suite has already run —
-            # but the gate being OFF must be visible in the artifact,
-            # under its OWN key (a parse failure is not a scale
-            # mismatch; consumers grep these keys)
-            payload = {}
-            floors_unreadable = {"run": sf_dir,
-                                 "error": f"{type(exc).__name__}"}
-        # floors are only meaningful at the scale they were recorded at:
-        # comparing an sf1 run against sf0.1 floors would flag nearly
-        # every query as "inflated" (i.e. mislabel genuine scale cost as
-        # suite noise) and bury real regressions.  Compare realpaths, not
-        # strings — a symlink / '//' / relative spelling of the SAME dir
-        # must not silently disable the gate — and when floors ARE dropped
-        # say so in the artifact instead of leaving a hole nobody can see.
-        recorded = str(payload.get("sf_dir", ""))
-        same_sf = bool(recorded) and os.path.realpath(recorded) == os.path.realpath(sf_dir)
-        floors = payload.get("floors", {}) if same_sf else {}
-        if payload and not same_sf:
-            floors_skipped = {"recorded": recorded, "run": sf_dir}
-        for name, t in timings.items():
-            f = floors.get(name)
-            if f is not None and f >= 0.2 and t > 2 * f:
-                inflated[name] = {"suite": t, "floor": f}
+    inflated, floors_skipped, floors_unreadable = floors_gate(
+        floors_path, sf_dir, timings
+    )
     # Key order matters: the driver's capture keeps only the TAIL of stdout
     # (BENCH_r06 clipped the head mid-`runs` and lost the total), so the
     # bulky diagnostics (`runs`) go FIRST, then `queries`, and every scalar
