@@ -7398,9 +7398,13 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Staged operator-family backlog (r11+ queue): each banked family's pinned
-# parity fixture, lifted verbatim from its unit test onto the driver
-# contract.  Scale rationale lives in the operator docstrings + COVERAGE.md.
+# Operator-family backlog (banked shapes): each family's pinned parity
+# fixture, lifted verbatim from its unit test onto the driver contract.
+# MIXED decorators below — five flipped @_register in r11 (hll_distinct,
+# exact_percentiles, pivot_table, table_fingerprint, phrase_search); the
+# remaining @_stage entries are the r12+ queue.  Count the backlog with
+# staged_queries(), never by section (COVERAGE.md keeps the list).
+# Scale rationale lives in the operator docstrings + COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 

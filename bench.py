@@ -14,9 +14,10 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-import __spark_entry__ as entrymod
-from etl_scripts_spark.ckpt import free_session_litter
-from etl_scripts_spark.session import get_spark
+# The engine imports (entry module, session factory, checkpoint sweeper)
+# are deferred into main(): consumers that want only HEADLINE or
+# floors_gate (scripts/record_floors.py, tests/test_bench_harness.py)
+# must not pay the full 200+-query registration import (~1.3 s + pyspark).
 
 #: headline set: one per operator family — scans/agg, join chain, lineage
 #: fixpoint, windowed allocation, end-to-end pipeline, sessionization,
@@ -197,17 +198,22 @@ def floors_gate(
     floors_skipped: dict[str, str] | None = None
     floors_unreadable: dict[str, str] | None = None
     if floors_path.exists():
+        # an unreadable / garbled / wrong-shaped floors file must never
+        # cost the one-JSON-line artifact after the suite has already
+        # run — but the gate being OFF must be visible in the artifact,
+        # under its OWN key with the reason (a broken floors file is not
+        # a scale mismatch; consumers grep these keys).  Shape failures
+        # (non-dict payload, non-dict floors, empty floors) are as fatal
+        # to the gate as a parse failure and report the same way.
+        payload: dict = {}
         try:
             payload = json.loads(floors_path.read_text())
         except (OSError, ValueError) as exc:
-            # an unreadable/garbled floors file must never cost the
-            # one-JSON-line artifact after the suite has already run —
-            # but the gate being OFF must be visible in the artifact,
-            # under its OWN key (a parse failure is not a scale
-            # mismatch; consumers grep these keys)
-            payload = {}
             floors_unreadable = {"run": sf_dir,
                                  "error": f"{type(exc).__name__}"}
+        if floors_unreadable is None and not isinstance(payload, dict):
+            payload = {}
+            floors_unreadable = {"run": sf_dir, "error": "bad_shape"}
         # floors are only meaningful at the scale they were recorded at:
         # comparing an sf1 run against sf0.1 floors would flag nearly
         # every query as "inflated" (i.e. mislabel genuine scale cost as
@@ -220,14 +226,24 @@ def floors_gate(
         floors = payload.get("floors", {}) if same_sf else {}
         if payload and not same_sf:
             floors_skipped = {"recorded": recorded, "run": sf_dir}
+        if same_sf and not (isinstance(floors, dict) and floors):
+            # matching sf_dir but missing/empty/non-dict floors map — a
+            # partially-written record_floors run; the gate is OFF and
+            # the artifact must say so, not show a clean n_inflated: 0
+            floors = {}
+            floors_unreadable = {"run": sf_dir, "error": "empty_floors"}
         for name, t in timings.items():
             f = floors.get(name)
-            if f is not None and f >= 0.2 and t > 2 * f:
+            if isinstance(f, (int, float)) and f >= 0.2 and t > 2 * f:
                 inflated[name] = {"suite": t, "floor": f}
     return inflated, floors_skipped, floors_unreadable
 
 
 def main() -> None:
+    import __spark_entry__ as entrymod
+    from etl_scripts_spark.ckpt import free_session_litter
+    from etl_scripts_spark.session import get_spark
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # SPARK_GRAFT_BENCH_ONLY=q_a,q_b runs just those queries in a fresh
@@ -345,16 +361,19 @@ def main() -> None:
         result["errors"] = errors
     if inflated:
         result["inflated"] = inflated
+    result["queries"] = timings
+    result["metric"] = "headline_suite_seconds"
+    result["unit"] = "sec"
+    result["sf"] = sf
+    # gate-off markers ride the clip-surviving TAIL (like inflated_names
+    # below): a head-clipped artifact showing n_inflated: 0 must be
+    # distinguishable from a run whose inflation gate was OFF
     if floors_skipped is not None:
         # floors existed but were recorded at a different data dir — the
         # inflation gate is OFF for this run, and the artifact says so
         result["floors_skipped_scale_mismatch"] = floors_skipped
     if floors_unreadable is not None:
         result["floors_skipped_unreadable"] = floors_unreadable
-    result["queries"] = timings
-    result["metric"] = "headline_suite_seconds"
-    result["unit"] = "sec"
-    result["sf"] = sf
     # the inflated NAMES ride the clip-surviving tail: the driver's
     # capture has clipped the bulky head (runs/queries) more than once,
     # leaving n_inflated>0 with no way to tell WHICH queries flagged

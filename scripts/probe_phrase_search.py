@@ -58,17 +58,20 @@ docs = (
     .repartition(32)
     .localCheckpoint(eager=True)
 )
-# each phrase = tokens 5..7 of doc (id*100): a real consecutive run under
-# the same token law, so phrase k is guaranteed >=1 occurrence (its source
-# doc) and typically matches the other docs whose stride lands on the
-# same residues
+# each phrase = tokens 5..7 of doc ((id*100) % n): a real consecutive run
+# under the same token law, so phrase k is guaranteed >=1 occurrence (its
+# source doc — the modulo keeps the source INSIDE the corpus at any n;
+# an unbounded id*100 would point past it below n~400 and void the
+# every-phrase-matches assertion) and typically matches the other docs
+# whose stride lands on the same residues
 phrases = (
     spark.range(max(n // 100, 4))
     .select(
         F.col("id").alias("query_id"),
         F.array_join(
             F.transform(
-                F.sequence(F.lit(5), F.lit(7)), lambda i: tok(F.col("id") * 100, i)
+                F.sequence(F.lit(5), F.lit(7)),
+                lambda i: tok((F.col("id") * 100) % n, i),
             ),
             " ",
         ).alias("phrase"),

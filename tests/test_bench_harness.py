@@ -73,3 +73,47 @@ def test_missing_floors_file_is_silent(tmp_path):
     p = tmp_path / "BENCH_FLOORS.json"
     inflated, skipped, unreadable = floors_gate(p, str(tmp_path), {"q_a": 9.0})
     assert inflated == {} and skipped is None and unreadable is None
+
+
+def test_valid_json_wrong_shape_reports_not_raises(tmp_path):
+    # valid JSON that is not the expected payload shape must degrade to
+    # a reported gate-off, never an AttributeError after the suite ran
+    p = tmp_path / "BENCH_FLOORS.json"
+    p.write_text("[1, 2, 3]")
+    inflated, skipped, unreadable = floors_gate(p, str(tmp_path), {"q_a": 9.0})
+    assert inflated == {} and skipped is None
+    assert unreadable == {"run": str(tmp_path), "error": "bad_shape"}
+
+
+def test_matching_sf_with_empty_or_nondict_floors_reports_gate_off(tmp_path):
+    for floors_val in ({}, [1, 2], None):
+        p = tmp_path / "BENCH_FLOORS.json"
+        payload = {"sf_dir": str(tmp_path)}
+        if floors_val is not None:
+            payload["floors"] = floors_val
+        p.write_text(json.dumps(payload))
+        inflated, skipped, unreadable = floors_gate(p, str(tmp_path), {"q_a": 9.0})
+        assert inflated == {} and skipped is None, floors_val
+        assert unreadable == {"run": str(tmp_path), "error": "empty_floors"}, floors_val
+
+
+def test_non_numeric_floor_value_is_skipped_not_fatal(tmp_path):
+    p = _write_floors(tmp_path, str(tmp_path), {"q_a": "garbage", "q_b": 1.0})
+    inflated, skipped, unreadable = floors_gate(
+        p, str(tmp_path), {"q_a": 9.0, "q_b": 9.0}
+    )
+    assert inflated == {"q_b": {"suite": 9.0, "floor": 1.0}}
+    assert skipped is None and unreadable is None
+
+
+def test_gate_off_markers_ride_the_artifact_tail():
+    """The driver's capture keeps only the TAIL of stdout, so the
+    gate-off keys must be emitted AFTER the bulky queries map — a
+    head-clipped artifact showing n_inflated: 0 must still carry its
+    gate-off marker.  Pinned against the source since main() is not
+    callable without Spark."""
+    src = (REPO / "bench.py").read_text()
+    tail = src[src.index('result["queries"] = timings'):]
+    assert 'result["floors_skipped_scale_mismatch"]' in tail
+    assert 'result["floors_skipped_unreadable"]' in tail
+    assert 'result["inflated_names"]' in tail
