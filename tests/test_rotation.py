@@ -1,0 +1,75 @@
+"""The driver-rotation contract (__spark_entry__._rotation_order).
+
+The external driver verifies only the FIRST ~50 entries of queries()
+each round, so the rotation is itself a correctness-critical surface:
+a typo'd _CHANGED_THIS_ROUND name or an over-budget flip wave silently
+delays re-verification of changed queries by rounds.  These tests pin
+the invariants every round's window math assumes — no Spark session,
+the rotation is pure bookkeeping over the CORRECTNESS artifacts.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import __spark_entry__ as entrymod
+
+WINDOW = 50  # observed driver correctness-gate size
+
+
+def test_changed_this_round_names_are_registered():
+    """A typo here would drop the query from the rotation HEAD (the
+    `if k in _QUERIES` filter hides the mistake) and its re-verification
+    would silently ride the stale tail instead."""
+    missing = [k for k in entrymod._CHANGED_THIS_ROUND if k not in entrymod._QUERIES]
+    assert not missing, f"_CHANGED_THIS_ROUND names not registered: {missing}"
+
+
+def test_changed_plus_never_green_fit_the_driver_window():
+    """Never-green queries sort ahead of every stale-green one, so head
+    + never-green is the irreducible window claim this round makes; if
+    it exceeds the driver's ~50 slots, some new registration will NOT
+    get a CORRECTNESS row and the round's flip math is wrong."""
+    last = entrymod._last_green_round()
+    head = [k for k in entrymod._CHANGED_THIS_ROUND if k in entrymod._QUERIES]
+    never_green = [k for k in entrymod._QUERIES if k not in last and k not in head]
+    claim = len(head) + len(never_green)
+    assert claim <= WINDOW, (
+        f"{len(head)} changed + {len(never_green)} never-green = {claim} "
+        f"> {WINDOW} driver slots — some will miss their CORRECTNESS row"
+    )
+
+
+def test_rotation_head_is_changed_then_never_green_then_stalest():
+    last = entrymod._last_green_round()
+    order = entrymod._rotation_order()
+    head_len = len([k for k in entrymod._CHANGED_THIS_ROUND if k in entrymod._QUERIES])
+    assert order[:head_len] == [
+        k for k in entrymod._CHANGED_THIS_ROUND if k in entrymod._QUERIES
+    ]
+    # the tail is sorted by (last-green round, name): staleness may only
+    # increase, with never-green (0) first
+    tail_rounds = [last.get(k, 0) for k in order[head_len:]]
+    assert tail_rounds == sorted(tail_rounds), "rotation tail not stalest-first"
+
+
+def test_rotation_is_a_permutation_and_oracles_align():
+    order = entrymod._rotation_order()
+    assert sorted(order) == sorted(entrymod._QUERIES), "rotation loses queries"
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert list(q) == order, "queries() must iterate in rotation order"
+    # every registered query carries an oracle today; if a rows-only
+    # query is ever added deliberately, flip this to a subset check
+    assert list(o) == [k for k in order if k in entrymod._ORACLES]
+    assert set(entrymod._ORACLES) == set(entrymod._QUERIES)
+
+
+def test_staged_set_is_disjoint_and_oracle_complete():
+    staged = entrymod.staged_queries()
+    assert not set(staged) & set(entrymod._QUERIES)
+    assert set(entrymod.staged_oracle_sql()) == set(staged)
