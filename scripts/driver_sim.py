@@ -1,6 +1,11 @@
 """Simulate the driver's verify run: a VANILLA SparkSession (none of our
 session-factory configs), entry() smoke at sf0.001, then every oracle query
-at the driver's sf0.01 against DuckDB — exactly the external contract."""
+at the driver's sf0.01 against DuckDB — exactly the external contract.
+
+Usage: python scripts/driver_sim.py [sf_dir] [--only q_a,q_b]
+--only restricts the sweep to the named queries (same strictness) — the
+fast targeted check for a flip wave; the FULL run before a
+behavior-touching commit stays the rule."""
 
 from __future__ import annotations
 
@@ -16,7 +21,13 @@ from pyspark.sql import SparkSession
 import __spark_entry__ as entrymod
 from tests.parity import compare, duckdb_con
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+args = sys.argv[1:]
+only: set[str] = set()
+if "--only" in args:
+    i = args.index("--only")
+    only = {t.strip() for t in args[i + 1].split(",") if t.strip()}
+    args = args[:i] + args[i + 2:]
+SF = args[0] if args else "/root/testdata/sf0.01"
 
 spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
@@ -26,6 +37,13 @@ print(f"entry(): {len(rows)} rows; first={rows[0] if rows else None}", flush=Tru
 
 con = duckdb_con(SF)
 queries, oracles = entrymod.queries(), entrymod.oracle_sql()
+if only:
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name silently matching nothing would print a clean
+        # ALL OK over an empty sweep — the exact wrong signal
+        sys.exit(f"--only names not registered: {sorted(unknown)}")
+    queries = {k: v for k, v in queries.items() if k in only}
 results = {}
 for name in sorted(queries):
     t0 = time.time()

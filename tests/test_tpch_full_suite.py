@@ -145,6 +145,47 @@ def test_q20_matches_textbook(spark):
 
 # --- plan pins: the load-bearing physical choices ---------------------------
 
+def test_q02_decorrelates_min_as_one_partial_aggregate(spark):
+    """The textbook correlated MIN re-scans partsupp per outer row; the
+    rewrite must compute the per-part minimum ONCE as a map-side-combined
+    aggregate (partial_min before the exchange) joined back on
+    (partkey, cost) equality."""
+    plan = _plan(tpch.q02_min_cost_supplier(
+        _t(spark, "part"), _t(spark, "supplier"), _t(spark, "nation"),
+        _t(spark, "region"),
+    ))
+    assert "partial_min" in plan, "per-part MIN lost its map-side combine"
+
+
+def test_q08_star_has_no_nested_loop(spark):
+    """Q8's seven-table star must stay hash/broadcast joins end-to-end —
+    the one completion query with no partsupp grid, so ZERO nested-loop
+    joins are acceptable anywhere in its plan."""
+    plan = _plan(tpch.q08_market_share(
+        _t(spark, "lineitem"), _t(spark, "orders"), _t(spark, "customer"),
+        _t(spark, "supplier"), _t(spark, "nation"), _t(spark, "region"),
+        _t(spark, "part"),
+    ))
+    for marker in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert marker not in plan, marker
+
+
+def test_q09_q11_outputs_stay_exact_integers(spark):
+    """Profit (e4 units) and stock value (cents) are exact BIGINT
+    end-to-end — a float anywhere would make the sums
+    reduction-tree-dependent and break oracle parity at scale."""
+    q09 = tpch.q09_product_profit(
+        _t(spark, "lineitem"), _t(spark, "orders"), _t(spark, "part"),
+        _t(spark, "supplier"), _t(spark, "nation"),
+    )
+    assert dict(q09.dtypes)["sum_profit_e4"] == "bigint"
+    q11 = tpch.q11_important_stock(
+        _t(spark, "part"), _t(spark, "supplier"), _t(spark, "nation"),
+        _t(spark, "region"),
+    )
+    assert dict(q11.dtypes)["value_cents"] == "bigint"
+
+
 def test_q06_pushes_filters_to_scan(spark):
     plan = _plan(tpch.q06_forecast_revenue(_t(spark, "lineitem")))
     assert "PushedFilters: [" in plan
