@@ -73,3 +73,19 @@ def test_staged_set_is_disjoint_and_oracle_complete():
     staged = entrymod.staged_queries()
     assert not set(staged) & set(entrymod._QUERIES)
     assert set(entrymod.staged_oracle_sql()) == set(staged)
+
+
+def test_headline_is_registered_and_fully_floored():
+    """Every bench HEADLINE entry must be a registered query AND carry a
+    standalone floor (BENCH_FLOORS at 100% of the headline set is a
+    per-round judge requirement — the flip checklist records floors
+    before the flip commit, so this holds at every commit)."""
+    import json
+
+    import bench
+
+    not_registered = [q for q in bench.HEADLINE if q not in entrymod._QUERIES]
+    assert not not_registered, f"HEADLINE entries not registered: {not_registered}"
+    floors = json.loads((REPO / "BENCH_FLOORS.json").read_text())["floors"]
+    unfloored = [q for q in bench.HEADLINE if q not in floors]
+    assert not unfloored, f"HEADLINE entries without a floor: {unfloored}"
