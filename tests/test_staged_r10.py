@@ -1,6 +1,7 @@
-"""Pre-staged registrations (__spark_entry__._STAGED — the r11+ banked
-backlog; the seventeen r10 flips live in queries()/oracle_sql() and are
-covered by tests/test_oracle_parity.py now): every staged
+"""Pre-staged registrations (__spark_entry__._STAGED — the r12+ banked
+backlog; the seventeen r10 flips and ten r11 flips live in
+queries()/oracle_sql() and are covered by tests/test_oracle_parity.py
+now): every staged
 query must already match its DuckDB oracle with the driver's own
 strictness (tests/parity.compare — column-sorted, row-sorted, exact
 values), so each future round's registration flip is pure plumbing with
