@@ -724,7 +724,15 @@ def partsupp_df(part: DataFrame, supplier: DataFrame) -> DataFrame:
     part×broadcast-dim cross join — linear in |parts| with a constant
     fan-out, a map-only stage (declared in CROSS_JOINS_BY_DESIGN when a
     registered query consumes it).  Cost rides integer cents so every
-    downstream sum/threshold stays exact."""
+    downstream sum/threshold stays exact.
+
+    Caveat (measured, probe_tpch_q02): the fan-out is ~2/3 of ALL
+    in-region suppliers per part — NOT TPC-H's constant 4 — so pair work
+    is quadratic in SF if supplier is scaled alongside part (10×/10× =
+    100× grid, measured 36× wall).  This is the testdata's deterministic
+    stand-in for the missing partsupp table; at a real 100 TB TPC-H the
+    actual partsupp (linear in SF) would be ingested and every consumer
+    below is linear in it."""
     s = supplier.select("s_suppkey")
     pairs = part.select("p_partkey").crossJoin(F.broadcast(s))
     pk, sk = F.col("p_partkey"), F.col("s_suppkey")
