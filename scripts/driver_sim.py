@@ -3,9 +3,14 @@ session-factory configs), entry() smoke at sf0.001, then every oracle query
 at the driver's sf0.01 against DuckDB — exactly the external contract.
 
 Usage: python scripts/driver_sim.py [sf_dir] [--only q_a,q_b]
+                                    [--master local[N]] [--shuffle N]
 --only restricts the sweep to the named queries (same strictness) — the
 fast targeted check for a flip wave; the FULL run before a
-behavior-touching commit stays the rule."""
+behavior-touching commit stays the rule.  --master/--shuffle override
+the session shape for partitioning-independence stress runs (r11 pinned
+the full surface green under local[4]/shuffle=7 — an exact-arithmetic
+regression that only shows under odd partition counts reproduces with
+these flags)."""
 
 from __future__ import annotations
 
@@ -23,13 +28,25 @@ from tests.parity import compare, duckdb_con
 
 args = sys.argv[1:]
 only: set[str] = set()
+master, shuffle = "local[8]", None
 if "--only" in args:
     i = args.index("--only")
     only = {t.strip() for t in args[i + 1].split(",") if t.strip()}
     args = args[:i] + args[i + 2:]
+if "--master" in args:
+    i = args.index("--master")
+    master = args[i + 1]
+    args = args[:i] + args[i + 2:]
+if "--shuffle" in args:
+    i = args.index("--shuffle")
+    shuffle = args[i + 1]
+    args = args[:i] + args[i + 2:]
 SF = args[0] if args else "/root/testdata/sf0.01"
 
-spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+builder = SparkSession.builder.master(master).appName("driver-sim")
+if shuffle is not None:
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+spark = builder.getOrCreate()
 spark.sparkContext.setLogLevel("ERROR")
 
 rows = entrymod.entry(spark).collect()
