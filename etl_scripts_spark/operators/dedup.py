@@ -921,8 +921,16 @@ def contamination_report(
             "train_id",
             "n_hit_positions",
             "n_grams",
-            F.round(
-                F.col("n_hit_positions").cast("double") / F.col("n_grams"), 9
+            # exact-e9 rounding (the embedding_covariance law): a float
+            # round at 9 dp diverges across engines when the count ratio
+            # terminates at exactly 10 decimal digits; DECIMAL(38,0)
+            # keeps the law exact past BIGINT-sized corpora
+            (
+                F.expr(
+                    "(2 * CAST(n_hit_positions AS DECIMAL(38,0)) * 1000000000"
+                    " + n_grams) div (2 * CAST(n_grams AS DECIMAL(38,0)))"
+                ).cast("double")
+                / F.lit(1e9)
             ).alias("contaminated_frac"),
         )
     )

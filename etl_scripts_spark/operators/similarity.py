@@ -758,11 +758,19 @@ def embedding_covariance(
     change it), and every moment (n, Σxᵢ, Σxᵢxⱼ) accumulates as
     DECIMAL(38,0) exact integers with map-side combine — any partitioning
     yields bit-identical sums, where a float accumulation is
-    reduction-tree-dependent.  The only float steps are the two final
-    divisions (population covariance, ddof=0), rounded to 9 dp (the
-    PSI/OLS parity recipe).  Worst case fits: |x|·grid ≤ 2^62 is guarded
-    in-plan (raise_error), and n·ΣQ at 1e9 rows × grid 1e6 stays ~1e30,
-    inside DECIMAL(38,0).
+    reduction-tree-dependent.  The final mean/cov values round to 9 dp
+    IN EXACT INTEGER ARITHMETIC (round-half-away on Σ·10⁹ against the
+    integer denominator, then one exact /10⁹ division): rounding a
+    FLOAT quotient at 9 dp is engine-divergent exactly when the true
+    quotient terminates at 10 digits — n·grid = 2·10¹² on the sf0.1
+    testdata put EVERY mean on that boundary, Spark (BigDecimal on the
+    binary double, just below .5) rounded down while DuckDB
+    (multiply-based) rounded away, found by the r11 sf0.1 sweep.
+    Worst case fits: |x|·grid ≤ 2^62 is guarded in-plan (raise_error),
+    |Σxᵢ|·2·10⁹ at 1e9 rows stays < 10³⁸, and n·ΣQ at 1e9 rows × grid
+    1e6 stays ~1e30; |mean| and |cov| are additionally guarded ≤ 9·10⁶
+    (the div result must fit BIGINT exactly — beyond that the operator
+    raises instead of wrapping).
 
     Plan: stage the snapped vector once, explode the upper-triangle
     (i, j, xᵢ·xⱼ) per row (d(d+1)/2 local fan-out — bounded by max_dim,
@@ -819,7 +827,6 @@ def embedding_covariance(
     )
     sa = sums.select(F.col("_si").alias("i"), F.col("_s").alias("_si_sum"))
     sb = sums.select(F.col("_si").alias("j"), F.col("_s").alias("_sj_sum"))
-    g2 = float(grid) * float(grid)
     # snapped inputs are non-NULL by construction, so a NULL here can only
     # be DECIMAL(38,0) overflow (non-ANSI configs return NULL instead of
     # throwing) — guard the COMPUTED numerator, not just the moment sums:
@@ -834,26 +841,62 @@ def embedding_covariance(
             F.lit("embedding_covariance: moment arithmetic overflowed DECIMAL(38,0); lower grid")
         ).cast("decimal(38,0)"),
     ).otherwise(raw_num)
-    return (
+
+    # exact 9-dp rounding: value_e9 = round_half_away(Σ·mult·10⁹', den)
+    # in DECIMAL(38,0) (both engines truncate integral division toward
+    # zero; abs+sign sidesteps the negative-operand convention), then
+    # value = value_e9 / 10⁹ — one exact double division of an exactly
+    # representable integer, bit-identical across engines.  The cov
+    # scale factor folds gcd(10⁹, grid²) into the denominator so the
+    # default grid (10⁶) needs NO numerator growth (mult=1).
+    import math as _math
+
+    _gcd = _math.gcd(10**9, grid * grid)
+    _cov_mult, _cov_den = 10**9 // _gcd, (grid * grid) // _gcd
+
+    # build via expr: named intermediates keep the div operator usable;
+    # the in-expr guard bounds the rounded magnitude at 9e6 (the div
+    # result must fit BIGINT exactly — Spark's decimal div WRAPS
+    # silently past 2^63 in non-ANSI sessions), far beyond any centered
+    # embedding statistic and loud when violated
+    joined = (
         qsum.join(sa, "i")
         .join(sb, "j")
-        .select(
-            "i",
-            "j",
-            F.col("_n").cast("bigint").alias("n"),
-            F.round(
-                F.col("_si_sum").cast("double") / F.col("_n") / F.lit(float(grid)), 9
-            ).alias("mean_i"),
-            F.round(
-                F.col("_sj_sum").cast("double") / F.col("_n") / F.lit(float(grid)), 9
-            ).alias("mean_j"),
-            F.round(
-                num.cast("double")
-                / (F.col("_n").cast("double") * F.col("_n").cast("double"))
-                / F.lit(g2),
-                9,
-            ).alias("cov"),
+        .withColumn("_mden", (F.col("_n").cast("decimal(38,0)") * F.lit(int(grid)).cast("decimal(38,0)")))
+        .withColumn("_cden", (
+            F.col("_n").cast("decimal(38,0)") * F.col("_n").cast("decimal(38,0)")
+            * F.lit(int(_cov_den)).cast("decimal(38,0)")
+        ))
+        .withColumn("_num", num)
+    )
+
+    def _e9_expr(sum_col: str, mult: int, den_col: str, label: str) -> str:
+        # e9 = round_half_away(|s|·mult / den) = (2·|s|·mult + den) div
+        # (2·den), re-signed; mult carries the 10⁹ scale (gcd-reduced
+        # for cov).  `div` truncates toward zero in both engines.  The
+        # guard bounds e9 ≤ 9·10¹⁵ (|value| ≤ 9·10⁶) so the BIGINT div
+        # result cannot wrap.
+        a = f"(abs({sum_col}) * CAST({mult} AS DECIMAL(38,0)))"
+        g = (
+            f"CASE WHEN {a} > {den_col} * CAST(9000000000000000 AS DECIMAL(38,0)) "
+            f"THEN CAST(raise_error('embedding_covariance: |{label}| exceeds the exact 9-dp envelope (9e6); lower grid or center the input') AS DECIMAL(38,0)) "
+            f"ELSE {a} END"
         )
+        return (
+            f"CAST(CASE WHEN {sum_col} < 0 THEN -1 ELSE 1 END AS BIGINT) * "
+            f"((2 * {g} + {den_col}) div (2 * {den_col}))"
+        )
+
+    return joined.select(
+        "i",
+        "j",
+        F.col("_n").cast("bigint").alias("n"),
+        (F.expr(_e9_expr("_si_sum", 10**9, "_mden", "mean")).cast("double")
+         / F.lit(1e9)).alias("mean_i"),
+        (F.expr(_e9_expr("_sj_sum", 10**9, "_mden", "mean")).cast("double")
+         / F.lit(1e9)).alias("mean_j"),
+        (F.expr(_e9_expr("_num", _cov_mult, "_cden", "cov")).cast("double")
+         / F.lit(1e9)).alias("cov"),
     )
 
 

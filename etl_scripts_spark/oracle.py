@@ -542,7 +542,9 @@ def expectation_report_sql(source_cte: str, rules: list[tuple[str, str]]) -> str
     arms = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS rule, p_{i} AS n_pass, f_{i} AS n_fail, "
         f"CASE WHEN p_{i} + f_{i} > 0 "
-        f"THEN round(f_{i}::DOUBLE / (p_{i} + f_{i}), 9) ELSE 0.0 END AS fail_rate "
+        f"THEN ((2 * f_{i}::HUGEINT * 1000000000 + (p_{i} + f_{i})) "
+        f"// (2 * (p_{i}::HUGEINT + f_{i})))::DOUBLE / 1000000000 "
+        f"ELSE 0.0 END AS fail_rate "
         f"FROM wide"
         for i, (name, _) in enumerate(rules)
     )
@@ -843,7 +845,8 @@ totals AS (
   SELECT doc_id, greatest(len(ws) - {n - 1}, 0)::BIGINT AS n_grams FROM tw
 )
 SELECT train_id, n_hit_positions, n_grams,
-       round(n_hit_positions::DOUBLE / n_grams, 9) AS contaminated_frac
+       ((2 * n_hit_positions::HUGEINT * 1000000000 + n_grams)
+        // (2 * n_grams::HUGEINT))::DOUBLE / 1000000000 AS contaminated_frac
 FROM hits JOIN totals ON train_id = doc_id
 """
 
@@ -1000,8 +1003,17 @@ def embedding_covariance_sql(
     """DuckDB twin of similarity.embedding_covariance: identical snap law
     (round(x·grid) per component — both engines round the same IEEE
     double away from zero), identical exact HUGEINT moment sums, and the
-    identical final float expression (n·Q − Sᵢ·Sⱼ) / n² / grid², rounded
-    9 dp.  Upper triangle i ≤ j, 1-based dims."""
+    IDENTICAL exact-integer 9-dp rounding — e9 = (2·|Σ|·mult + den) //
+    (2·den) re-signed, then one exact /10⁹ double division.  A float
+    round(x, 9) here is engine-divergent whenever the true quotient
+    terminates at 10 digits (DuckDB rounds via a 10⁹ multiply, Spark
+    via BigDecimal on the binary double — they disagree on every such
+    tie; the sf0.1 testdata's n·grid = 2·10¹² made every mean one).
+    Upper triangle i ≤ j, 1-based dims."""
+    import math as _math
+
+    _gcd = _math.gcd(10**9, grid * grid)
+    cov_mult, cov_den = 10**9 // _gcd, (grid * grid) // _gcd
     return f"""
 WITH src AS ({source_cte}),
 vecs AS (
@@ -1018,13 +1030,26 @@ q AS (
   FROM snapped a JOIN snapped b ON a.rid = b.rid AND b.i >= a.i
   GROUP BY 1, 2
 ),
-s AS (SELECT i, sum(x::HUGEINT) AS ssum FROM snapped GROUP BY 1)
-SELECT q.i, q.j, q.n::BIGINT AS n,
-       round(si.ssum::DOUBLE / q.n / {grid}, 9) AS mean_i,
-       round(sj.ssum::DOUBLE / q.n / {grid}, 9) AS mean_j,
-       round((q.n::HUGEINT * q.qsum - si.ssum * sj.ssum)::DOUBLE
-             / (q.n::DOUBLE * q.n::DOUBLE) / ({grid}::DOUBLE * {grid}::DOUBLE), 9) AS cov
-FROM q JOIN s si ON si.i = q.i JOIN s sj ON sj.i = q.j
+s AS (SELECT i, sum(x::HUGEINT) AS ssum FROM snapped GROUP BY 1),
+raw AS (
+  SELECT q.i, q.j, q.n,
+         si.ssum AS si_sum, sj.ssum AS sj_sum,
+         q.n::HUGEINT * q.qsum - si.ssum * sj.ssum AS num,
+         q.n::HUGEINT * {grid}::HUGEINT AS mden,
+         q.n::HUGEINT * q.n::HUGEINT * {cov_den}::HUGEINT AS cden
+  FROM q JOIN s si ON si.i = q.i JOIN s sj ON sj.i = q.j
+)
+SELECT i, j, n::BIGINT AS n,
+       ((CASE WHEN si_sum < 0 THEN -1 ELSE 1 END)
+        * ((2 * abs(si_sum) * 1000000000::HUGEINT + mden) // (2 * mden)))::DOUBLE
+       / 1000000000 AS mean_i,
+       ((CASE WHEN sj_sum < 0 THEN -1 ELSE 1 END)
+        * ((2 * abs(sj_sum) * 1000000000::HUGEINT + mden) // (2 * mden)))::DOUBLE
+       / 1000000000 AS mean_j,
+       ((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        * ((2 * abs(num) * {cov_mult}::HUGEINT + cden) // (2 * cden)))::DOUBLE
+       / 1000000000 AS cov
+FROM raw
 """
 
 

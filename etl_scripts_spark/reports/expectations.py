@@ -85,11 +85,20 @@ def expectation_report(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFr
     ]
     out = wide.select(F.explode(F.array(*per_rule)).alias("r")).select("r.*")
     total = F.col("n_pass") + F.col("n_fail")
+    # fail_rate rounds to 9 dp in EXACT integer arithmetic (the
+    # embedding_covariance e9 law): rounding the float quotient is
+    # engine-divergent whenever n_fail/total terminates at exactly 10
+    # decimal digits (possible whenever a generated row count is
+    # 2^a·5^b-shaped), and counts can exceed BIGINT·5e-10 at 100 TB, so
+    # the arithmetic rides DECIMAL(38,0); the div result is ≤ 10⁹.
+    rate_e9 = F.expr(
+        "(2 * CAST(n_fail AS DECIMAL(38,0)) * 1000000000"
+        " + (CAST(n_pass AS DECIMAL(38,0)) + n_fail))"
+        " div (2 * (CAST(n_pass AS DECIMAL(38,0)) + n_fail))"
+    )
     return out.withColumn(
         "fail_rate",
-        F.when(total > 0, F.round(F.col("n_fail").cast("double") / total, 9)).otherwise(
-            F.lit(0.0)
-        ),
+        F.when(total > 0, rate_e9.cast("double") / F.lit(1e9)).otherwise(F.lit(0.0)),
     )
 
 

@@ -95,6 +95,17 @@ def grouped_ols(
     # step.  Decimal sums AND decimal products return NULL on overflow
     # (the silent Spark trap), so every exact intermediate gets the loud
     # guard before the cast to double.
+    #
+    # Known boundary (kept deliberately): the 9-dp round here is of a
+    # FLOAT quotient, which the r11 sweep proved engine-divergent when
+    # the true ratio terminates at exactly 10 decimal digits (see
+    # embedding_covariance's exact-e9 law).  It stays float here because
+    # (a) the denominators (varx, n·varx, varx·vary) are data-shaped
+    # moment combinations, not structural powers of ten, so a tie is
+    # coincidental, and (b) intercept/r2 CANNOT go exact within
+    # DECIMAL(38,0): the exact forms need sy·varx and covn² (~10⁶⁰ at
+    # the design point).  The oracle rounds the bit-identical double the
+    # same way, so only a true 10-digit tie can diverge.
     sums = sums.withColumn(
         "_covn", _guard(n * F.col("_sxy") - sx * sy)
     ).withColumn(

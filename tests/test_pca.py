@@ -135,6 +135,33 @@ def test_covariance_parity_with_duckdb(spark):
     assert compare(got, want) == []
 
 
+def test_covariance_nine_dp_tie_is_engine_exact(spark):
+    """Regression for the r11 sf0.1 find: when the true mean terminates
+    at exactly 10 decimal digits ending in 5 (n·grid = 2·10⁹ here), a
+    float round(x, 9) is ENGINE-DIVERGENT — Spark's BigDecimal rounds
+    the binary double (just below .5) down, DuckDB's multiply-based
+    round lands on .5 and rounds away.  The exact-integer e9 law must
+    give round-half-AWAY on the true rational value in both engines,
+    for both signs."""
+    import duckdb
+
+    # two 1-dim vectors, grid 1e9: snapped sum ±3 → true mean ±1.5e-9,
+    # a dead-center 9-dp tie → half-away = ±2e-9
+    for sign in (1.0, -1.0):
+        df = _vecs(spark, [[0.0], [sign * 3e-9]])
+        got = embedding_covariance(df, "embedding", grid=10**9).toPandas()
+        assert len(got) == 1
+        assert got["mean_i"][0] == sign * 2e-9, got["mean_i"][0]
+        want = duckdb.sql(
+            oracle.embedding_covariance_sql(
+                f"SELECT v AS embedding FROM (VALUES ([0.0]), ([{sign * 3e-9}])) t(v)",
+                grid=10**9,
+            )
+        ).fetchdf()
+        assert compare(got, want) == []
+        assert want["mean_i"][0] == sign * 2e-9
+
+
 def test_pca_matches_numpy_reference(spark):
     """Planted 2-factor structure in 4 dims: components and explained
     variance must match numpy PCA on the identical snapped data."""
