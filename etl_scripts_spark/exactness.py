@@ -34,6 +34,51 @@ def require_integral_columns(df: DataFrame, cols: list[str], who: str) -> None:
         )
 
 
+# --- exact 9-dp ratio rounding (the float-tie fix) --------------------------
+
+def e9_div_expr(
+    num_sql: str, mult: int, den_sql: str, label: str, signed: bool = True
+) -> str:
+    """Spark SQL expression string: round-half-away(num·mult / den) as a
+    BIGINT in units of 10⁻⁹ — divide the result by 1e9 for the value.
+
+    THE one copy of the exact-e9 law (used by embedding_covariance both
+    paths, expectations.fail_rate, benchmark contamination; DuckDB twin:
+    oracle.e9_div_sql — the two must stay in lock-step): rounding a
+    FLOAT quotient is engine-divergent on exact 10-digit decimal ties
+    (r11 find), so the rounding happens on exact integers —
+    (2·|num|·mult + den) div (2·den), re-signed; both engines truncate
+    integral division toward zero.
+
+    Loudness: a NULL anywhere (DECIMAL(38,0) overflow in non-ANSI
+    sessions) raises instead of propagating — including the guard
+    products themselves, which would otherwise NULL-out the comparison
+    and silently disable it.  The envelope guard bounds the rounded
+    magnitude at 9·10¹⁵ (|value| ≤ 9·10⁶) because Spark's decimal `div`
+    WRAPS silently past 2^63; when the envelope product itself
+    overflows (den > ~1.1e22) the quotient provably fits and the outer
+    NULL guard still covers the remaining arithmetic.
+    """
+    a = f"(abs({num_sql}) * CAST({mult} AS DECIMAL(38,0)))"
+    env = f"(({den_sql}) * CAST(9000000000000000 AS DECIMAL(38,0)))"
+    g = (
+        f"CASE WHEN {a} IS NULL THEN CAST(raise_error("
+        f"'{label}: exact-e9 numerator overflowed DECIMAL(38,0); lower grid') AS DECIMAL(38,0)) "
+        f"WHEN {env} IS NOT NULL AND {a} > {env} THEN CAST(raise_error("
+        f"'{label}: |value| exceeds the exact 9-dp envelope (9e6); lower grid or center the input') AS DECIMAL(38,0)) "
+        f"ELSE {a} END"
+    )
+    e9 = f"((2 * {g} + ({den_sql})) div (2 * ({den_sql})))"
+    guarded = (
+        f"CASE WHEN {e9} IS NULL THEN CAST(raise_error("
+        f"'{label}: exact-e9 arithmetic overflowed DECIMAL(38,0); lower grid') AS BIGINT) "
+        f"ELSE {e9} END"
+    )
+    if signed:
+        return f"(CAST(CASE WHEN ({num_sql}) < 0 THEN -1 ELSE 1 END AS BIGINT) * {guarded})"
+    return guarded
+
+
 # --- order-independent table fingerprint -----------------------------------
 
 #: Mersenne prime 2^61-1: the row-hash sum is reduced mod this so the

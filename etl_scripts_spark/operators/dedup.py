@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..ckpt import free_local_checkpoint
+from ..exactness import e9_div_expr
 from .text import normalize_text, words
 
 
@@ -921,14 +922,19 @@ def contamination_report(
             "train_id",
             "n_hit_positions",
             "n_grams",
-            # exact-e9 rounding (the embedding_covariance law): a float
-            # round at 9 dp diverges across engines when the count ratio
-            # terminates at exactly 10 decimal digits; DECIMAL(38,0)
-            # keeps the law exact past BIGINT-sized corpora
+            # exact-e9 rounding (the shared exactness.e9_div_expr law):
+            # a float round at 9 dp diverges across engines when the
+            # count ratio terminates at exactly 10 decimal digits;
+            # DECIMAL(38,0) keeps the law exact past BIGINT corpora
             (
                 F.expr(
-                    "(2 * CAST(n_hit_positions AS DECIMAL(38,0)) * 1000000000"
-                    " + n_grams) div (2 * CAST(n_grams AS DECIMAL(38,0)))"
+                    e9_div_expr(
+                        "CAST(n_hit_positions AS DECIMAL(38,0))",
+                        10**9,
+                        "CAST(n_grams AS DECIMAL(38,0))",
+                        "benchmark_contamination",
+                        signed=False,
+                    )
                 ).cast("double")
                 / F.lit(1e9)
             ).alias("contaminated_frac"),

@@ -17,6 +17,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..ckpt import free_local_checkpoint
+from ..exactness import e9_div_expr
+
+
+def _cov_scale(grid: int) -> tuple[int, int]:
+    """(mult, den_scale) folding gcd(10⁹, grid²) so the default grid
+    (10⁶) needs NO numerator growth for the exact-e9 cov rounding."""
+    import math as _math
+
+    _gcd = _math.gcd(10**9, grid * grid)
+    return 10**9 // _gcd, (grid * grid) // _gcd
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -685,7 +695,6 @@ def _diagonal_covariance(
     upper-triangle aggregate would explode d(d+1)/2 cells per row for
     d useful ones (~(d+1)/2× wasted fan-out at d=256)."""
     staged = _snapped_vectors(df, vec_col, grid, max_dim)
-    g2 = float(grid) * float(grid)
     agg = (
         staged.select(F.posexplode("_v").alias("_i0", "_x"), F.col("_d"))
         .select((F.col("_i0") + 1).alias("i"), F.col("_x"), F.col("_d"))
@@ -725,21 +734,32 @@ def _diagonal_covariance(
             F.lit("embedding_covariance: moment arithmetic overflowed DECIMAL(38,0); lower grid")
         ).cast("decimal(38,0)"),
     ).otherwise(raw_num)
-    mean = F.round(
-        F.col("_s").cast("double") / F.col("_n") / F.lit(float(grid)), 9
+    # the SAME exact-e9 rounding law as embedding_covariance — the
+    # standardize_embeddings contract is that the diagonal path and the
+    # full-covariance path give IDENTICAL statistics, which a float
+    # round here would break exactly on the 10-digit ties the e9 law
+    # exists for (caught by the r11 in-round review)
+    _cov_mult, _cov_den = _cov_scale(grid)
+    staged2 = (
+        agg.withColumn("_mden", (F.col("_n").cast("decimal(38,0)") * F.lit(int(grid)).cast("decimal(38,0)")))
+        .withColumn("_cden", (
+            F.col("_n").cast("decimal(38,0)") * F.col("_n").cast("decimal(38,0)")
+            * F.lit(int(_cov_den)).cast("decimal(38,0)")
+        ))
+        .withColumn("_num", num)
     )
-    return agg.select(
+    mean = (
+        F.expr(e9_div_expr("_s", 10**9, "_mden", "embedding_covariance mean")).cast("double")
+        / F.lit(1e9)
+    )
+    return staged2.select(
         "i",
         F.col("i").alias("j"),
         F.col("_n").cast("bigint").alias("n"),
         mean.alias("mean_i"),
         mean.alias("mean_j"),
-        F.round(
-            num.cast("double")
-            / (F.col("_n").cast("double") * F.col("_n").cast("double"))
-            / F.lit(g2),
-            9,
-        ).alias("cov"),
+        (F.expr(e9_div_expr("_num", _cov_mult, "_cden", "embedding_covariance cov")).cast("double")
+         / F.lit(1e9)).alias("cov"),
     )
 
 
@@ -849,16 +869,11 @@ def embedding_covariance(
     # representable integer, bit-identical across engines.  The cov
     # scale factor folds gcd(10⁹, grid²) into the denominator so the
     # default grid (10⁶) needs NO numerator growth (mult=1).
-    import math as _math
-
-    _gcd = _math.gcd(10**9, grid * grid)
-    _cov_mult, _cov_den = 10**9 // _gcd, (grid * grid) // _gcd
+    _cov_mult, _cov_den = _cov_scale(grid)
 
     # build via expr: named intermediates keep the div operator usable;
-    # the in-expr guard bounds the rounded magnitude at 9e6 (the div
-    # result must fit BIGINT exactly — Spark's decimal div WRAPS
-    # silently past 2^63 in non-ANSI sessions), far beyond any centered
-    # embedding statistic and loud when violated
+    # the shared exact-e9 law (exactness.e9_div_expr — one copy, the
+    # DuckDB twin is oracle.e9_div_sql) carries the NULL/envelope guards
     joined = (
         qsum.join(sa, "i")
         .join(sb, "j")
@@ -870,32 +885,15 @@ def embedding_covariance(
         .withColumn("_num", num)
     )
 
-    def _e9_expr(sum_col: str, mult: int, den_col: str, label: str) -> str:
-        # e9 = round_half_away(|s|·mult / den) = (2·|s|·mult + den) div
-        # (2·den), re-signed; mult carries the 10⁹ scale (gcd-reduced
-        # for cov).  `div` truncates toward zero in both engines.  The
-        # guard bounds e9 ≤ 9·10¹⁵ (|value| ≤ 9·10⁶) so the BIGINT div
-        # result cannot wrap.
-        a = f"(abs({sum_col}) * CAST({mult} AS DECIMAL(38,0)))"
-        g = (
-            f"CASE WHEN {a} > {den_col} * CAST(9000000000000000 AS DECIMAL(38,0)) "
-            f"THEN CAST(raise_error('embedding_covariance: |{label}| exceeds the exact 9-dp envelope (9e6); lower grid or center the input') AS DECIMAL(38,0)) "
-            f"ELSE {a} END"
-        )
-        return (
-            f"CAST(CASE WHEN {sum_col} < 0 THEN -1 ELSE 1 END AS BIGINT) * "
-            f"((2 * {g} + {den_col}) div (2 * {den_col}))"
-        )
-
     return joined.select(
         "i",
         "j",
         F.col("_n").cast("bigint").alias("n"),
-        (F.expr(_e9_expr("_si_sum", 10**9, "_mden", "mean")).cast("double")
+        (F.expr(e9_div_expr("_si_sum", 10**9, "_mden", "embedding_covariance mean")).cast("double")
          / F.lit(1e9)).alias("mean_i"),
-        (F.expr(_e9_expr("_sj_sum", 10**9, "_mden", "mean")).cast("double")
+        (F.expr(e9_div_expr("_sj_sum", 10**9, "_mden", "embedding_covariance mean")).cast("double")
          / F.lit(1e9)).alias("mean_j"),
-        (F.expr(_e9_expr("_num", _cov_mult, "_cden", "cov")).cast("double")
+        (F.expr(e9_div_expr("_num", _cov_mult, "_cden", "embedding_covariance cov")).cast("double")
          / F.lit(1e9)).alias("cov"),
     )
 

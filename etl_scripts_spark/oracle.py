@@ -542,8 +542,7 @@ def expectation_report_sql(source_cte: str, rules: list[tuple[str, str]]) -> str
     arms = "\nUNION ALL\n".join(
         f"SELECT '{name}' AS rule, p_{i} AS n_pass, f_{i} AS n_fail, "
         f"CASE WHEN p_{i} + f_{i} > 0 "
-        f"THEN ((2 * f_{i}::HUGEINT * 1000000000 + (p_{i} + f_{i})) "
-        f"// (2 * (p_{i}::HUGEINT + f_{i})))::DOUBLE / 1000000000 "
+        f"THEN {e9_div_sql(f'f_{i}', 10**9, f'(p_{i}::HUGEINT + f_{i})', signed=False)}::DOUBLE / 1000000000 "
         f"ELSE 0.0 END AS fail_rate "
         f"FROM wide"
         for i, (name, _) in enumerate(rules)
@@ -845,8 +844,8 @@ totals AS (
   SELECT doc_id, greatest(len(ws) - {n - 1}, 0)::BIGINT AS n_grams FROM tw
 )
 SELECT train_id, n_hit_positions, n_grams,
-       ((2 * n_hit_positions::HUGEINT * 1000000000 + n_grams)
-        // (2 * n_grams::HUGEINT))::DOUBLE / 1000000000 AS contaminated_frac
+       {e9_div_sql("n_hit_positions", 10**9, "n_grams", signed=False)}::DOUBLE
+       / 1000000000 AS contaminated_frac
 FROM hits JOIN totals ON train_id = doc_id
 """
 
@@ -997,6 +996,19 @@ WHERE i.n_common * {t_den} >= (sa.s + sb.s - i.n_common) * {t_num}
 """
 
 
+def e9_div_sql(num: str, mult: int, den: str, signed: bool = True) -> str:
+    """DuckDB twin of exactness.e9_div_expr — THE other copy of the
+    exact-e9 law (round-half-away(num·mult/den) in units of 10⁻⁹, as
+    exact HUGEINT arithmetic; `//` truncates toward zero for the
+    non-negative operands abs() guarantees).  DuckDB raises loudly on
+    HUGEINT overflow by itself, so no guard scaffolding is needed; the
+    Spark side carries the NULL/envelope guards instead."""
+    e9 = f"((2 * abs({num})::HUGEINT * {mult} + ({den})) // (2 * ({den})::HUGEINT))"
+    if signed:
+        return f"((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) * {e9})"
+    return e9
+
+
 def embedding_covariance_sql(
     source_cte: str, vec: str = "embedding", grid: int = 1_000_000
 ) -> str:
@@ -1040,15 +1052,9 @@ raw AS (
   FROM q JOIN s si ON si.i = q.i JOIN s sj ON sj.i = q.j
 )
 SELECT i, j, n::BIGINT AS n,
-       ((CASE WHEN si_sum < 0 THEN -1 ELSE 1 END)
-        * ((2 * abs(si_sum) * 1000000000::HUGEINT + mden) // (2 * mden)))::DOUBLE
-       / 1000000000 AS mean_i,
-       ((CASE WHEN sj_sum < 0 THEN -1 ELSE 1 END)
-        * ((2 * abs(sj_sum) * 1000000000::HUGEINT + mden) // (2 * mden)))::DOUBLE
-       / 1000000000 AS mean_j,
-       ((CASE WHEN num < 0 THEN -1 ELSE 1 END)
-        * ((2 * abs(num) * {cov_mult}::HUGEINT + cden) // (2 * cden)))::DOUBLE
-       / 1000000000 AS cov
+       {e9_div_sql("si_sum", 10**9, "mden")}::DOUBLE / 1000000000 AS mean_i,
+       {e9_div_sql("sj_sum", 10**9, "mden")}::DOUBLE / 1000000000 AS mean_j,
+       {e9_div_sql("num", cov_mult, "cden")}::DOUBLE / 1000000000 AS cov
 FROM raw
 """
 

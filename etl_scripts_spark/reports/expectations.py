@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..exactness import e9_div_expr
+
 
 import re
 
@@ -85,16 +87,20 @@ def expectation_report(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFr
     ]
     out = wide.select(F.explode(F.array(*per_rule)).alias("r")).select("r.*")
     total = F.col("n_pass") + F.col("n_fail")
-    # fail_rate rounds to 9 dp in EXACT integer arithmetic (the
-    # embedding_covariance e9 law): rounding the float quotient is
+    # fail_rate rounds to 9 dp in EXACT integer arithmetic (the shared
+    # exactness.e9_div_expr law): rounding the float quotient is
     # engine-divergent whenever n_fail/total terminates at exactly 10
-    # decimal digits (possible whenever a generated row count is
-    # 2^a·5^b-shaped), and counts can exceed BIGINT·5e-10 at 100 TB, so
-    # the arithmetic rides DECIMAL(38,0); the div result is ≤ 10⁹.
+    # decimal digits — and total here IS the table row count, the one
+    # quantity generated data makes 2^a·5^b-shaped.  DECIMAL(38,0)
+    # arithmetic keeps the law exact past BIGINT-sized tables.
     rate_e9 = F.expr(
-        "(2 * CAST(n_fail AS DECIMAL(38,0)) * 1000000000"
-        " + (CAST(n_pass AS DECIMAL(38,0)) + n_fail))"
-        " div (2 * (CAST(n_pass AS DECIMAL(38,0)) + n_fail))"
+        e9_div_expr(
+            "CAST(n_fail AS DECIMAL(38,0))",
+            10**9,
+            "(CAST(n_pass AS DECIMAL(38,0)) + n_fail)",
+            "expectations fail_rate",
+            signed=False,
+        )
     )
     return out.withColumn(
         "fail_rate",

@@ -27,20 +27,33 @@ import __spark_entry__ as entrymod
 from tests.parity import compare, duckdb_con
 
 args = sys.argv[1:]
-only: set[str] = set()
-master, shuffle = "local[8]", None
-if "--only" in args:
-    i = args.index("--only")
-    only = {t.strip() for t in args[i + 1].split(",") if t.strip()}
-    args = args[:i] + args[i + 2:]
-if "--master" in args:
-    i = args.index("--master")
-    master = args[i + 1]
-    args = args[:i] + args[i + 2:]
-if "--shuffle" in args:
-    i = args.index("--shuffle")
-    shuffle = args[i + 1]
-    args = args[:i] + args[i + 2:]
+
+
+def _take_flag(name: str) -> str | None:
+    """Pop `name <value>` from args; loud on a missing/flag-shaped value
+    (a forgotten value would silently eat the next flag and shift the
+    positional sf_dir — the confusing-downstream-failure shape the
+    --only validation exists to prevent)."""
+    if name not in args:
+        return None
+    i = args.index(name)
+    if i + 1 >= len(args) or args[i + 1].startswith("--"):
+        sys.exit(f"driver_sim: {name} needs a value")
+    value = args[i + 1]
+    del args[i:i + 2]
+    return value
+
+
+_only_raw = _take_flag("--only")
+only: set[str] = (
+    {t.strip() for t in _only_raw.split(",") if t.strip()} if _only_raw else set()
+)
+if _only_raw and not only:
+    sys.exit("driver_sim: --only got an empty query list")
+master = _take_flag("--master") or "local[8]"
+shuffle = _take_flag("--shuffle")
+for a in args[1:]:
+    sys.exit(f"driver_sim: unexpected argument {a!r}")
 SF = args[0] if args else "/root/testdata/sf0.01"
 
 builder = SparkSession.builder.master(master).appName("driver-sim")

@@ -162,7 +162,18 @@ def test_covariance_nine_dp_tie_is_engine_exact(spark):
         assert want["mean_i"][0] == sign * 2e-9
 
 
-def test_pca_matches_numpy_reference(spark):
+def test_diagonal_covariance_shares_the_e9_law(spark):
+    """standardize_embeddings' contract is that its default diagonal
+    statistics equal the full embedding_covariance's — which requires
+    the diagonal path to use the SAME exact-e9 rounding (a float round
+    there diverges on the tie fixture: 1e-9 vs the exact 2e-9)."""
+    from etl_scripts_spark.operators.similarity import _diagonal_covariance
+
+    df = _vecs(spark, [[0.0], [3e-9]])
+    full = embedding_covariance(df, "embedding", grid=10**9).toPandas()
+    diag = _diagonal_covariance(df, "embedding", grid=10**9).toPandas()
+    assert diag["mean_i"][0] == full["mean_i"][0] == 2e-9
+    assert diag["cov"][0] == full["cov"][0]
     """Planted 2-factor structure in 4 dims: components and explained
     variance must match numpy PCA on the identical snapped data."""
     rng = np.random.RandomState(3)
