@@ -174,6 +174,9 @@ def test_diagonal_covariance_shares_the_e9_law(spark):
     diag = _diagonal_covariance(df, "embedding", grid=10**9).toPandas()
     assert diag["mean_i"][0] == full["mean_i"][0] == 2e-9
     assert diag["cov"][0] == full["cov"][0]
+
+
+def test_pca_matches_numpy_reference(spark):
     """Planted 2-factor structure in 4 dims: components and explained
     variance must match numpy PCA on the identical snapped data."""
     rng = np.random.RandomState(3)
