@@ -7401,8 +7401,11 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Operator-family backlog (banked shapes): each family's pinned parity
 # fixture, lifted verbatim from its unit test onto the driver contract.
 # MIXED decorators below — five flipped @_register in r11 (hll_distinct,
-# exact_percentiles, pivot_table, table_fingerprint, phrase_search); the
-# remaining @_stage entries are the r12+ queue.  Count the backlog with
+# exact_percentiles, pivot_table, table_fingerprint, phrase_search), ten
+# more in r12 (key_skew_report, mad_outliers, stratified_sample,
+# rolling_zscore, hopping_rollup, segment_sentences, profile_columns,
+# hashed_embedding, gif_pixel_stats, tiff_pixel_stats); the
+# remaining @_stage entries are the r13 heavy tail.  Count the backlog with
 # staged_queries(), never by section (COVERAGE.md keeps the list).
 # Scale rationale lives in the operator docstrings + COVERAGE.md.
 # ---------------------------------------------------------------------------
@@ -7466,7 +7469,7 @@ def q_pivot_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage(
+@_register(
     "q_key_skew_report",
     oracle.key_skew_report_sql("SELECT l_suppkey FROM lineitem", "l_suppkey", 8),
 )
@@ -7534,7 +7537,7 @@ def q_hll_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage(
+@_register(
     "q_mad_outliers",
     "SELECT * EXCLUDE (is_outlier), is_outlier::INT AS is_outlier FROM ("
     + oracle.mad_outliers_sql(
@@ -7563,7 +7566,7 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage(
+@_register(
     "q_stratified_sample",
     oracle.stratified_sample_sql(
         "SELECT doc_id, source, lang FROM documents", 97, "source", "doc_id"
@@ -7581,7 +7584,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, 97, "source", "doc_id")
 
 
-@_stage(
+@_register(
     "q_rolling_zscore",
     "SELECT * EXCLUDE (is_anomaly), is_anomaly::INT AS is_anomaly FROM ("
     + oracle.rolling_zscore_sql(
@@ -7603,7 +7606,7 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
 
 
-@_stage(
+@_register(
     "q_hopping_rollup",
     oracle.hopping_rollup_sql(
         "SELECT ts, event_type, value FROM events", 3600, 900,
@@ -7649,7 +7652,7 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage(
+@_register(
     "q_segment_sentences",
     oracle.segment_sentences_sql("SELECT doc_id, text FROM documents"),
 )
@@ -7766,7 +7769,7 @@ def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_report(train, bench, n=8)
 
 
-@_stage(
+@_register(
     "q_hashed_embedding",
     "SELECT doc_id, array_to_string(vec, ',') AS vec FROM ("
     + oracle.hashed_embedding_sql("SELECT doc_id, text FROM documents", dim=32)
@@ -7918,7 +7921,7 @@ def q_g711_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_audio_stats(multimodal.with_g711_payload(docs, law=7))
 
 
-@_stage(
+@_register(
     "q_gif_pixel_stats",
     # GIF fixture law: pixel index p(i) = (13d + 7i) % 16 row-major,
     # palette j = ((17j+d)%256, (23j+2d)%256, (29j+3d)%256).  Interlace
@@ -7957,7 +7960,7 @@ def q_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_pixel_stats(multimodal.with_gif_payload(docs))
 
 
-@_stage(
+@_register(
     "q_tiff_pixel_stats",
     # shared _pixel_pattern law v(x,y) = (3x + 7y + d) % 256, grayscale;
     # every 3rd doc PackBits-compressed — same sum either way, so a
@@ -8016,7 +8019,7 @@ def q_plan_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan_compaction(files, 1_000_000)
 
 
-@_stage(
+@_register(
     "q_profile_columns",
     oracle.profile_columns_sql("documents", ["doc_id", "source", "lang"], k=16),
 )
@@ -8255,24 +8258,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh-green), so every query gets a driver check at least every ~3 rounds
 # — a regression in a long-green query can hide for at most that long.
 
-#: New in round 11 (never driver-green yet) → head of the rotation: the
-#: pinned ten — the TPC-H completion five (finishes the 22-query suite)
-#: plus the five cheapest banked shapes.  Budget check (the cap exists
-#: to protect the 50-slot window): after the r10 run the staleness
-#: histogram is r7×50/r8×50/r9×50/r10×50, so these 10 flips + 40 of the
-#: r7×50 cohort fill the 50 slots; the 10 displaced r7 queries lead
-#: r12's refresh.  Everything else rides the least-recently-green order.
+#: New in round 12 (never driver-green yet) → head of the rotation: the
+#: pinned ten cheapest banked shapes by sf0.01 sweep wall.  Budget check
+#: (the cap exists to protect the 50-slot window): after the r11 run the
+#: staleness histogram is r7×10/r8×50/r9×50/r10×50/r11×50 (recomputed
+#: with _last_green_round() before this flip), so these 10 flips + the
+#: 10-query displaced r7 cohort + 30 of the r8×50 cohort fill the 50
+#: slots and the rotation floor advances to r8 (20 r8 queries remain for
+#: r13).  Everything else rides the least-recently-green order.
 _CHANGED_THIS_ROUND = (
-    "q_tpch_q02",
-    "q_tpch_q08",
-    "q_tpch_q09",
-    "q_tpch_q11",
-    "q_tpch_q20",
-    "q_hll_distinct",
-    "q_exact_percentiles",
-    "q_pivot_table",
-    "q_table_fingerprint",
-    "q_phrase_search",
+    "q_key_skew_report",
+    "q_mad_outliers",
+    "q_stratified_sample",
+    "q_rolling_zscore",
+    "q_hopping_rollup",
+    "q_segment_sentences",
+    "q_profile_columns",
+    "q_hashed_embedding",
+    "q_gif_pixel_stats",
+    "q_tiff_pixel_stats",
 )
 
 

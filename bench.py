@@ -179,6 +179,20 @@ HEADLINE = [
     "q_pivot_table",
     "q_table_fingerprint",
     "q_phrase_search",
+    # round-12 additions: the ten cheapest banked shapes — skew diagnosis,
+    # robust outliers (MAD), exact stratified sampling, trailing-frame
+    # z-score, hopping-window rollup, sentence segmentation, column
+    # profiling, hashing-trick embeddings, and the GIF/TIFF decode paths
+    "q_key_skew_report",
+    "q_mad_outliers",
+    "q_stratified_sample",
+    "q_rolling_zscore",
+    "q_hopping_rollup",
+    "q_segment_sentences",
+    "q_profile_columns",
+    "q_hashed_embedding",
+    "q_gif_pixel_stats",
+    "q_tiff_pixel_stats",
 ]
 
 

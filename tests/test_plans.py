@@ -44,6 +44,11 @@ ARROW_STAGES = {
     # the batch
     "q_image_ahash",
     "q_mjpeg_video_stats",
+    # r12 flips: real GIF (variable-width LZW + interlace) and baseline
+    # TIFF (IFD walk + PackBits) decode → pixel stats — map-only Arrow
+    # stages, pixels never leave the batch
+    "q_gif_pixel_stats",
+    "q_tiff_pixel_stats",
 }
 
 #: brute-force ANN baseline + 1-row-build-side batch marks: the only
@@ -98,6 +103,11 @@ CROSS_JOINS_BY_DESIGN = {
     "q_tpch_q09",
     "q_tpch_q11",
     "q_tpch_q20",
+    # r12 flips: 1-row total attach (key_skew_report) and 1-row total +
+    # 1-row leftover attach (stratified_sample's Hamilton allocation) —
+    # the join_singleton shape again
+    "q_key_skew_report",
+    "q_stratified_sample",
 }
 
 STREAMING = {

@@ -43,19 +43,18 @@ def test_staged_query_matches_oracle(spark, name):
 #: Python stage (codec decode inside mapInPandas) — never BatchEvalPython.
 STAGED_ARROW = {
     "q_g711_audio_stats",
-    "q_gif_pixel_stats",
-    "q_tiff_pixel_stats",
+    # (gif/tiff pixel stats flipped to the registered surface in r12 —
+    # their Arrow declaration now lives in test_plans.py)
 }
 
 #: declared 1-row / small-broadcast nested-loop sites: corpus-stats
 #: attaches (join_singleton) and the part×supplier-grid derived-partsupp
 #: law (reports/tpch.partsupp_df — a broadcast of the 10·SF-row supplier
 #: dim against part, the deterministic stand-in for the missing table).
-STAGED_BNLJ = {
-    "q_key_skew_report",      # 1-row total attach
-    "q_stratified_sample",    # 1-row total + 1-row leftover attach
-    # (the partsupp-grid TPC-H four flipped to the registered surface in
-    # r11 — their BNLJ declaration now lives in test_plans.py)
+STAGED_BNLJ: set[str] = {
+    # (key_skew_report / stratified_sample flipped to the registered
+    # surface in r12; the partsupp-grid TPC-H four in r11 — their BNLJ
+    # declarations now live in test_plans.py)
 }
 
 #: Queries whose real work executes eagerly at call time, so there is no
