@@ -36,6 +36,28 @@ def require_integral_columns(df: DataFrame, cols: list[str], who: str) -> None:
 
 # --- exact 9-dp ratio rounding (the float-tie fix) --------------------------
 
+#: 2^53: the largest integer magnitude a double represents exactly.  The
+#: e9 envelope is bounded here (not at a round 9e15) so the final
+#: cast-to-double of the e9 BIGINT is an EXACT conversion in every
+#: regime — including when the envelope product itself overflows
+#: DECIMAL(38,0) (den ≥ 10^38/2^53 ≈ 1.11e22), where the quotient
+#: provably stays < 2^53 because the numerator is bounded by 10^38.
+E9_ENVELOPE = 1 << 53
+
+
+def cov_scale(grid: int) -> tuple[int, int]:
+    """(mult, den_scale) for the exact-e9 covariance rounding: folds
+    gcd(10⁹, grid²) so the default grid (10⁶) needs NO numerator growth.
+
+    THE one copy of the fold — similarity.embedding_covariance (Spark)
+    and oracle.embedding_covariance_sql (DuckDB) both import it, so the
+    two engines cannot silently disagree on the cov rounding grid."""
+    import math as _math
+
+    _gcd = _math.gcd(10**9, grid * grid)
+    return 10**9 // _gcd, (grid * grid) // _gcd
+
+
 def e9_div_expr(
     num_sql: str, mult: int, den_sql: str, label: str, signed: bool = True
 ) -> str:
@@ -46,29 +68,44 @@ def e9_div_expr(
     paths, expectations.fail_rate, benchmark contamination; DuckDB twin:
     oracle.e9_div_sql — the two must stay in lock-step): rounding a
     FLOAT quotient is engine-divergent on exact 10-digit decimal ties
-    (r11 find), so the rounding happens on exact integers —
-    (2·|num|·mult + den) div (2·den), re-signed; both engines truncate
-    integral division toward zero.
+    (r11 find), so the rounding happens on exact integers — value-equal
+    to (2·|num|·mult + den) div (2·den) re-signed (the DuckDB twin's
+    form; HUGEINT has the headroom for the doubling), computed here via
+    the remainder form below; both engines truncate integral division
+    toward zero.
 
-    Loudness: a NULL anywhere (DECIMAL(38,0) overflow in non-ANSI
-    sessions) raises instead of propagating — including the guard
-    products themselves, which would otherwise NULL-out the comparison
-    and silently disable it.  The envelope guard bounds the rounded
-    magnitude at 9·10¹⁵ (|value| ≤ 9·10⁶) because Spark's decimal `div`
-    WRAPS silently past 2^63; when the envelope product itself
-    overflows (den > ~1.1e22) the quotient provably fits and the outer
-    NULL guard still covers the remaining arithmetic.
+    Loudness: a NULL anywhere (a NULL input, or DECIMAL(38,0) overflow —
+    indistinguishable at this point, the message names both) raises
+    instead of propagating.  The guard products use try_multiply so they
+    NULL on overflow in BOTH ANSI modes — a plain `*` would throw a
+    misattributed NUMERIC_VALUE_OUT_OF_RANGE in ANSI sessions on the
+    GUARD arithmetic even when the value itself is fine (real at scale:
+    covariance's den = n²·cov_den passes 10^38/2^53 ≈ 1.11e22 around
+    n ~ 10¹¹ rows).  The envelope bounds the rounded magnitude at 2^53
+    (E9_ENVELOPE, |value| ≤ ~9.007·10⁶): Spark's decimal `div` WRAPS
+    silently past 2^63, and any BIGINT ≤ 2^53 casts to double EXACTLY,
+    so the final /10⁹ is the one float operation and it is exact.  When
+    the envelope product itself overflows (den ≥ 10^38/2^53) the guard
+    is skipped but the bound still holds: the numerator is < 10^38, so
+    the quotient is provably < 2^53 — the exactness claim is
+    unconditional.  Rounding is REMAINDER-based (q = g div den;
+    round up iff r ≥ den − r) rather than the textbook (2·g + den) div
+    (2·den): the doubled products would overflow DECIMAL(38,0) for
+    g ≥ 5·10³⁷ — a legal magnitude at extreme den — while q·den ≤ g and
+    den − r cannot overflow at any guarded input.
     """
-    a = f"(abs({num_sql}) * CAST({mult} AS DECIMAL(38,0)))"
-    env = f"(({den_sql}) * CAST(9000000000000000 AS DECIMAL(38,0)))"
+    a = f"try_multiply(abs({num_sql}), CAST({mult} AS DECIMAL(38,0)))"
+    env = f"try_multiply(({den_sql}), CAST({E9_ENVELOPE} AS DECIMAL(38,0)))"
     g = (
         f"CASE WHEN {a} IS NULL THEN CAST(raise_error("
-        f"'{label}: exact-e9 numerator overflowed DECIMAL(38,0); lower grid') AS DECIMAL(38,0)) "
+        f"'{label}: exact-e9 numerator is NULL (NULL input or DECIMAL(38,0) overflow); check inputs or lower grid') AS DECIMAL(38,0)) "
         f"WHEN {env} IS NOT NULL AND {a} > {env} THEN CAST(raise_error("
-        f"'{label}: |value| exceeds the exact 9-dp envelope (9e6); lower grid or center the input') AS DECIMAL(38,0)) "
+        f"'{label}: |value| exceeds the exact 9-dp envelope (2^53/1e9); lower grid or center the input') AS DECIMAL(38,0)) "
         f"ELSE {a} END"
     )
-    e9 = f"((2 * {g} + ({den_sql})) div (2 * ({den_sql})))"
+    q = f"({g} div ({den_sql}))"
+    r = f"({g} - {q} * ({den_sql}))"
+    e9 = f"({q} + (CASE WHEN {r} >= ({den_sql}) - {r} THEN 1 ELSE 0 END))"
     guarded = (
         f"CASE WHEN {e9} IS NULL THEN CAST(raise_error("
         f"'{label}: exact-e9 arithmetic overflowed DECIMAL(38,0); lower grid') AS BIGINT) "

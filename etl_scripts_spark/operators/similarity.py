@@ -17,16 +17,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..ckpt import free_local_checkpoint
+from ..exactness import cov_scale as _cov_scale
 from ..exactness import e9_div_expr
-
-
-def _cov_scale(grid: int) -> tuple[int, int]:
-    """(mult, den_scale) folding gcd(10⁹, grid²) so the default grid
-    (10⁶) needs NO numerator growth for the exact-e9 cov rounding."""
-    import math as _math
-
-    _gcd = _math.gcd(10**9, grid * grid)
-    return 10**9 // _gcd, (grid * grid) // _gcd
 
 
 def dot(a: Column, b: Column) -> Column:

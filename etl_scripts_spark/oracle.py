@@ -1022,10 +1022,13 @@ def embedding_covariance_sql(
     via BigDecimal on the binary double — they disagree on every such
     tie; the sf0.1 testdata's n·grid = 2·10¹² made every mean one).
     Upper triangle i ≤ j, 1-based dims."""
-    import math as _math
+    # the gcd fold is THE shared copy (exactness.cov_scale) — similarity
+    # imports the same function, so the two engines cannot silently
+    # disagree on the cov rounding grid.  Imported lazily to keep this
+    # module's import-free header contract (pure SQL string builders).
+    from .exactness import cov_scale
 
-    _gcd = _math.gcd(10**9, grid * grid)
-    cov_mult, cov_den = 10**9 // _gcd, (grid * grid) // _gcd
+    cov_mult, cov_den = cov_scale(grid)
     return f"""
 WITH src AS ({source_cte}),
 vecs AS (

@@ -111,6 +111,62 @@ def test_ungrouped_whole_table(spark):
     assert len(got) == 1 and got[0]["slope"] == 2.0 and got[0]["intercept"] == -1.0
 
 
+def test_driver_fixture_is_nowhere_near_a_ten_digit_tie():
+    """grouped_ols deliberately keeps FLOAT 9-dp rounding (the exact-e9
+    forms for intercept/r2 need ~10⁶⁰ — outside DECIMAL(38,0)), with the
+    documented boundary that a true quotient terminating at exactly 10
+    decimal digits ending in 5 is engine-divergent (the r11 find).  The
+    'data-shaped denominator ⇒ coincidental tie' claim gets a RECEIPT
+    here: recompute every registered-fixture ratio (slope, intercept,
+    r2 per l_returnflag) as an exact Fraction at each local testdata
+    scale and assert none is a 10-digit tie.  If a testdata refresh ever
+    lands on one, this fails BEFORE the driver's hash compare does."""
+    import os
+    from fractions import Fraction
+
+    import duckdb
+
+    def is_ten_digit_tie(fr: Fraction) -> bool:
+        t = fr * 10**10
+        return t.denominator == 1 and abs(t.numerator) % 10 == 5
+
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/lineitem.parquet"
+        if not os.path.exists(path):
+            continue
+        rows = duckdb.sql(
+            f"""
+            WITH src AS (
+              SELECT l_returnflag AS g,
+                     CASE WHEN l_orderkey % 19 <> 0
+                          THEN round(l_quantity)::BIGINT END AS x,
+                     round(l_extendedprice * 100)::BIGINT AS y
+              FROM read_parquet('{path}')
+            )
+            SELECT g, count(*) FILTER (x IS NOT NULL AND y IS NOT NULL) AS n,
+                   (sum(x))::HUGEINT AS sx,
+                   (sum(y) FILTER (x IS NOT NULL))::HUGEINT AS sy,
+                   (sum(x::HUGEINT * y)) AS sxy, (sum(x::HUGEINT * x)) AS sxx,
+                   (sum(y::HUGEINT * y) FILTER (x IS NOT NULL)) AS syy
+            FROM src GROUP BY g
+            """
+        ).fetchall()
+        for g, n, sx, sy, sxy, sxx, syy in rows:
+            n, sx, sy, sxy, sxx, syy = map(int, (n, sx, sy, sxy, sxx, syy))
+            covn, varx, vary = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+            assert varx > 0 and vary > 0, (sf, g)
+            ratios = {
+                "slope": Fraction(covn, varx),
+                "intercept": Fraction(sy * varx - covn * sx, n * varx),
+                "r2": Fraction(covn * covn, varx * vary),
+            }
+            for name, fr in ratios.items():
+                assert not is_ten_digit_tie(fr), (sf, g, name, fr)
+                checked += 1
+    assert checked >= 3 * 3  # at least sf0.001's flags × three ratios
+
+
 def test_duckdb_oracle_parity(spark):
     import duckdb
 
