@@ -6679,13 +6679,20 @@ def q_audio_spectrogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_spectrogram(multimodal.with_square_wav_payload(docs))
 
 
+#: the ONE copy of the grouped_ols fixture law (oracle side).  The
+#: ten-digit-tie receipt test (tests/test_regression.py) imports this so
+#: a fixture edit here cannot silently make the receipt vacuous — the
+#: tie check always recomputes the ratios the driver actually hashes.
+GROUPED_OLS_FIXTURE_SQL = """SELECT l_returnflag,
+          CASE WHEN l_orderkey % 19 <> 0 THEN round(l_quantity)::BIGINT END AS x,
+          round(l_extendedprice * 100)::BIGINT AS y
+   FROM lineitem"""
+
+
 @_register(
     "q_grouped_ols",
     oracle.grouped_ols_sql(
-        """SELECT l_returnflag,
-                  CASE WHEN l_orderkey % 19 <> 0 THEN round(l_quantity)::BIGINT END AS x,
-                  round(l_extendedprice * 100)::BIGINT AS y
-           FROM lineitem""",
+        GROUPED_OLS_FIXTURE_SQL,
         y="y",
         x="x",
         by=["l_returnflag"],

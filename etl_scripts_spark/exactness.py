@@ -99,6 +99,8 @@ def e9_div_expr(
     g = (
         f"CASE WHEN {a} IS NULL THEN CAST(raise_error("
         f"'{label}: exact-e9 numerator is NULL (NULL input or DECIMAL(38,0) overflow); check inputs or lower grid') AS DECIMAL(38,0)) "
+        f"WHEN ({den_sql}) IS NULL THEN CAST(raise_error("
+        f"'{label}: exact-e9 denominator is NULL (NULL input or DECIMAL(38,0) overflow upstream); check inputs or lower grid') AS DECIMAL(38,0)) "
         f"WHEN {env} IS NOT NULL AND {a} > {env} THEN CAST(raise_error("
         f"'{label}: |value| exceeds the exact 9-dp envelope (2^53/1e9); lower grid or center the input') AS DECIMAL(38,0)) "
         f"ELSE {a} END"

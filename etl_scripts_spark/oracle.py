@@ -1002,8 +1002,18 @@ def e9_div_sql(num: str, mult: int, den: str, signed: bool = True) -> str:
     exact HUGEINT arithmetic; `//` truncates toward zero for the
     non-negative operands abs() guarantees).  DuckDB raises loudly on
     HUGEINT overflow by itself, so no guard scaffolding is needed; the
-    Spark side carries the NULL/envelope guards instead."""
-    e9 = f"((2 * abs({num})::HUGEINT * {mult} + ({den})) // (2 * ({den})::HUGEINT))"
+    Spark side carries the NULL/envelope guards instead.
+
+    Same REMAINDER rounding form as the Spark copy (q = g // den; round
+    up iff r ≥ den − r): the textbook doubling (2·g + den) // (2·den)
+    overflows INT128 for g ≥ ~8.5·10³⁷ — a magnitude the Spark side's
+    skipped-envelope regime legally reaches (g < 10³⁸) — so the two
+    engines would stop being value-equal exactly where the r12 hardening
+    made the Spark side exact.  q·den ≤ g and den − r cannot overflow."""
+    g = f"(abs({num})::HUGEINT * {mult})"
+    q = f"({g} // ({den})::HUGEINT)"
+    r = f"({g} - {q} * ({den})::HUGEINT)"
+    e9 = f"({q} + (CASE WHEN {r} >= ({den})::HUGEINT - {r} THEN 1 ELSE 0 END))"
     if signed:
         return f"((CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END) * {e9})"
     return e9

@@ -26,7 +26,7 @@ def test_cov_scale_is_the_single_shared_copy():
     # grid 2000 → grid² = 4·10⁶ = 2⁸·5⁶, gcd(10⁹, 4·10⁶) = 4·10⁶ → (250, 1)
     assert cov_scale(2000) == (250, 1)
     sql = oracle.embedding_covariance_sql("SELECT embedding FROM e", grid=2000)
-    assert "* 250 +" in sql and "* 1::HUGEINT" in sql
+    assert "* 250)" in sql and "* 1::HUGEINT" in sql
     # default grid needs no numerator growth (the fold's whole point)
     assert cov_scale(10**6) == (1, 1000)
 
@@ -82,6 +82,41 @@ def test_rounding_is_half_away_on_exact_ties(spark):
     for num, den, want in cases:
         got = _eval(spark, e9_div_expr(dec.format(num), 1, dec.format(den), "t"))
         assert got == want, (num, den, got)
+
+
+def test_duckdb_twin_survives_extreme_g_and_stays_value_equal(spark):
+    # review find: the twin's old doubling form overflowed INT128 for
+    # g ≥ ~8.5e37 — a magnitude the Spark side's skipped-envelope regime
+    # legally reaches — so both copies now use the remainder form.
+    # 9e37/2e37 = 4.5, a dead-center tie → half-away 5, both engines.
+    import duckdb
+
+    num, den = 9 * 10**37, 2 * 10**37
+    got_duck = duckdb.sql(
+        f"SELECT {oracle.e9_div_sql(f'{num}::HUGEINT', 1, f'{den}::HUGEINT')} AS v"
+    ).fetchone()[0]
+    assert got_duck == 5
+    dec = "CAST({} AS DECIMAL(38,0))"
+    got_spark = _eval(spark, e9_div_expr(dec.format(num), 1, dec.format(den), "t"))
+    assert got_spark == 5 == got_duck
+
+
+def test_null_denominator_names_both_causes(spark):
+    # review find: a NULL denominator (DECIMAL(38,0) overflow upstream
+    # in a non-ANSI session) used to fall through to the final
+    # 'arithmetic overflowed; lower grid' raise — the same misdiagnosis
+    # the numerator path was cured of.  The NULL must be DATA-dependent:
+    # a literal NULL den gets folded by NullPropagation (`g div NULL` →
+    # NULL without evaluating g) so the labeled branch would be
+    # optimized away — which is fine, because production dens are
+    # columns, where the runtime CASE walk reaches the branch.
+    df = spark.range(1).selectExpr(
+        "CAST(try_divide(id, id) AS DECIMAL(38,0)) AS den"  # 0/0 → NULL
+    )
+    with pytest.raises(Exception, match="denominator is NULL"):
+        df.selectExpr(
+            e9_div_expr("CAST(1 AS DECIMAL(38,0))", 1, "den", "t") + " AS v"
+        ).collect()
 
 
 def test_null_numerator_names_both_causes(spark):

@@ -124,7 +124,8 @@ def test_driver_fixture_is_nowhere_near_a_ten_digit_tie():
     import os
     from fractions import Fraction
 
-    import duckdb
+    import __spark_entry__ as entrymod
+    from tests.parity import duckdb_con
 
     def is_ten_digit_tie(fr: Fraction) -> bool:
         t = fr * 10**10
@@ -132,17 +133,16 @@ def test_driver_fixture_is_nowhere_near_a_ten_digit_tie():
 
     checked = 0
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        path = f"/root/testdata/{sf}/lineitem.parquet"
-        if not os.path.exists(path):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
             continue
-        rows = duckdb.sql(
+        # the fixture law comes from the REGISTERED oracle constant, so
+        # an edit to q_grouped_ols's fixture re-points this receipt
+        rows = duckdb_con(sf_dir).execute(
             f"""
             WITH src AS (
-              SELECT l_returnflag AS g,
-                     CASE WHEN l_orderkey % 19 <> 0
-                          THEN round(l_quantity)::BIGINT END AS x,
-                     round(l_extendedprice * 100)::BIGINT AS y
-              FROM read_parquet('{path}')
+              SELECT l_returnflag AS g, x, y
+              FROM ({entrymod.GROUPED_OLS_FIXTURE_SQL})
             )
             SELECT g, count(*) FILTER (x IS NOT NULL AND y IS NOT NULL) AS n,
                    (sum(x))::HUGEINT AS sx,
