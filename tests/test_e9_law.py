@@ -119,6 +119,60 @@ def test_null_denominator_names_both_causes(spark):
         ).collect()
 
 
+def test_randomized_three_way_parity(spark):
+    """2,000 random (num, den) pairs + 50 CONSTRUCTED dead-center ties,
+    three ways: Spark e9_div_expr, DuckDB e9_div_sql, and a Python-int
+    round-half-away reference (the ground truth both engines must hit).
+    Random search cannot be trusted to find ties on its own (measure
+    ~1e-12 at this range), hence the constructed k−0.5 block."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(12)
+    cases = []
+    for i in range(2000):
+        den = rng.randint(1, 10**12)
+        num = rng.randint(-den * 9 * 10**5, den * 9 * 10**5)
+        cases.append((i, num, den))
+    for i in range(50):  # num/den = k − 1/2 exactly, both signs
+        den = 2 * rng.randint(1, 10**9)
+        k = rng.randint(1, 10**6)
+        num = (2 * k - 1) * (den // 2) * (1 if i % 2 else -1)
+        cases.append((2000 + i, num, den))
+
+    def ref(num: int, den: int) -> int:
+        s = -1 if num < 0 else 1
+        return s * ((2 * abs(num) + den) // (2 * den))
+
+    want = {i: ref(n, d) for i, n, d in cases}
+
+    from decimal import Decimal
+
+    sdf = spark.createDataFrame(
+        [(i, Decimal(n), Decimal(d)) for i, n, d in cases],
+        "i long, num decimal(38,0), den decimal(38,0)",
+    )
+    got_spark = {
+        r["i"]: r["v"]
+        for r in sdf.selectExpr(
+            "i", e9_div_expr("num", 1, "den", "fuzz") + " AS v"
+        ).collect()
+    }
+    assert got_spark == want
+
+    pdf = pd.DataFrame(cases, columns=["i", "num", "den"])
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = dict(
+        con.execute(
+            f"SELECT i, {oracle.e9_div_sql('num::HUGEINT', 1, 'den::HUGEINT')} FROM t"
+        ).fetchall()
+    )
+    assert {i: int(v) for i, v in got_duck.items()} == want
+
+
 def test_null_numerator_names_both_causes(spark):
     # a genuinely NULL input must not be misdiagnosed as a grid-scaling
     # problem — the message names NULL input AND overflow (they are
