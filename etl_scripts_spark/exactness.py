@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# canonical home of the engine-shared integer laws: exact_math.py
+# (dependency-free, so oracle.py's pure-SQL-builder module imports the
+# SAME copy without dragging pyspark in transitively); re-exported here
+# for the Spark-side callers.
+from .exact_math import E9_ENVELOPE, cov_scale  # noqa: F401  (re-export)
+
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
@@ -35,27 +41,6 @@ def require_integral_columns(df: DataFrame, cols: list[str], who: str) -> None:
 
 
 # --- exact 9-dp ratio rounding (the float-tie fix) --------------------------
-
-#: 2^53: the largest integer magnitude a double represents exactly.  The
-#: e9 envelope is bounded here (not at a round 9e15) so the final
-#: cast-to-double of the e9 BIGINT is an EXACT conversion in every
-#: regime — including when the envelope product itself overflows
-#: DECIMAL(38,0) (den ≥ 10^38/2^53 ≈ 1.11e22), where the quotient
-#: provably stays < 2^53 because the numerator is bounded by 10^38.
-E9_ENVELOPE = 1 << 53
-
-
-def cov_scale(grid: int) -> tuple[int, int]:
-    """(mult, den_scale) for the exact-e9 covariance rounding: folds
-    gcd(10⁹, grid²) so the default grid (10⁶) needs NO numerator growth.
-
-    THE one copy of the fold — similarity.embedding_covariance (Spark)
-    and oracle.embedding_covariance_sql (DuckDB) both import it, so the
-    two engines cannot silently disagree on the cov rounding grid."""
-    import math as _math
-
-    _gcd = _math.gcd(10**9, grid * grid)
-    return 10**9 // _gcd, (grid * grid) // _gcd
 
 
 def e9_div_expr(
@@ -105,13 +90,27 @@ def e9_div_expr(
         f"'{label}: |value| exceeds the exact 9-dp envelope (2^53/1e9); lower grid or center the input') AS DECIMAL(38,0)) "
         f"ELSE {a} END"
     )
-    q = f"({g} div ({den_sql}))"
-    r = f"({g} - {q} * ({den_sql}))"
-    e9 = f"({q} + (CASE WHEN {r} >= ({den_sql}) - {r} THEN 1 ELSE 0 END))"
+    # let-bindings via single-element transform() lambdas: the guarded g
+    # CASE would otherwise re-inline COMBINATORIALLY (q uses g, r uses g
+    # and q, e9 uses q and r twice, the final guard uses e9 twice — ~10
+    # textual copies of g, ~9 KB of SQL and 31 raise_errors per call
+    # site, all multiplied per output column).  Binding g/q/e9 once
+    # keeps the expression linear (~1.5 KB, 4 raise_errors); the HOF
+    # lambdas cost interpreted evaluation, which is irrelevant here —
+    # every e9 site projects a post-aggregate output of at most
+    # dims²/rule-count rows.
+    e9 = (
+        f"element_at(transform(array({g}), _e9g -> "
+        f"element_at(transform(array(_e9g div ({den_sql})), _e9q -> "
+        f"_e9q + (CASE WHEN (_e9g - _e9q * ({den_sql})) >= "
+        f"({den_sql}) - (_e9g - _e9q * ({den_sql})) THEN 1 ELSE 0 END)"
+        f"), 1)), 1)"
+    )
     guarded = (
-        f"CASE WHEN {e9} IS NULL THEN CAST(raise_error("
+        f"element_at(transform(array({e9}), _e9v -> "
+        f"CASE WHEN _e9v IS NULL THEN CAST(raise_error("
         f"'{label}: exact-e9 arithmetic overflowed DECIMAL(38,0); lower grid') AS BIGINT) "
-        f"ELSE {e9} END"
+        f"ELSE _e9v END), 1)"
     )
     if signed:
         return f"(CAST(CASE WHEN ({num_sql}) < 0 THEN -1 ELSE 1 END AS BIGINT) * {guarded})"

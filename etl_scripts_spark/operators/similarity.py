@@ -779,10 +779,12 @@ def embedding_covariance(
     binary double, just below .5) rounded down while DuckDB
     (multiply-based) rounded away, found by the r11 sf0.1 sweep.
     Worst case fits: |x|·grid ≤ 2^62 is guarded in-plan (raise_error),
-    |Σxᵢ|·2·10⁹ at 1e9 rows stays < 10³⁸, and n·ΣQ at 1e9 rows × grid
-    1e6 stays ~1e30; |mean| and |cov| are additionally guarded ≤ 9·10⁶
-    (the div result must fit BIGINT exactly — beyond that the operator
-    raises instead of wrapping).
+    |Σxᵢ|·10⁹ at 1e9 rows stays < 10³⁸ (the r12 remainder-form law
+    never doubles the numerator — see exactness.e9_div_expr), and n·ΣQ
+    at 1e9 rows × grid 1e6 stays ~1e30; |mean| and |cov| are
+    additionally guarded ≤ 2^53/10⁹ ≈ 9.007·10⁶ (exactness.E9_ENVELOPE:
+    the e9 BIGINT must cast to double EXACTLY — beyond that the
+    operator raises instead of wrapping or rounding).
 
     Plan: stage the snapped vector once, explode the upper-triangle
     (i, j, xᵢ·xⱼ) per row (d(d+1)/2 local fan-out — bounded by max_dim,

@@ -1032,11 +1032,12 @@ def embedding_covariance_sql(
     via BigDecimal on the binary double — they disagree on every such
     tie; the sf0.1 testdata's n·grid = 2·10¹² made every mean one).
     Upper triangle i ≤ j, 1-based dims."""
-    # the gcd fold is THE shared copy (exactness.cov_scale) — similarity
-    # imports the same function, so the two engines cannot silently
-    # disagree on the cov rounding grid.  Imported lazily to keep this
-    # module's import-free header contract (pure SQL string builders).
-    from .exactness import cov_scale
+    # the gcd fold is THE shared copy (exact_math.cov_scale — a
+    # dependency-free module, so this import keeps the pure-SQL-builder
+    # contract: no pyspark reaches this module even transitively);
+    # similarity.py imports the same function, so the two engines cannot
+    # silently disagree on the cov rounding grid.
+    from .exact_math import cov_scale
 
     cov_mult, cov_den = cov_scale(grid)
     return f"""

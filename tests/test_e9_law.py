@@ -31,6 +31,34 @@ def test_cov_scale_is_the_single_shared_copy():
     assert cov_scale(10**6) == (1, 1000)
 
 
+def test_oracle_module_is_pyspark_free():
+    """oracle.py's contract is pure DuckDB SQL string building; the
+    shared fold must come from the dependency-free exact_math module,
+    not exactness (which imports pyspark) — pinned by importing oracle
+    and building the covariance twin in a subprocess where pyspark is
+    blocked at the meta-path."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "class B:\n"
+        "    def find_module(self, name, path=None):\n"
+        "        if name == 'pyspark' or name.startswith('pyspark.'):\n"
+        "            return self\n"
+        "    def load_module(self, name):\n"
+        "        raise ImportError('pyspark blocked')\n"
+        "sys.meta_path.insert(0, B())\n"
+        "from etl_scripts_spark import oracle\n"
+        "assert 'WITH src' in oracle.embedding_covariance_sql('SELECT 1')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd="/root/repo",
+        capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr[-500:]
+
+
 def test_envelope_is_two_to_the_53():
     # 2^53 = the largest integer a double holds exactly; a round 9e15
     # bound leaves a regime where the claim is only "both engines round

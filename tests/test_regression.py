@@ -145,9 +145,10 @@ def test_driver_fixture_is_nowhere_near_a_ten_digit_tie():
               FROM ({entrymod.GROUPED_OLS_FIXTURE_SQL})
             )
             SELECT g, count(*) FILTER (x IS NOT NULL AND y IS NOT NULL) AS n,
-                   (sum(x))::HUGEINT AS sx,
+                   (sum(x) FILTER (y IS NOT NULL))::HUGEINT AS sx,
                    (sum(y) FILTER (x IS NOT NULL))::HUGEINT AS sy,
-                   (sum(x::HUGEINT * y)) AS sxy, (sum(x::HUGEINT * x)) AS sxx,
+                   (sum(x::HUGEINT * y)) AS sxy,
+                   (sum(x::HUGEINT * x) FILTER (y IS NOT NULL)) AS sxx,
                    (sum(y::HUGEINT * y) FILTER (x IS NOT NULL)) AS syy
             FROM src GROUP BY g
             """
