@@ -5,7 +5,12 @@ or power-law key (event_type, language, file extension — all common in this
 workload) still funnels each hot key through ONE reducer.  The classic fix:
 salt the key, pre-aggregate per (key, salt), then combine per key.  Phase 1
 spreads a hot key over `n_salts` reducers; phase 2 processes `n_salts` rows
-per key — negligible.
+per key — negligible.  Caveat: the deterministic salt is
+spark_partition_id() % n_salts, so a hot key confined to a SINGLE input
+partition gets one salt — but that case is exactly where map-side partial
+aggregation already collapses the key to one partial row per partition, so
+the reducer still receives O(partitions-holding-the-key) rows, not the raw
+row count; the shuffle stays bounded either way.
 
 Spark's map-side partial aggregation already does this implicitly for
 algebraic aggregates when upstream partitions are well-mixed; explicit

@@ -40,15 +40,26 @@ def test_oracle_module_is_pyspark_free():
     import subprocess
     import sys
 
+    # find_spec, not the legacy find_module/load_module pair: the import
+    # system's fallback to the legacy protocol was removed in Python 3.12,
+    # where a find_module-only finder is silently skipped and this pin
+    # would pass vacuously (r12 ADVICE).  The blocker is itself exercised
+    # first — if `import pyspark` succeeds, the guard is dead and the
+    # subprocess fails loudly before touching oracle.
     code = (
         "import sys\n"
         "class B:\n"
-        "    def find_module(self, name, path=None):\n"
+        "    def find_spec(self, name, path=None, target=None):\n"
         "        if name == 'pyspark' or name.startswith('pyspark.'):\n"
-        "            return self\n"
-        "    def load_module(self, name):\n"
-        "        raise ImportError('pyspark blocked')\n"
+        "            raise ModuleNotFoundError('pyspark blocked')\n"
+        "        return None\n"
         "sys.meta_path.insert(0, B())\n"
+        "try:\n"
+        "    import pyspark\n"
+        "except ModuleNotFoundError:\n"
+        "    pass\n"
+        "else:\n"
+        "    raise AssertionError('meta-path blocker is not blocking')\n"
         "from etl_scripts_spark import oracle\n"
         "assert 'WITH src' in oracle.embedding_covariance_sql('SELECT 1')\n"
     )
