@@ -6875,23 +6875,17 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Pre-staged registrations (r11+).  NOT exposed through queries()/
-# oracle_sql() yet — registrations are capped per round to keep the driver's
-# 50-slot rotation window cycling, so the banked backlog drains on a
-# schedule.  Every entry here is fully written (query + oracle), verified
-# against its oracle at sf0.001/sf0.01 by tests/test_staged_r10.py with the
-# driver's own strictness, so a future round's flip is pure plumbing:
-# change @_stage to @_register, add the name to _CHANGED_THIS_ROUND and
-# bench.HEADLINE, flip the COVERAGE row, refresh its BENCH_FLOORS entry.
-# r10 flipped the pinned seven (image_ahash, signature_dup_clusters,
-# mjpeg_video_stats, resample_ffill, weighted_bernoulli, batch_retrieval,
-# link_records), the two scratch-root shapes (stream_mv_drain,
-# vacuum_report), and EIGHT TPC-H completion-wave queries (q06/q12/q14
-# early, then q04/q10/q13/q15/q19 into the window's 5 spare slots —
-# 17 new + the 33-query r6-stale cohort = exactly the 50-slot budget).
-# Those seventeen now live in the registered sections above.  The rest
-# drain the r11+ queue (derived-partsupp TPC-H q02/q09/q11/q20 + q08
-# first, then the banked families).
+# Staging machinery (r10–r13).  Registrations were capped per round to keep
+# the driver's 50-slot rotation window cycling, so the banked backlog
+# drained on a schedule: r10 flipped 17, r11 ten, r12 ten, and r13 the
+# final 12-query heavy tail — the staged backlog is now EMPTY (pinned by
+# tests/test_staged_r10.py::test_staged_backlog_is_drained).  The _stage
+# decorator and the staged_queries()/staged_oracle_sql() accessors stay:
+# they are the documented on-ramp if a future round banks a new family
+# (flip checklist in COVERAGE.md — @_stage → @_register, add the name to
+# _CHANGED_THIS_ROUND and bench.HEADLINE, flip the COVERAGE row, refresh
+# its BENCH_FLOORS entry, move any plan-allowlist declaration from
+# test_staged_r10 to test_plans).
 # ---------------------------------------------------------------------------
 
 _STAGED: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -7405,16 +7399,19 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Operator-family backlog (banked shapes): each family's pinned parity
-# fixture, lifted verbatim from its unit test onto the driver contract.
-# MIXED decorators below — five flipped @_register in r11 (hll_distinct,
+# Operator-family queries (formerly the banked backlog): each family's
+# pinned parity fixture, lifted verbatim from its unit test onto the
+# driver contract.  Registered in waves — five in r11 (hll_distinct,
 # exact_percentiles, pivot_table, table_fingerprint, phrase_search), ten
-# more in r12 (key_skew_report, mad_outliers, stratified_sample,
+# in r12 (key_skew_report, mad_outliers, stratified_sample,
 # rolling_zscore, hopping_rollup, segment_sentences, profile_columns,
-# hashed_embedding, gif_pixel_stats, tiff_pixel_stats); the
-# remaining @_stage entries are the r13 heavy tail.  Count the backlog with
-# staged_queries(), never by section (COVERAGE.md keeps the list).
-# Scale rationale lives in the operator docstrings + COVERAGE.md.
+# hashed_embedding, gif_pixel_stats, tiff_pixel_stats), and the final
+# 12-query heavy tail in r13 (hll_join_estimate, attribution,
+# setsim_pairs, incremental_setsim_feed, contamination_report,
+# embedding_covariance, bfs_distances, k_core, plan_compaction,
+# stream_rolling_zscore, stream_hll, g711_audio_stats) — the staged
+# backlog is drained.  Scale rationale lives in the operator docstrings
+# + COVERAGE.md.
 # ---------------------------------------------------------------------------
 
 
@@ -7513,7 +7510,7 @@ def q_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_fingerprint(docs, cols=["doc_id", "lang", "even"], by=["source"])
 
 
-@_stage(
+@_register(
     "q_hll_join_estimate",
     oracle.hll_join_estimate_sql(
         "SELECT source, lang AS v FROM documents WHERE doc_id % 3 <> 0",
@@ -7632,7 +7629,7 @@ def q_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hopping_rollup(ev, 3600, 900, key_col="event_type", value_col="value")
 
 
-@_stage(
+@_register(
     "q_attribution",
     "SELECT * EXCLUDE (is_first, is_last), is_first::INT AS is_first, "
     "is_last::INT AS is_last FROM ("
@@ -7706,7 +7703,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_search(docs, phrases)
 
 
-@_stage(
+@_register(
     "q_setsim_pairs",
     oracle.setsim_pairs_sql("SELECT doc_id, text FROM documents", 5, 10),
 )
@@ -7725,7 +7722,7 @@ def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage(
+@_register(
     "q_incremental_setsim_feed",
     "SELECT * EXCLUDE (is_dup), is_dup::INT AS is_dup FROM ("
     + oracle.incremental_setsim_sql(
@@ -7753,7 +7750,7 @@ def q_incremental_setsim_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage(
+@_register(
     "q_contamination_report",
     oracle.contamination_report_sql(
         "SELECT * FROM documents WHERE doc_id % 17 <> 0",
@@ -7799,7 +7796,7 @@ def q_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_stage(
+@_register(
     "q_embedding_covariance",
     oracle.embedding_covariance_sql("SELECT embedding FROM embeddings"),
 )
@@ -7836,7 +7833,7 @@ SELECT src, dst FROM (
 """
 
 
-@_stage(
+@_register(
     "q_bfs_distances",
     oracle.bfs_distances_sql(_BFS_EDGES_SQL, "SELECT unnest([0, 1]) AS node", 4),
 )
@@ -7861,7 +7858,7 @@ def q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_distances(edges, seeds, max_hops=4)
 
 
-@_stage(
+@_register(
     "q_k_core",
     oracle.k_core_sql(_KCORE_EDGES_SQL, k=4, rounds=12),
 )
@@ -7892,7 +7889,7 @@ def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stateless member of the audio family and carries the driver check).
 
 
-@_stage(
+@_register(
     "q_g711_audio_stats",
     # µ-law expansion replayed in SQL (verified against the table for all
     # 256 bytes): u' = 255−u; t = (((u'&15)<<3)+132) << ((u'&112)>>4);
@@ -8001,7 +7998,7 @@ def q_tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_pixel_stats(multimodal.with_tiff_payload(docs))
 
 
-@_stage(
+@_register(
     "q_plan_compaction",
     oracle.plan_compaction_sql(
         "(SELECT 'f' || o_orderkey::VARCHAR AS path,"
@@ -8041,7 +8038,7 @@ def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_columns(docs, k=16)
 
 
-@_stage(
+@_register(
     "q_stream_rolling_zscore",
     "SELECT * EXCLUDE (is_anomaly), is_anomaly::INT AS is_anomaly FROM ("
     + oracle.rolling_zscore_sql(
@@ -8073,7 +8070,7 @@ def q_stream_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("is_anomaly", F.col("is_anomaly").cast("int"))
 
 
-@_stage(
+@_register(
     "q_stream_hll",
     # the register-table half of the HLL law at p=10 (m=1024), from the
     # ONE shared helper hll_distinct_sql itself builds on — the
@@ -8265,25 +8262,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # fresh-green), so every query gets a driver check at least every ~3 rounds
 # — a regression in a long-green query can hide for at most that long.
 
-#: New in round 12 (never driver-green yet) → head of the rotation: the
-#: pinned ten cheapest banked shapes by sf0.01 sweep wall.  Budget check
-#: (the cap exists to protect the 50-slot window): after the r11 run the
-#: staleness histogram is r7×10/r8×50/r9×50/r10×50/r11×50 (recomputed
-#: with _last_green_round() before this flip), so these 10 flips + the
-#: 10-query displaced r7 cohort + 30 of the r8×50 cohort fill the 50
-#: slots and the rotation floor advances to r8 (20 r8 queries remain for
-#: r13).  Everything else rides the least-recently-green order.
+#: New in round 13 (never driver-green yet) → head of the rotation: the
+#: 12-query staged heavy tail — the backlog fully drains.  Budget check
+#: (the cap exists to protect the 50-slot window): after the r12 run the
+#: staleness histogram is r8×20/r9×50/r10×50/r11×50/r12×50 (recomputed
+#: with _last_green_round() before this flip), so these 12 flips + the
+#: 20-query r8 cohort + 18 of the r9×50 cohort fill the 50 slots and
+#: the rotation floor advances to r9 (32 r9 queries remain for r14).
+#: Everything else rides the least-recently-green order.
 _CHANGED_THIS_ROUND = (
-    "q_key_skew_report",
-    "q_mad_outliers",
-    "q_stratified_sample",
-    "q_rolling_zscore",
-    "q_hopping_rollup",
-    "q_segment_sentences",
-    "q_profile_columns",
-    "q_hashed_embedding",
-    "q_gif_pixel_stats",
-    "q_tiff_pixel_stats",
+    "q_hll_join_estimate",
+    "q_attribution",
+    "q_setsim_pairs",
+    "q_incremental_setsim_feed",
+    "q_contamination_report",
+    "q_embedding_covariance",
+    "q_bfs_distances",
+    "q_k_core",
+    "q_plan_compaction",
+    "q_stream_rolling_zscore",
+    "q_stream_hll",
+    "q_g711_audio_stats",
 )
 
 

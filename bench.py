@@ -193,6 +193,26 @@ HEADLINE = [
     "q_hashed_embedding",
     "q_gif_pixel_stats",
     "q_tiff_pixel_stats",
+    # round-13 additions: the staged heavy tail drains — HLL join-size
+    # estimation, multi-touch attribution, exact set-similarity join
+    # (AllPairs; at sf0.1 the ~8.9M-pair result is counted, never
+    # collected — bench times df.count(), the decided rows-only form),
+    # incremental batch-vs-corpus dedup, benchmark decontamination,
+    # exact embedding covariance, multi-source BFS, k-core peel,
+    # compaction bin-packing, the two AvailableNow stateful streaming
+    # twins (rolling z-score, HLL registers), and G.711 µ-law decode
+    "q_hll_join_estimate",
+    "q_attribution",
+    "q_setsim_pairs",
+    "q_incremental_setsim_feed",
+    "q_contamination_report",
+    "q_embedding_covariance",
+    "q_bfs_distances",
+    "q_k_core",
+    "q_plan_compaction",
+    "q_stream_rolling_zscore",
+    "q_stream_hll",
+    "q_g711_audio_stats",
 ]
 
 

@@ -49,6 +49,9 @@ ARROW_STAGES = {
     # stages, pixels never leave the batch
     "q_gif_pixel_stats",
     "q_tiff_pixel_stats",
+    # r13 flip: real G.711 µ-law expansion (stateless per-byte table
+    # lookup, np.take inside the Arrow stage) — map-only, zero shuffles
+    "q_g711_audio_stats",
 }
 
 #: brute-force ANN baseline + 1-row-build-side batch marks: the only
@@ -129,6 +132,12 @@ STREAMING = {
 EAGER = {
     "q_stream_mv_drain",
     "q_vacuum_report",
+    # r13 flips: AvailableNow stateful drains — the real work executes at
+    # call time (micro-batches through the state store), leaving only a
+    # trivial LogicalRDD scan to audit; the oracle is the contract (the
+    # batch law over the same events), same class as q_stream_mv_drain
+    "q_stream_rolling_zscore",
+    "q_stream_hll",
 }
 
 
