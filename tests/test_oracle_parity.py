@@ -13,6 +13,15 @@ SF = "/root/testdata/sf0.001"
 _QUERIES = entrymod.queries()
 _ORACLES = entrymod.oracle_sql()
 
+#: the only queries whose result is legitimately EMPTY at sf0.001 (both
+#: engines agree — verified by the parity compare itself; the driver
+#: contract accepts empty-on-both-sides).  Everything else must return
+#: rows here: an empty==empty pass is vacuous, and a fixture/predicate
+#: drift that empties a query (e.g. a doc_id modulus filter left with no
+#: survivors, or a derived edge law collapsing) must fail loudly — the
+#: guard the pre-r13 staged harness carried, kept after the drain.
+EMPTY_AT_TEST_SF = {"q_nation_trade", "q_variant_absent"}
+
 
 @pytest.fixture(scope="module")
 def con():
@@ -27,6 +36,11 @@ def test_oracle_parity(spark, con, name):
     oracle_pdf = con.execute(_ORACLES[name]).fetchdf()
     problems = compare(spark_pdf, oracle_pdf)
     assert not problems, f"{name}: " + "; ".join(problems)
+    if name not in EMPTY_AT_TEST_SF:
+        assert len(oracle_pdf) > 0, (
+            f"{name} returned no rows at sf0.001 — vacuous parity; if the "
+            "emptiness is intended, add the name to EMPTY_AT_TEST_SF"
+        )
 
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
