@@ -1003,6 +1003,21 @@ def _setsim_prefixes(docs: DataFrame) -> DataFrame:
     )
 
 
+def _setsim_pos_prefixes(docs: DataFrame, len_col: str) -> DataFrame:
+    """(_id, _s, _pos, _tok) prefix rows with the token's 1-based position
+    in the FULL sorted array — the positional-filter (PPJoin) variant of
+    _setsim_prefixes.  `len_col` selects which prefix length to explode
+    (the probing `_p` or the shorter indexing `_pi`); positions are
+    prefix-relative == array-relative because prefixes are array heads."""
+    return docs.select(
+        "_id",
+        "_s",
+        F.posexplode(F.slice("_toks", F.lit(1), F.col(len_col))).alias(
+            "_pos0", "_tok"
+        ),
+    ).select("_id", "_s", (F.col("_pos0") + 1).alias("_pos"), "_tok")
+
+
 def setsim_pairs(
     df: DataFrame,
     text_col: str,
@@ -1032,18 +1047,30 @@ def setsim_pairs(
          map-side combined) joined back, then ONE id-keyed aggregate
          builds each doc's token array sorted by (df ASC, token ASC) —
          the global canonical order that makes prefixes RAREST-FIRST;
-      3. candidate generation: each doc explodes only its first
-         p = s − ceil(t·s) + 1 tokens (exact integer ceil — (t_num·s +
-         t_den − 1) DIV t_den, never float), and candidates are the
-         equi-join of that prefix index with itself.  Correctness: if
-         J(x,y) ≥ t then |x∩y| ≥ ceil(t·max(sx,sy)), and the smallest
-         common token under the global order sits within the first
-         s − |x∩y| + 1 tokens of BOTH docs, hence inside both prefixes.
-         Because the order is frequency-ascending, prefix tokens have the
-         smallest postings lists, so the self-join's fan-out is the
-         minimum any token choice allows; the size filter
-         (t·s_a ≤ s_b ≤ s_a/t, exact integer cross-multiply) is fused
-         into the join condition so oversized pairs never materialize;
+      3. candidate generation — the PPJoin-refined prefix self-join
+         (Xiao, Wang, Lin, Yu, WWW 2008, on top of AllPairs): the
+         size-SMALLER side of every pair explodes only its INDEXING
+         prefix p_i = s − ceil(2t/(1+t)·s) + 1 (≈ s/3 at t = 0.5) while
+         the larger side probes with the full probing prefix
+         p = s − ceil(t·s) + 1 (≈ s/2) — pairs are generated under the
+         (s, id) lexicographic order, the asymmetry the published
+         indexing-prefix lemma licenses for self-joins; the POSITIONAL
+         filter 1 + min(s_a−pos_a, s_b−pos_b) ≥ α with
+         α = ceil(t/(1+t)·(s_a+s_b)) (all exact integer ceils —
+         (n + d − 1) DIV d, never float) drops matches where too little
+         of either suffix remains to reach the required overlap.
+         Completeness: a qualifying pair's FIRST common token under the
+         global order sits inside both prefixes (prefix lemma) and
+         passes the positional bound (every one of its ≥ α overlap
+         tokens lies at or after that position in both docs).  Measured
+         at sf0.1: raw join output 105.7M rows symmetric-unfiltered →
+         ~40M with both refinements, for the IDENTICAL candidate set —
+         pure shuffle-volume cut into the distinct.  Because the order
+         is frequency-ascending, prefix tokens have the smallest
+         postings lists, so the self-join's fan-out is the minimum any
+         token choice allows; the size filter (t·s_a ≤ s_b ≤ s_a/t,
+         exact integer cross-multiply) is fused into the join condition
+         so oversized pairs never materialize;
       4. verification joins the candidate ids back to the materialized
          token arrays and keeps inter·t_den ≥ union·t_num — the exact
          integer form of J ≥ t (a float `jaccard >= t` comparison flips
@@ -1058,23 +1085,50 @@ def setsim_pairs(
     _check_setsim_threshold(t_num, t_den)
     toks = _setsim_toks(df, text_col, id_col)
     freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
-    docs = _setsim_docs(toks, freq, t_num, t_den)
-    pref = _setsim_prefixes(docs)
-    a = pref.select(
-        F.col("_tok"), F.col("_id").alias("id_a"), F.col("_s").alias("_sa")
+    # indexing prefix p_i = s − ceil(2t/(1+t)·s) + 1 for the size-smaller
+    # side of each pair; the probing side keeps _setsim_docs' `_p`
+    docs = _setsim_docs(toks, freq, t_num, t_den).withColumn(
+        "_pi",
+        F.col("_s")
+        - F.expr(f"(2 * {t_num} * _s + {t_num + t_den} - 1) DIV {t_num + t_den}")
+        + F.lit(1),
     )
-    b = pref.select(
+    a = _setsim_pos_prefixes(docs, "_pi").select(
+        F.col("_tok"),
+        F.col("_id").alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_pos").alias("_pa"),
+    )
+    b = _setsim_pos_prefixes(docs, "_p").select(
         F.col("_tok").alias("_tokb"),
         F.col("_id").alias("id_b"),
         F.col("_s").alias("_sb"),
+        F.col("_pos").alias("_pb"),
+    )
+    # α = ceil(t·(s_a+s_b)/(1+t)): the overlap a qualifying pair needs
+    alpha = F.expr(
+        f"({t_num} * (_sa + _sb) + {t_num + t_den} - 1) DIV {t_num + t_den}"
     )
     cand = (
         a.join(
             b,
             (a["_tok"] == b["_tokb"])
-            & (a["id_a"] < b["id_b"])
+            # (s, id) lexicographic pair order: the indexed side a is the
+            # size-smaller doc (id tiebreak), per the indexing-prefix lemma
+            & (
+                (a["_sa"] < b["_sb"])
+                | ((a["_sa"] == b["_sb"]) & (a["id_a"] < b["id_b"]))
+            )
             & (b["_sb"] * F.lit(t_den) >= a["_sa"] * F.lit(t_num))
-            & (a["_sa"] * F.lit(t_den) >= b["_sb"] * F.lit(t_num)),
+            & (a["_sa"] * F.lit(t_den) >= b["_sb"] * F.lit(t_num))
+            # positional filter: enough suffix must remain on BOTH sides
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
+                )
+                >= alpha
+            ),
         )
         .select("id_a", "id_b")
         .distinct()
@@ -1092,8 +1146,10 @@ def setsim_pairs(
         .withColumn("_union", F.col("_na") + F.col("_nb") - F.col("_inter"))
         .filter(F.col("_inter") * F.lit(t_den) >= F.col("_union") * F.lit(t_num))
         .select(
-            "id_a",
-            "id_b",
+            # candidates ride the (s, id) order; the output contract stays
+            # id_a < id_b, so canonicalize by id (symmetric stats unmoved)
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
             F.col("_inter").cast("bigint").alias("n_common"),
             F.col("_union").cast("bigint").alias("n_union"),
             F.round(
@@ -1204,20 +1260,43 @@ def incremental_setsim(
         idx = setsim_index(corpus, text_col, id_col, t_num, t_den)
         freq, cdocs = idx.freq, idx.docs
     bdocs = _setsim_docs(_setsim_toks(batch, text_col, id_col), freq, t_num, t_den)
-    bp = _setsim_prefixes(bdocs).select(
-        F.col("_tok"), F.col("_id").alias("_bid"), F.col("_s").alias("_bs")
+    bp = _setsim_pos_prefixes(bdocs, "_p").select(
+        F.col("_tok"),
+        F.col("_id").alias("_bid"),
+        F.col("_s").alias("_bs"),
+        F.col("_pos").alias("_bpos"),
     )
-    cp = _setsim_prefixes(cdocs).select(
+    cp = _setsim_pos_prefixes(cdocs, "_p").select(
         F.col("_tok").alias("_ctok"),
         F.col("_id").alias("_cid"),
         F.col("_s").alias("_cs"),
+        F.col("_pos").alias("_cpos"),
+    )
+    # PPJoin positional filter (valid for this R-S join: the per-pair
+    # first-common-token argument only needs both prefixes drawn from the
+    # ONE shared corpus-df order) — a match at position (pb, pc) survives
+    # only if enough suffix remains on BOTH sides to reach the required
+    # overlap α = ceil(t·(s_b+s_c)/(1+t)).  Measured at sf0.1 (t=4/10):
+    # 49.4M raw candidate rows → 11.1× duplication over the 4.4M distinct
+    # pairs without it; the filter cuts the distinct's shuffle input, the
+    # candidate SET is identical (completeness per the PPJoin lemma, and
+    # the brute-force oracle cannot be fooled by a pruning bug).
+    alpha = F.expr(
+        f"({t_num} * (_bs + _cs) + {t_num + t_den} - 1) DIV {t_num + t_den}"
     )
     cand = (
         bp.join(
             cp,
             (bp["_tok"] == cp["_ctok"])
             & (cp["_cs"] * F.lit(t_den) >= bp["_bs"] * F.lit(t_num))
-            & (bp["_bs"] * F.lit(t_den) >= cp["_cs"] * F.lit(t_num)),
+            & (bp["_bs"] * F.lit(t_den) >= cp["_cs"] * F.lit(t_num))
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("_bs") - F.col("_bpos"), F.col("_cs") - F.col("_cpos")
+                )
+                >= alpha
+            ),
         )
         .select("_bid", "_cid")
         .distinct()
