@@ -121,3 +121,96 @@ def test_extra_cannot_forge_absent_base(tmp_path):
     # base=None leaves 'base' off the record — extra must STILL not inject it
     with pytest.raises(ValueError, match="shadow"):
         try_publish_version(str(tmp_path), 1, "d", base=None, extra={"base": 0})
+
+
+# --- r13 adversarial-stress axis: end-to-end crash-replay through a REAL
+# checkpointed stream.  test_crash_replay_is_noop above pins the batch-id
+# watermark at the function level; these two pin the full restart paths a
+# production drain actually takes — (a) a drain killed between files and
+# resumed on the SAME checkpoint, (b) the exact window Structured
+# Streaming's replay semantics exist for: a crash AFTER the CAS publish
+# but BEFORE the checkpoint records the batch, so the restart re-delivers
+# a batch whose effect is already committed. ------------------------------
+
+
+def test_resume_after_mid_drain_crash(spark, tmp_path):
+    """Drain stops after the first two feed files (the 'crash'); the
+    third file lands; a NEW drain call on the SAME checkpoint + root
+    must apply only the missing file — batch ids continue from the
+    checkpoint, versions chain one per file, final equals the batch law
+    over the last snapshot."""
+    tmp = str(tmp_path)
+    snaps = _snapshots(spark)
+    feed_dir = os.path.join(tmp, "feed")
+    for i in (1, 2):
+        snapshot_changes(None if i == 1 else snaps[i - 1], snaps[i], ["k"]) \
+            .coalesce(1).write.parquet(os.path.join(feed_dir, f"f{i}"))
+    glob = os.path.join(feed_dir, "f*")
+    root, ckpt = os.path.join(tmp, "mv"), os.path.join(tmp, "ckpt")
+    out1 = rollup_maintenance_available_now(
+        spark, glob, FEED_SCHEMA, root, ["grp"], ["x"], checkpoint_dir=ckpt
+    )
+    assert _rows(out1) == _rows(rollup_table(snaps[2], ["grp"], ["x"]))
+    # the crash window: the producer lands the next feed file while the
+    # maintenance process is down
+    snapshot_changes(snaps[2], snaps[3], ["k"]).coalesce(1).write.parquet(
+        os.path.join(feed_dir, "f3")
+    )
+    out2 = rollup_maintenance_available_now(
+        spark, glob, FEED_SCHEMA, root, ["grp"], ["x"], checkpoint_dir=ckpt
+    )
+    assert _rows(out2) == _rows(rollup_table(snaps[3], ["grp"], ["x"]))
+    v = latest_committed_version(root)
+    assert v == 3  # one committed version per feed file, no double-apply
+    bids = [version_record(root, i)["batch_id"] for i in range(1, v + 1)]
+    assert bids == sorted(bids) and len(set(bids)) == v
+
+
+def test_crash_between_publish_and_checkpoint_replays_as_noop(spark, tmp_path):
+    """Inject the crash into the exact exactly-once window: the
+    foreachBatch body dies immediately AFTER apply_feed_batch has
+    CAS-published the second batch, so the checkpoint never records it.
+    The restarted stream re-delivers that batch with the SAME id; the
+    manifest watermark must turn the replay into a committed no-op
+    (applied=False), and the drain completes with one version per feed
+    file and the batch-law table."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    tmp = str(tmp_path)
+    snaps = _snapshots(spark)
+    glob = _write_feed_files(spark, tmp, snaps)  # f1, f2, f3
+    root, ckpt = os.path.join(tmp, "mv"), os.path.join(tmp, "ckpt")
+    calls: list[tuple[int, bool]] = []
+    crash_armed = [True]
+
+    def body(batch, batch_id):
+        applied = apply_feed_batch(batch, batch_id, root, ["grp"], ["x"])
+        calls.append((batch_id, applied))
+        if batch_id == 1 and crash_armed[0]:
+            crash_armed[0] = False  # crash exactly once, after the publish
+            raise RuntimeError("injected crash after CAS publish")
+
+    def drain():
+        q = (
+            spark.readStream.schema(FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(glob)
+            .writeStream.foreachBatch(body)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        drain()  # dies mid-stream with batch 1 published but uncheckpointed
+    assert (1, True) in calls  # the publish really happened before the crash
+    drain()  # restart on the same checkpoint
+    assert (1, False) in calls, "replayed batch was not detected as applied"
+    assert _rows(rollup_maintained(spark, root)) == _rows(
+        rollup_table(snaps[3], ["grp"], ["x"])
+    )
+    v = latest_committed_version(root)
+    assert v == 3  # the replayed batch minted no extra version
+    bids = [version_record(root, i)["batch_id"] for i in range(1, v + 1)]
+    assert bids == sorted(bids) and len(set(bids)) == v
