@@ -994,21 +994,13 @@ def _setsim_docs(
     )
 
 
-def _setsim_prefixes(docs: DataFrame) -> DataFrame:
-    """(_id, _s, _tok) prefix-token index rows (rarest-first tokens)."""
-    return docs.select(
-        F.col("_id"),
-        F.col("_s"),
-        F.explode(F.slice("_toks", F.lit(1), F.col("_p"))).alias("_tok"),
-    )
-
-
 def _setsim_pos_prefixes(docs: DataFrame, len_col: str) -> DataFrame:
-    """(_id, _s, _pos, _tok) prefix rows with the token's 1-based position
-    in the FULL sorted array — the positional-filter (PPJoin) variant of
-    _setsim_prefixes.  `len_col` selects which prefix length to explode
-    (the probing `_p` or the shorter indexing `_pi`); positions are
-    prefix-relative == array-relative because prefixes are array heads."""
+    """(_id, _s, _pos, _tok) prefix-token index rows (rarest-first) with
+    the token's 1-based position in the FULL sorted array — the
+    positional-filter (PPJoin) form both setsim consumers explode.
+    `len_col` selects which prefix length to explode (the probing `_p`
+    or the shorter indexing `_pi`); positions are prefix-relative ==
+    array-relative because prefixes are array heads."""
     return docs.select(
         "_id",
         "_s",
@@ -1119,7 +1111,9 @@ def setsim_pairs(
                 (a["_sa"] < b["_sb"])
                 | ((a["_sa"] == b["_sb"]) & (a["id_a"] < b["id_b"]))
             )
-            & (b["_sb"] * F.lit(t_den) >= a["_sa"] * F.lit(t_num))
+            # only the upper size bound remains live: the (s, id) order
+            # already gives s_a ≤ s_b, which with t ≤ 1 subsumes the
+            # symmetric t·s_a ≤ s_b half of the size filter
             & (a["_sa"] * F.lit(t_den) >= b["_sb"] * F.lit(t_num))
             # positional filter: enough suffix must remain on BOTH sides
             & (
