@@ -51,6 +51,34 @@ def test_threshold_boundary_is_integer_exact(spark):
     assert setsim_pairs(df2, "text", "doc_id", t_num=7, t_den=10).count() == 0
 
 
+def test_indexing_prefix_and_positional_boundary(spark):
+    """r13 PPJoin math pinned at its exact edge: two size-6 docs sharing
+    4 tokens (J = 4/8 = 0.5 exactly at t = 5/10), with each doc's 2
+    UNIQUE tokens made rarer (df 1 vs 2) so the global (df ASC, token)
+    order sorts them FIRST — the first common token then sits at
+    position 3 in both docs, which is EXACTLY the indexing prefix
+    p_i = 6 − ceil(2t/(1+t)·6) + 1 = 3 of the indexed side, and the
+    positional bound 1 + min(6−3, 6−3) = 4 lands EXACTLY on
+    α = ceil(t·12/(1+t)) = 4.  An off-by-one in either formula loses
+    this pair.  The sub-threshold variant (3 shared of 6/6, J = 1/3)
+    places every common token past p_i — pruned with no candidate, and
+    correctly absent."""
+    df = _docs(spark, [
+        (1, "aa ab ca cb cc cd"),
+        (2, "ba bb ca cb cc cd"),
+    ])
+    rows = setsim_pairs(df, "text", "doc_id", t_num=5, t_den=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b, r.n_common, r.n_union) == (1, 2, 4, 8)
+    assert r.jaccard == 0.5
+    df2 = _docs(spark, [
+        (1, "aa ab ac ca cb cc"),
+        (2, "ba bb bc ca cb cc"),
+    ])
+    assert setsim_pairs(df2, "text", "doc_id", t_num=5, t_den=10).count() == 0
+
+
 def test_duplicate_words_are_set_semantics(spark):
     # repeated words count once: both docs are the SAME 3-token set
     df = _docs(spark, [
