@@ -964,17 +964,21 @@ def _setsim_toks(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _setsim_docs(
-    toks: DataFrame, freq: DataFrame, t_num: int, t_den: int
+    toks: DataFrame, freq: DataFrame, t_num: int, t_den: int,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(_id, _toks, _s, _p): each doc's token array sorted by the
     GLOBAL (df ASC, token ASC) order given by `freq`, with the exact
     integer prefix length p = s − ceil(t·s) + 1.  Tokens absent from
     `freq` take df = 0 — the rarest end, a consistent total-order
     extension (incremental batches see corpus-unknown tokens).
-    localCheckpointed: candidate generation and verification both
-    consume it, and Spark would otherwise replay the two-shuffle build
-    per use."""
-    return (
+    `checkpoint` materializes the build for multi-consumer plans
+    (setsim_pairs explodes BOTH prefix sides from it; the persisted
+    corpus index reuses it across batches) — single-consumer callers
+    (the incremental BATCH side, which since the r13 fused-verification
+    rewrite is exploded exactly once) pass False and skip the
+    materialization round-trip."""
+    docs = (
         toks.join(freq, "_tok", "left")
         .withColumn("_df", F.coalesce("_df", F.lit(0)))
         .groupBy("_id")
@@ -990,24 +994,53 @@ def _setsim_docs(
             - F.expr(f"({t_num} * _s + {t_den} - 1) DIV {t_den}")
             + F.lit(1),
         )
-        .localCheckpoint(eager=True)
     )
+    return docs.localCheckpoint(eager=True) if checkpoint else docs
 
 
-def _setsim_pos_prefixes(docs: DataFrame, len_col: str) -> DataFrame:
-    """(_id, _s, _pos, _tok) prefix-token index rows (rarest-first) with
-    the token's 1-based position in the FULL sorted array — the
-    positional-filter (PPJoin) form both setsim consumers explode.
-    `len_col` selects which prefix length to explode (the probing `_p`
-    or the shorter indexing `_pi`); positions are prefix-relative ==
-    array-relative because prefixes are array heads."""
+def _setsim_pos_prefixes(
+    docs: DataFrame, len_col: str, with_arr: bool = False
+) -> DataFrame:
+    """(_id, _s, _pos, _tok[, _toks]) prefix-token index rows
+    (rarest-first) with the token's 1-based position in the FULL sorted
+    array — the positional-filter (PPJoin) form both setsim consumers
+    explode.  `len_col` selects which prefix length to explode (the
+    probing `_p` or the shorter indexing `_pi`); positions are
+    prefix-relative == array-relative because prefixes are array heads.
+    `with_arr` carries the doc's full sorted token array on every index
+    row: the fused-verification join computes the exact intersection
+    INSIDE the candidate join (no join-back to the doc table), at the
+    cost of avg_s extra tokens per index row — the right trade whenever
+    candidate volume exceeds index volume, which is the regime a dedup
+    operator exists for (duplicate-heavy corpora)."""
+    cols = ["_id", "_s"] + (["_toks"] if with_arr else [])
     return docs.select(
-        "_id",
-        "_s",
+        *cols,
         F.posexplode(F.slice("_toks", F.lit(1), F.col(len_col))).alias(
             "_pos0", "_tok"
         ),
-    ).select("_id", "_s", (F.col("_pos0") + 1).alias("_pos"), "_tok")
+    ).select(*cols, (F.col("_pos0") + 1).alias("_pos"), "_tok")
+
+
+def _setsim_salts(freq: DataFrame, n_vocab: int | None = None) -> int:
+    """Adaptive salt count for the prefix candidate join (skew guard).
+
+    The candidate equi-join is keyed on prefix TOKENS, so its reduce-side
+    parallelism is bounded by the number of distinct prefix tokens and a
+    hot token's postings all meet in ONE task.  In the 100 TB regime
+    (large Zipfian vocabulary, rarest-first prefixes) there are millions
+    of keys and no help is needed — S stays 1 and the plan is untouched.
+    A small or degenerate vocabulary (|V| below ~8 keys/core) caps the
+    join at |V| tasks: salt it by replicating the SMALLER side S ways
+    (bounded, deterministic — never rand(), see SPARK-38388) and keying
+    the other side by pmod(xxhash64(id), S), restoring ~8 keys per core.
+    freq must be localCheckpointed by the caller so the count() here is
+    a vocabulary-sized lookup, not a corpus re-tokenize."""
+    p = freq.sparkSession.sparkContext.defaultParallelism
+    v = freq.count() if n_vocab is None else n_vocab
+    if v >= 8 * p:
+        return 1
+    return max(1, min(p, -(-8 * p // max(v, 1))))
 
 
 def setsim_pairs(
@@ -1051,32 +1084,244 @@ def setsim_pairs(
          α = ceil(t/(1+t)·(s_a+s_b)) (all exact integer ceils —
          (n + d − 1) DIV d, never float) drops matches where too little
          of either suffix remains to reach the required overlap.
-         Completeness: a qualifying pair's FIRST common token under the
-         global order sits inside both prefixes (prefix lemma) and
-         passes the positional bound (every one of its ≥ α overlap
-         tokens lies at or after that position in both docs).  Measured
-         at sf0.1: raw join output 105.7M rows symmetric-unfiltered →
-         ~40M with both refinements, for the IDENTICAL candidate set —
-         pure shuffle-volume cut into the distinct.  Because the order
-         is frequency-ascending, prefix tokens have the smallest
-         postings lists, so the self-join's fan-out is the minimum any
-         token choice allows; the size filter (t·s_a ≤ s_b ≤ s_a/t,
-         exact integer cross-multiply) is fused into the join condition
-         so oversized pairs never materialize;
-      4. verification joins the candidate ids back to the materialized
-         token arrays and keeps inter·t_den ≥ union·t_num — the exact
-         integer form of J ≥ t (a float `jaccard >= t` comparison flips
-         on IEEE boundaries exactly at the threshold, e.g. 7/10 vs 0.7).
+         Because the order is frequency-ascending, prefix tokens have
+         the smallest postings lists, so the self-join's fan-out is the
+         minimum any token choice allows; the size filter
+         (t·s_a ≤ s_b ≤ s_a/t, exact integer cross-multiply) is fused
+         into the join condition so oversized pairs never materialize.
+         When the prefix vocabulary is too small to parallelize the
+         equi-join (hot tokens — the degenerate-corpus regime), the
+         join is salted adaptively (_setsim_salts): bounded
+         deterministic replication of the indexing side, S == 1 (plan
+         untouched) whenever the vocabulary already gives ≥ 8 keys per
+         core;
+      4. verification — regime-split (r13).  The verification predicate
+         is always inter·t_den ≥ union·t_num, the exact integer form of
+         J ≥ t (a float `jaccard >= t` comparison flips on IEEE
+         boundaries exactly at the threshold, e.g. 7/10 vs 0.7):
 
-    The doc table is localCheckpointed once: stages 3 and 4 both consume
-    it, and Spark would otherwise replay the two-shuffle build per use.
-    Docs whose normalized text has no tokens never pair (Jaccard with an
-    empty set is 0 for any non-empty partner and undefined for two empty
-    ones).  Rows sharing an id merge into one token set (collect_set).
+         * vocabulary ≤ 64 (the DENSE regime — a tiny vocabulary makes
+           nearly every pair a candidate, so candidate volume is
+           Ω(docs²) and per-pair cost must be O(1)): token sets become
+           BIGINT bitmasks over the global rank order (rank =
+           row_number over (df, token) on ≤ 64 rows), the intersection
+           is bit_count(mask_a & mask_b), and a pair is emitted only
+           from its FIRST common token (no common bit below the matched
+           rank) — each qualifying pair survives EXACTLY once, fully
+           verified, inside the candidate join's own pipelined stage:
+           no candidate-dedup exchange, no verify join-backs, no
+           per-row allocation (measured at sf0.1, vocab 31: a 59M-row
+           distinct input and two 10.8M-row joins removed; post-join
+           the plan is shuffle-free and every per-pair op is ALU-only).
+           Completeness of emit-once: the first common token's
+           positions are minimal among common tokens, so it sits
+           inside both prefixes and passes the positional bound
+           whenever ANY common token does.
+         * vocabulary > 64 (the SPARSE regime — prefix postings are
+           short, candidate duplication is low): candidates are
+           deduplicated by (id_a, id_b) and joined back to the
+           checkpointed doc arrays for the array_intersect
+           verification — carrying full token arrays through the join
+           was measured SLOWER here-shaped workloads than the dedup
+           (per-match set allocation × duplication), so the narrow
+           index + join-back shape is kept deliberately.
+
+    The doc table is localCheckpointed once: candidate generation and
+    (in the sparse regime) verification consume it repeatedly, and Spark
+    would otherwise replay the two-shuffle build per use.  Docs whose
+    normalized text has no tokens never pair (Jaccard with an empty set
+    is 0 for any non-empty partner and undefined for two empty ones).
+    Rows sharing an id merge into one token set (collect_set).
     """
     _check_setsim_threshold(t_num, t_den)
     toks = _setsim_toks(df, text_col, id_col)
-    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    # checkpointed so the regime/salt decision's count() is a
+    # vocabulary-sized lookup and the doc build reads the materialized
+    # df table instead of re-aggregating it
+    freq = (
+        toks.groupBy("_tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .localCheckpoint(eager=True)
+    )
+    n_vocab = freq.count()
+    n_salts = _setsim_salts(freq, n_vocab)
+    if n_vocab <= 64:
+        return _setsim_pairs_bitmask(toks, freq, t_num, t_den, n_salts)
+    return _setsim_pairs_general(toks, freq, t_num, t_den, n_salts)
+
+
+def _setsim_pair_cond(a, b, t_num: int, t_den: int, key: str, key_b: str):
+    """The shared candidate-join condition of both setsim_pairs regimes:
+    token/rank equality, the (s, id) lexicographic pair order (the
+    indexed side a is the size-smaller doc, id tiebreak — the
+    indexing-prefix lemma's self-join order), the surviving upper size
+    bound (s_a ≤ s_b from the order subsumes the t·s_a ≤ s_b half), and
+    the PPJoin positional filter 1 + min(s_a−pos_a, s_b−pos_b) ≥ α with
+    α = ceil(t·(s_a+s_b)/(1+t)) — all exact integer ceils."""
+    alpha = F.expr(
+        f"({t_num} * (_sa + _sb) + {t_num + t_den} - 1) DIV {t_num + t_den}"
+    )
+    return (
+        (a[key] == b[key_b])
+        & (
+            (a["_sa"] < b["_sb"])
+            | ((a["_sa"] == b["_sb"]) & (a["id_a"] < b["id_b"]))
+        )
+        & (a["_sa"] * F.lit(t_den) >= b["_sb"] * F.lit(t_num))
+        & (
+            F.lit(1)
+            + F.least(
+                F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
+            )
+            >= alpha
+        )
+    )
+
+
+def _setsim_salted(a, b, cond, n_salts: int, b_id: str):
+    """Apply the small-vocabulary skew guard to a candidate join:
+    replicate the (smaller) indexed side over every salt, key the
+    probing side by its id's hash.  S == 1 returns the join unchanged —
+    the common large-vocabulary case costs nothing."""
+    if n_salts <= 1:
+        return a, b, cond
+    a = a.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    b = b.withColumn(
+        "_salt", F.pmod(F.xxhash64(b_id), F.lit(n_salts)).cast("int")
+    )
+    return a, b, (a["_salt"] == b["_salt"]) & cond
+
+
+def _setsim_pairs_bitmask(
+    toks: DataFrame, freq: DataFrame, t_num: int, t_den: int, n_salts: int
+) -> DataFrame:
+    """Dense-regime setsim_pairs core (|vocab| ≤ 64): token sets as
+    BIGINT bitmasks over the global (df ASC, token ASC) rank order.
+    Candidate volume here is Ω(docs²) — a 31-token vocabulary at sf0.1
+    makes 71% of ALL doc pairs qualify — so per-pair work must be O(1):
+    intersection = bit_count(mask_a & mask_b), and emit-once = "no
+    common bit below the matched rank", both pure ALU ops with zero
+    per-row allocation.  Each qualifying pair is emitted exactly once,
+    fully verified, inside the candidate join's pipelined stage: no
+    candidate-dedup exchange, no verify join-backs (guide §2.4 — the
+    three heavy post-join exchanges of the sparse shape removed
+    outright).  Index rows are 5 fixed-width columns (~40 B)."""
+    from pyspark.sql import Window
+
+    # rank = row_number over (df, token): ≤ 64 rows through one task —
+    # bounded by the regime branch, never a table-sized window
+    ranks = freq.withColumn(
+        "_rank", F.row_number().over(Window.orderBy("_df", "_tok"))
+    )
+    one = F.lit(1).cast("long")
+    docs = (
+        toks.join(F.broadcast(ranks.select("_tok", "_rank")), "_tok")
+        .groupBy("_id")
+        .agg(
+            F.sort_array(F.collect_set("_rank")).alias("_ranks"),
+            F.bit_or(
+                F.call_function("shiftleft", one, F.col("_rank") - F.lit(1))
+            ).alias("_mask"),
+        )
+        .select("_id", "_mask", "_ranks", F.size("_ranks").alias("_s"))
+        .withColumn(
+            "_p",
+            F.col("_s")
+            - F.expr(f"({t_num} * _s + {t_den} - 1) DIV {t_den}")
+            + F.lit(1),
+        )
+        .withColumn(
+            "_pi",
+            F.col("_s")
+            - F.expr(
+                f"(2 * {t_num} * _s + {t_num + t_den} - 1) DIV {t_num + t_den}"
+            )
+            + F.lit(1),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def prefix(len_col: str) -> DataFrame:
+        return docs.select(
+            "_id",
+            "_s",
+            "_mask",
+            F.posexplode(F.slice("_ranks", F.lit(1), F.col(len_col))).alias(
+                "_pos0", "_rank"
+            ),
+        ).select(
+            "_id", "_s", "_mask", (F.col("_pos0") + 1).alias("_pos"), "_rank"
+        )
+
+    a = prefix("_pi").select(
+        F.col("_rank").alias("_rka"),
+        F.col("_id").alias("id_a"),
+        F.col("_s").alias("_sa"),
+        F.col("_pos").alias("_pa"),
+        F.col("_mask").alias("_ma"),
+    )
+    b = prefix("_p").select(
+        F.col("_rank").alias("_rkb"),
+        F.col("_id").alias("id_b"),
+        F.col("_s").alias("_sb"),
+        F.col("_pos").alias("_pb"),
+        F.col("_mask").alias("_mb"),
+    )
+    cond = _setsim_pair_cond(a, b, t_num, t_den, "_rka", "_rkb")
+    a, b, cond = _setsim_salted(a, b, cond, n_salts, "id_b")
+    # bits strictly below the matched rank r: r−1 low bits.  Built with
+    # shiftrightunsigned(−1, 64−(r−1)) — guarded at r == 1 because Java
+    # shifts count mod 64 (a 64-shift would yield ALL bits, not none) —
+    # so no expression here can overflow under ANSI (the naive
+    # shiftleft(1, r−1) − 1 form hits bigint overflow at r == 64).
+    below = F.when(F.col("_rka") == 1, F.lit(0).cast("long")).otherwise(
+        F.call_function(
+            "shiftrightunsigned",
+            F.lit(-1).cast("long"),
+            F.lit(64) - (F.col("_rka") - F.lit(1)),
+        )
+    )
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b", "_sa", "_sb", "_ma", "_mb", "_rka")
+        .withColumn("_common", F.col("_ma").bitwiseAND(F.col("_mb")))
+        # emit-once: this row's rank is the FIRST common token.  For a
+        # qualifying pair the first common token sits inside both
+        # prefixes and passes the positional bound (its positions are
+        # minimal among common tokens, where the bound is weakest), so
+        # completeness is inherited from the prefix lemma and each pair
+        # survives exactly once — no dedup needed.
+        .filter(F.col("_common").bitwiseAND(below) == 0)
+        .withColumn("_inter", F.bit_count("_common").cast("int"))
+        .withColumn("_union", F.col("_sa") + F.col("_sb") - F.col("_inter"))
+        .filter(F.col("_inter") * F.lit(t_den) >= F.col("_union") * F.lit(t_num))
+        .select(
+            # candidates ride the (s, id) order; the output contract stays
+            # id_a < id_b, so canonicalize by id (symmetric stats unmoved)
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            F.col("_inter").cast("bigint").alias("n_common"),
+            F.col("_union").cast("bigint").alias("n_union"),
+            F.round(
+                F.col("_inter").cast("double") / F.col("_union"), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
+def _setsim_pairs_general(
+    toks: DataFrame, freq: DataFrame, t_num: int, t_den: int, n_salts: int
+) -> DataFrame:
+    """Sparse-regime setsim_pairs core (|vocab| > 64): the narrow-index
+    PPJoin shape — candidates deduplicated by (id_a, id_b), then joined
+    back to the checkpointed doc arrays for array_intersect
+    verification.  In this regime prefix postings are short and
+    candidate duplication is low, so the dedup exchange is small;
+    carrying full token arrays on every index row (the dense-regime
+    trick) was measured SLOWER here (per-match hash-set allocation ×
+    duplication beats the saved exchange)."""
     # indexing prefix p_i = s − ceil(2t/(1+t)·s) + 1 for the size-smaller
     # side of each pair; the probing side keeps _setsim_docs' `_p`
     docs = _setsim_docs(toks, freq, t_num, t_den).withColumn(
@@ -1097,36 +1342,9 @@ def setsim_pairs(
         F.col("_s").alias("_sb"),
         F.col("_pos").alias("_pb"),
     )
-    # α = ceil(t·(s_a+s_b)/(1+t)): the overlap a qualifying pair needs
-    alpha = F.expr(
-        f"({t_num} * (_sa + _sb) + {t_num + t_den} - 1) DIV {t_num + t_den}"
-    )
-    cand = (
-        a.join(
-            b,
-            (a["_tok"] == b["_tokb"])
-            # (s, id) lexicographic pair order: the indexed side a is the
-            # size-smaller doc (id tiebreak), per the indexing-prefix lemma
-            & (
-                (a["_sa"] < b["_sb"])
-                | ((a["_sa"] == b["_sb"]) & (a["id_a"] < b["id_b"]))
-            )
-            # only the upper size bound remains live: the (s, id) order
-            # already gives s_a ≤ s_b, which with t ≤ 1 subsumes the
-            # symmetric t·s_a ≤ s_b half of the size filter
-            & (a["_sa"] * F.lit(t_den) >= b["_sb"] * F.lit(t_num))
-            # positional filter: enough suffix must remain on BOTH sides
-            & (
-                F.lit(1)
-                + F.least(
-                    F.col("_sa") - F.col("_pa"), F.col("_sb") - F.col("_pb")
-                )
-                >= alpha
-            ),
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cond = _setsim_pair_cond(a, b, t_num, t_den, "_tok", "_tokb")
+    a, b, cond = _setsim_salted(a, b, cond, n_salts, "id_b")
+    cand = a.join(b, cond).select("id_a", "id_b").distinct()
     da = docs.select(
         F.col("_id").alias("id_a"), F.col("_toks").alias("_ta"), F.col("_s").alias("_na")
     )
@@ -1219,15 +1437,15 @@ def incremental_setsim(
     rows per doc) plus the sorted token arrays for verified candidates;
     the candidate join is batch-prefixes × corpus-prefixes on token with
     the exact integer size filter fused in — O(batch + collisions),
-    never O(batch × corpus).  Verification and best-match selection run
-    on candidates only; the best-match window orders by the IEEE double
-    inter/union (identical in every engine for the same exact integers)
-    with the corpus-id tiebreak.  Batch docs with no tokens come back
-    clean (no token set ⇒ no Jaccard partner).
+    never O(batch × corpus).  Verification is fused into the candidate
+    stage (emit-once at the first common token, r13), and best-match
+    selection is one map-side-combinable aggregate whose min-struct law
+    ≡ ordering by the IEEE double inter/union DESC (identical in every
+    engine for the same exact integers) with the corpus-id ASC tiebreak.
+    Batch docs with no tokens come back clean (no token set ⇒ no
+    Jaccard partner).
     """
     _check_setsim_threshold(t_num, t_den)
-    from pyspark.sql import Window
-
     if index is not None:
         if corpus is not None:
             # ambiguous call: silently preferring the index would dedup
@@ -1253,70 +1471,90 @@ def incremental_setsim(
             raise ValueError("incremental_setsim: pass either corpus or index")
         idx = setsim_index(corpus, text_col, id_col, t_num, t_den)
         freq, cdocs = idx.freq, idx.docs
-    bdocs = _setsim_docs(_setsim_toks(batch, text_col, id_col), freq, t_num, t_den)
-    bp = _setsim_pos_prefixes(bdocs, "_p").select(
+    n_salts = _setsim_salts(freq)
+    # batch docs are exploded exactly once below (arrays ride the index
+    # rows), so the materialization round-trip is skipped
+    bdocs = _setsim_docs(
+        _setsim_toks(batch, text_col, id_col), freq, t_num, t_den,
+        checkpoint=False,
+    )
+    bp = _setsim_pos_prefixes(bdocs, "_p", with_arr=True).select(
         F.col("_tok"),
         F.col("_id").alias("_bid"),
         F.col("_s").alias("_bs"),
         F.col("_pos").alias("_bpos"),
+        F.col("_toks").alias("_bt"),
     )
-    cp = _setsim_pos_prefixes(cdocs, "_p").select(
+    cp = _setsim_pos_prefixes(cdocs, "_p", with_arr=True).select(
         F.col("_tok").alias("_ctok"),
         F.col("_id").alias("_cid"),
         F.col("_s").alias("_cs"),
         F.col("_pos").alias("_cpos"),
+        F.col("_toks").alias("_ct"),
     )
     # PPJoin positional filter (valid for this R-S join: the per-pair
     # first-common-token argument only needs both prefixes drawn from the
     # ONE shared corpus-df order) — a match at position (pb, pc) survives
     # only if enough suffix remains on BOTH sides to reach the required
-    # overlap α = ceil(t·(s_b+s_c)/(1+t)).  Measured at sf0.1 (t=4/10):
-    # 49.4M raw candidate rows → 11.1× duplication over the 4.4M distinct
-    # pairs without it; the filter cuts the distinct's shuffle input, the
-    # candidate SET is identical (completeness per the PPJoin lemma, and
-    # the brute-force oracle cannot be fooled by a pruning bug).
+    # overlap α = ceil(t·(s_b+s_c)/(1+t)).
     alpha = F.expr(
         f"({t_num} * (_bs + _cs) + {t_num + t_den} - 1) DIV {t_num + t_den}"
     )
-    cand = (
-        bp.join(
-            cp,
-            (bp["_tok"] == cp["_ctok"])
-            & (cp["_cs"] * F.lit(t_den) >= bp["_bs"] * F.lit(t_num))
-            & (bp["_bs"] * F.lit(t_den) >= cp["_cs"] * F.lit(t_num))
-            & (
-                F.lit(1)
-                + F.least(
-                    F.col("_bs") - F.col("_bpos"), F.col("_cs") - F.col("_cpos")
-                )
-                >= alpha
-            ),
+    cond = (
+        (bp["_tok"] == cp["_ctok"])
+        & (cp["_cs"] * F.lit(t_den) >= bp["_bs"] * F.lit(t_num))
+        & (bp["_bs"] * F.lit(t_den) >= cp["_cs"] * F.lit(t_num))
+        & (
+            F.lit(1)
+            + F.least(
+                F.col("_bs") - F.col("_bpos"), F.col("_cs") - F.col("_cpos")
+            )
+            >= alpha
         )
-        .select("_bid", "_cid")
-        .distinct()
     )
-    bv = bdocs.select(
-        F.col("_id").alias("_bid"), F.col("_toks").alias("_bt"), F.col("_s").alias("_nb")
-    )
-    cv = cdocs.select(
-        F.col("_id").alias("_cid"), F.col("_toks").alias("_ct"), F.col("_s").alias("_nc")
-    )
+    if n_salts > 1:
+        # small-vocabulary skew guard (shared law with setsim_pairs):
+        # replicate the batch side (the smaller one), key the corpus
+        # side by its id's hash
+        bp = bp.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        cp = cp.withColumn(
+            "_salt", F.pmod(F.xxhash64("_cid"), F.lit(n_salts)).cast("int")
+        )
+        cond = (bp["_salt"] == cp["_salt"]) & cond
+    # Fused emit-once verification (r13, same law as setsim_pairs): the
+    # exact intersection is computed on the join output in the same
+    # pipelined stage and a (batch, corpus) pair survives only at its
+    # FIRST common token under the shared corpus-df order — exactly once
+    # per pair, so the old candidate `.distinct()` (49.4M rows at sf0.1)
+    # and both verify join-backs disappear; best-match selection becomes
+    # ONE map-side-combinable aggregate instead of a window over a
+    # distinct (min over (−jaccard, corpus_id) structs ≡ the (jaccard
+    # DESC, corpus_id ASC) row_number law — IEEE negation is exact).
     verified = (
-        cand.join(bv, "_bid")
-        .join(cv, "_cid")
-        .withColumn("_inter", F.size(F.array_intersect("_bt", "_ct")))
-        .withColumn("_union", F.col("_nb") + F.col("_nc") - F.col("_inter"))
+        bp.join(cp, cond)
+        .select("_bid", "_cid", "_bs", "_cs", "_bt", "_ct", "_tok")
+        .withColumn("_int", F.array_intersect("_bt", "_ct"))
+        .filter(F.get("_int", 0) == F.col("_tok"))
+        .withColumn("_inter", F.size("_int"))
+        .withColumn("_union", F.col("_bs") + F.col("_cs") - F.col("_inter"))
         .filter(F.col("_inter") * F.lit(t_den) >= F.col("_union") * F.lit(t_num))
         .withColumn("_jac", F.col("_inter").cast("double") / F.col("_union"))
     )
-    w = Window.partitionBy("_bid").orderBy(F.desc("_jac"), F.asc("_cid"))
     best = (
-        verified.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
+        verified.groupBy("_bid")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_jac")).alias("_nj"), F.col("_cid").alias("_id")
+                )
+            ).alias("_m")
+        )
         .select(
             "_bid",
-            F.round("_jac", 4).alias("best_jaccard"),
-            F.col("_cid").alias("best_match_id"),
+            F.round(-F.col("_m._nj"), 4).alias("best_jaccard"),
+            F.col("_m._id").alias("best_match_id"),
         )
     )
     # the final report join is null-UNSAFE by design, so a NULL batch id
