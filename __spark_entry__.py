@@ -6308,7 +6308,7 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_scripts_spark.operators import sketch
 
     m, k = 1 << 14, 3
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey")
+    li = _tp(spark, sf_dir, "lineitem").select("l_orderkey")
     keys = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderkey") % 13 == 0)
@@ -7180,7 +7180,7 @@ def q_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     workload at corpus scale."""
     from etl_scripts_spark.operators import corpus
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tp(spark, sf_dir, "documents").select("doc_id", "text")
     queries_df = (
         docs.filter(F.col("doc_id") % 41 == 0)
         .select(
@@ -7809,7 +7809,7 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics pass under standardization and PCA."""
     from etl_scripts_spark.operators.similarity import embedding_covariance
 
-    return embedding_covariance(_t(spark, sf_dir, "embeddings"), "embedding")
+    return embedding_covariance(_tp(spark, sf_dir, "embeddings"), "embedding")
 
 
 #: derived deterministic graph laws for the staged BFS / k-core queries —

@@ -179,15 +179,29 @@ def verified_pairs(
 
     The canonical near-dup pipeline stage between banding and clustering:
     LSH bounds the candidate set (no O(n²)), and the exact verification
-    runs only on candidates.  Shingle sets are materialized once per doc
-    before the two joins, so each text tokenizes once — the joins then
-    carry the (small) distinct-shingle arrays, not re-derived expressions.
+    runs only on candidates.  Shingle sets are computed ONCE, for
+    candidate-TOUCHED docs only (semi-join against the pair endpoints),
+    and pinned before the two joins: Spark plans the a/b join sides
+    independently, so the unpinned form re-ran the full-corpus
+    tokenize+shingle pass once per side — and at 100 TB the sets frame
+    is candidate-bounded (LSH-bounded), never corpus-sized, so both the
+    pin and the two join shuffles scale with the candidate set.
     """
-    staged = docs.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
+    # the candidate pairs are read three times below (both endpoint
+    # projections + the verify join) — pin them, or each read re-runs
+    # the caller's whole candidate-generation subtree
+    pairs = pairs.localCheckpoint(eager=True)
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    touched = docs.join(ids, id_col, "left_semi")
+    staged = touched.select(F.col(id_col), words(F.col(text_col)).alias("_w"))
     sets = staged.select(
         F.col(id_col),
         F.array_distinct(shingles_from_words(F.col("_w"), k)).alias("_sh"),
-    )
+    ).localCheckpoint(eager=True)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
     return (
