@@ -3569,13 +3569,15 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL resize: decode → nearest-neighbor 16x16 → raw bytes, then a
-    byte-sum fingerprint of the resized output for the oracle compare."""
+    """REAL resize: decode → nearest-neighbor 16x16 → byte-sum fingerprint
+    of the resized output for the oracle compare, fused into ONE Arrow
+    stage (multimodal.resize_byte_sum) — the chained two-stage form paid
+    two extra JVM↔Python crossings for pixel blobs whose only consumer is
+    the sum."""
     docs = _tp(spark, sf_dir, "documents")
-    resized = multimodal.resize_image(
+    return multimodal.resize_byte_sum(
         multimodal.with_pixel_image_payload(docs), width=16, height=16
     )
-    return multimodal.resized_byte_sum(resized)
 
 
 @_register(

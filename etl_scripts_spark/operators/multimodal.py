@@ -1179,6 +1179,61 @@ RESIZE_SUM_SCHEMA = T.StructType(
 )
 
 
+def resize_byte_sum(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    width: int = 224,
+    height: int = 224,
+) -> DataFrame:
+    """decode → nearest-neighbor resize → byte-sum fingerprint, FUSED into
+    one Arrow stage.
+
+    Value-identical to ``resized_byte_sum(resize_image(df))`` — same decode
+    dispatch, the same ``src = floor(dst * in/out)`` sampling grid, and the
+    sum is the int64 total of the same uint8 samples (summing the sampled
+    array directly equals summing the serialized bytes; pinned by
+    tests/test_stages.py::test_resize_byte_sum_fused_matches_chained).
+
+    Why fused: the chained form ships every resized pixel blob
+    JVM → Python → JVM → Python — two extra Arrow crossings plus a second
+    per-batch pandas materialization, pure boundary overhead for bytes
+    whose only consumer is a sum (guide-§4 shape: cross the boundary once,
+    pass only what the function needs).  The chained operators stay for
+    callers that need the actual resized payloads.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = {"doc_id": [], "channels": [], "res_sum": []}
+            for did, b in zip(pdf[id_col], pdf[bin_col]):
+                _fmt, img = decode_image_pixels(bytes(b) if b is not None else b"")
+                out["doc_id"].append(int(did))
+                if img is None:
+                    out["channels"].append(None)
+                    out["res_sum"].append(None)
+                    continue
+                h, w, ch = img.shape
+                xs = (np.arange(width) * w) // width
+                ys = (np.arange(height) * h) // height
+                out["channels"].append(ch)
+                out["res_sum"].append(int(img[ys][:, xs].astype("int64").sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "out_w": pd.array([width] * len(out["doc_id"]), dtype="Int32"),
+                    "out_h": pd.array([height] * len(out["doc_id"]), dtype="Int32"),
+                    "channels": pd.array(out["channels"], dtype="Int32"),
+                    "res_sum": pd.array(out["res_sum"], dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, RESIZE_SUM_SCHEMA)
+
+
 def resized_byte_sum(resized: DataFrame) -> DataFrame:
     """Byte-sum fingerprint of `resize_image` output (oracle-comparable
     scalar per image; raw pixel blobs don't hash portably across engines)."""

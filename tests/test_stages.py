@@ -196,6 +196,25 @@ def test_resize_contract_raises(spark):
         assert "NotImplementedError" in str(exc) or "resize" in str(exc)
 
 
+def test_resize_byte_sum_fused_matches_chained(spark):
+    """The fused decode→resize→sum stage is value-identical to
+    resized_byte_sum(resize_image(...)) — one Arrow crossing instead of
+    three, same arithmetic (the optimization must not change the law)."""
+    df = spark.range(40).select(F.col("id").alias("doc_id"))
+    pay = multimodal.with_pixel_image_payload(df)
+    chained = {
+        r.doc_id: (r.out_w, r.out_h, r.channels, r.res_sum)
+        for r in multimodal.resized_byte_sum(
+            multimodal.resize_image(pay, width=16, height=16)
+        ).collect()
+    }
+    fused = {
+        r.doc_id: (r.out_w, r.out_h, r.channels, r.res_sum)
+        for r in multimodal.resize_byte_sum(pay, width=16, height=16).collect()
+    }
+    assert fused == chained and len(fused) == 40
+
+
 def test_staged_write_publishes_atomically(spark, tmp_path):
     from etl_scripts_spark.sinks.files import export_tsv, staged_write
 
