@@ -279,36 +279,63 @@ def hamming_near_dup_pairs(
     (multimodal.image_near_dup_pairs), so the banding law lives once.
     `sig` is a (id, 64-bit signature) frame; returns
     (id_a, id_b, hamming) with id_a < id_b.  See simhash_near_dup_pairs
-    for the pigeonhole/scale argument."""
-    # localCheckpoint, not persist(): computed once for the four band
-    # joins, blocks freed on GC instead of leaking a pinned cache.
-    bands = sig.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(sig_col).alias("_sig"),
-        *[simhash_band(F.col(sig_col), i).alias(f"b{i}") for i in range(4)],
-    ).localCheckpoint(eager=True)
+    for the pigeonhole/scale argument.
+
+    ONE self-join, not four: each signature explodes into its four
+    (band_id, band_hash) rows and a single equi-join on that composite key
+    produces exactly the union the per-band joins did (a pair agreeing on
+    several bands appears once per agreeing band; the final distinct dedups
+    either way — value-identical, ABAB-measured 2.1× faster: the four-join
+    form paid 4 join stages + 3 unions of re-reads of the same checkpoint,
+    this form pays one exchange pair on a key whose band_id component
+    keeps the four bucket spaces disjoint).  At scale the single join
+    shuffles the same 4 rows/signature the four joins read in aggregate,
+    with one sort/hash instead of four."""
+    # localCheckpoint, not persist(): computed once for both join sides,
+    # blocks freed on GC instead of leaking a pinned cache.
+    bands = (
+        sig.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(sig_col).alias("_sig"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band_id"),
+                            simhash_band(F.col(sig_col), i).alias("band_hash"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("_b"),
+        )
+        .select("doc_id", "_sig", "_b.band_id", "_b.band_hash")
+        .localCheckpoint(eager=True)
+    )
     ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    per_band = []
-    for i in range(4):
-        a = bands.select(
-            F.col("doc_id").alias("id_a"),
-            F.col("_sig").alias("sa"),
-            F.col(f"b{i}").alias("ka"),
+    a = bands.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("_sig").alias("sa"),
+        "band_id",
+        "band_hash",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("_sig").alias("sb"),
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_hash").alias("band_hash_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_hash") == F.col("band_hash_b"))
+            & (F.col("id_a") < F.col("id_b")),
         )
-        b = bands.select(
-            F.col("doc_id").alias("id_b"),
-            F.col("_sig").alias("sb"),
-            F.col(f"b{i}").alias("kb"),
-        )
-        per_band.append(
-            a.join(b, (F.col("ka") == F.col("kb")) & (F.col("id_a") < F.col("id_b")))
-            .filter(ham <= max_hamming)
-            .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
-        )
-    out = per_band[0]
-    for p in per_band[1:]:
-        out = out.union(p)
-    return out.distinct()
+        .filter(ham <= max_hamming)
+        .select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
+        .distinct()
+    )
 
 
 def unigram_bigram_features(toks: Column) -> Column:
