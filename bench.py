@@ -273,6 +273,56 @@ def floors_gate(
     return inflated, floors_skipped, floors_unreadable
 
 
+def build_artifacts(
+    timings: dict[str, float],
+    runs: dict[str, list[float]],
+    errors: dict[str, str],
+    inflated: dict[str, dict[str, float]],
+    floors_skipped: dict[str, str] | None,
+    floors_unreadable: dict[str, str] | None,
+    sf: float,
+) -> tuple[dict, dict]:
+    """Split the run's record into (stdout_line, stderr_detail).
+
+    The driver parses the ONE stdout JSON line, and its capture window has
+    clipped oversized lines more than once (BENCH_r05/r06 lost pieces;
+    BENCH_r12's line grew past the window entirely and the driver's
+    round-over-round PERF comparison went blind — `prev_bench_ok: false`).
+    So the stdout line carries ONLY what the driver contract needs —
+    `queries` + the scalar tail — and every bulky diagnostic (`runs` raw
+    pairs, `inflated` floor details) moves to ONE stderr `#detail` line,
+    where the `#partial` diagnostics already live.  Key order still
+    matters: scalars ride the very END of the line, which survives any
+    tail clip.  Pure so the size budget is unit-testable.
+    """
+    result: dict = {"queries": timings}
+    if errors:
+        result["errors"] = errors
+    result["metric"] = "headline_suite_seconds"
+    result["unit"] = "sec"
+    result["sf"] = sf
+    # gate-off markers ride the clip-surviving TAIL (like inflated_names
+    # below): a head-clipped artifact showing n_inflated: 0 must be
+    # distinguishable from a run whose inflation gate was OFF
+    if floors_skipped is not None:
+        # floors existed but were recorded at a different data dir — the
+        # inflation gate is OFF for this run, and the artifact says so
+        result["floors_skipped_scale_mismatch"] = floors_skipped
+    if floors_unreadable is not None:
+        result["floors_skipped_unreadable"] = floors_unreadable
+    # the inflated NAMES (compact) stay on stdout so the artifact remains
+    # self-attributing even if the stderr detail line is lost; the
+    # per-query suite/floor numbers live in the detail line
+    result["inflated_names"] = sorted(inflated)
+    result["n_inflated"] = len(inflated)
+    result["n_queries"] = len(timings)
+    result["value"] = round(sum(timings.values()), 3)
+    detail: dict = {"runs": runs}
+    if inflated:
+        detail["inflated"] = inflated
+    return result, detail
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from etl_scripts_spark.ckpt import free_session_litter
@@ -374,7 +424,6 @@ def main() -> None:
              **({"errors": errors} if errors else {})}),
             file=sys.stderr, flush=True)
 
-    total = round(sum(timings.values()), 3)
     # BENCH_FLOORS.json is written by scripts/record_floors.py (min-of-2
     # across SEPARATE JVM sessions in small batches); r7 and r8 each
     # burned round time re-attributing suite-noise movers by hand before
@@ -383,40 +432,14 @@ def main() -> None:
     inflated, floors_skipped, floors_unreadable = floors_gate(
         floors_path, sf_dir, timings
     )
-    # Key order matters: the driver's capture keeps only the TAIL of stdout
-    # (BENCH_r06 clipped the head mid-`runs` and lost the total), so the
-    # bulky diagnostics (`runs`) go FIRST, then `queries`, and every scalar
-    # summary key (`metric`/`unit`/`sf`/`n_queries`/`value`) rides the very
-    # END of the line, which survives any clip.  Minified separators: at 84
-    # queries the map alone is ~2 KB, so every byte keeps one more per-query
-    # timing inside the 2000-char tail window.
-    result = {"runs": runs}
-    if errors:
-        result["errors"] = errors
-    if inflated:
-        result["inflated"] = inflated
-    result["queries"] = timings
-    result["metric"] = "headline_suite_seconds"
-    result["unit"] = "sec"
-    result["sf"] = sf
-    # gate-off markers ride the clip-surviving TAIL (like inflated_names
-    # below): a head-clipped artifact showing n_inflated: 0 must be
-    # distinguishable from a run whose inflation gate was OFF
-    if floors_skipped is not None:
-        # floors existed but were recorded at a different data dir — the
-        # inflation gate is OFF for this run, and the artifact says so
-        result["floors_skipped_scale_mismatch"] = floors_skipped
-    if floors_unreadable is not None:
-        result["floors_skipped_unreadable"] = floors_unreadable
-    # the inflated NAMES ride the clip-surviving tail: the driver's
-    # capture has clipped the bulky head (runs/queries) more than once,
-    # leaving n_inflated>0 with no way to tell WHICH queries flagged
-    # (BENCH_r10 lost 1 of 2) — the compact name list makes the
-    # artifact self-describing even when only the tail survives
-    result["inflated_names"] = sorted(inflated)
-    result["n_inflated"] = len(inflated)
-    result["n_queries"] = len(timings)
-    result["value"] = total
+    result, detail = build_artifacts(
+        timings, runs, errors, inflated, floors_skipped, floors_unreadable, sf
+    )
+    # bulky diagnostics (raw run pairs, inflation floor details) ride ONE
+    # stderr line next to the #partial trail; stdout keeps the slim
+    # one-JSON-line driver contract (see build_artifacts)
+    print("#detail " + json.dumps(detail, separators=(",", ":")),
+          file=sys.stderr, flush=True)
     print(json.dumps(result, separators=(",", ":")))
     spark.stop()
 

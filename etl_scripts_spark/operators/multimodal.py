@@ -1123,6 +1123,19 @@ RESIZE_SCHEMA = T.StructType(
 )
 
 
+def _nn_sample(img, width: int, height: int):
+    """THE nearest-neighbor sampling law (src = floor(dst * in/out), the
+    standard C2-style mapping) — one copy shared by :func:`resize_image`
+    and :func:`resize_byte_sum`, so the fused fingerprint stage cannot
+    silently diverge from the pixel-emitting one."""
+    import numpy as np
+
+    h, w, _ch = img.shape
+    xs = (np.arange(width) * w) // width
+    ys = (np.arange(height) * h) // height
+    return img[ys][:, xs]
+
+
 def resize_image(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload", width: int = 224, height: int = 224) -> DataFrame:
     """REAL image resize: stdlib decode → nearest-neighbor sample → raw
     bytes out, as an Arrow-batched mapInPandas stage.
@@ -1136,7 +1149,6 @@ def resize_image(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
     """
 
     def batches(it: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in it:
@@ -1150,11 +1162,8 @@ def resize_image(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
                     out["channels"].append(None)
                     out["resized"].append(None)
                     continue
-                h, w, ch = img.shape
-                xs = (np.arange(width) * w) // width
-                ys = (np.arange(height) * h) // height
-                out["channels"].append(ch)
-                out["resized"].append(img[ys][:, xs].tobytes())
+                out["channels"].append(img.shape[2])
+                out["resized"].append(_nn_sample(img, width, height).tobytes())
             yield pd.DataFrame(
                 {
                     "doc_id": out["doc_id"],
@@ -1204,7 +1213,6 @@ def resize_byte_sum(
     """
 
     def batches(it: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in it:
@@ -1216,11 +1224,10 @@ def resize_byte_sum(
                     out["channels"].append(None)
                     out["res_sum"].append(None)
                     continue
-                h, w, ch = img.shape
-                xs = (np.arange(width) * w) // width
-                ys = (np.arange(height) * h) // height
-                out["channels"].append(ch)
-                out["res_sum"].append(int(img[ys][:, xs].astype("int64").sum()))
+                out["channels"].append(img.shape[2])
+                out["res_sum"].append(
+                    int(_nn_sample(img, width, height).astype("int64").sum())
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": out["doc_id"],

@@ -104,6 +104,20 @@ def global_row_number(
     range exchange between branches would make offsets inconsistent with
     local ranks.
     """
+    ranked, _sizes = _range_ranked(df, order_cols, n_parts, out_col)
+    return ranked.drop("_pid")
+
+
+def _range_ranked(
+    df: DataFrame, order_cols: list[str], n_parts: int, out_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared internals of :func:`global_row_number` / :func:`ntile_buckets`
+    / :func:`exact_percentiles`: (globally-ranked frame still carrying
+    `_pid`, partition-sizes frame (_pid, _cnt)).  Consumers that need the
+    TOTAL row count aggregate the ≤ n_parts `sizes` rows instead of
+    re-counting the ranked frame — a count over the ranked output would
+    re-run the per-partition window sort as a second full pass (guide
+    §2.4; measured on q_lm_buckets r14)."""
     parted = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
@@ -116,11 +130,12 @@ def global_row_number(
     offs = sizes.select(  # ≤ n_parts rows — the only single-partition window
         "_pid", F.coalesce(F.sum("_cnt").over(woff), F.lit(0)).alias("_off")
     )
-    return (
+    ranked = (
         local.join(F.broadcast(offs), "_pid")
         .withColumn(out_col, F.col("_lrn") + F.col("_off"))
-        .drop("_pid", "_lrn", "_off")
+        .drop("_lrn", "_off")
     )
+    return ranked, sizes
 
 
 def global_running_sum(
@@ -176,8 +191,15 @@ def ntile_buckets(
     tests/test_stages.py pins the formula against the builtin ntile on a
     remainder-bearing frame.
     """
-    ranked = global_row_number(df, order_cols, n_parts, out_col="_grank")
-    n_row = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    # total row count from the ≤ n_parts partition sizes, NOT a count over
+    # the ranked frame: that count cannot prune the window away, so it
+    # re-sorted every partition a second time (r14: one full window pass
+    # removed from q_lm_buckets / the global exact_percentiles path)
+    ranked, sizes = _range_ranked(df, order_cols, n_parts, out_col="_grank")
+    ranked = ranked.drop("_pid")
+    n_row = sizes.groupBy().agg(
+        F.coalesce(F.sum("_cnt"), F.lit(0)).cast("bigint").alias("_n")
+    )
     out = ranked.join(F.broadcast(n_row))
     q = F.floor(F.col("_n") / n_buckets)
     rem = F.col("_n") % n_buckets
@@ -222,10 +244,15 @@ def exact_percentiles(
             raise ValueError(f"pcts must be integers in [1, 100], got {pct!r}")
     vals = df.filter(F.col(value_col).isNotNull())
     if by is None:
-        ranked = global_row_number(
+        # total row count from the partition sizes (see _range_ranked) —
+        # never a second counting pass over the window-sorted frame
+        ranked, sizes = _range_ranked(
             vals.select(value_col), [value_col], n_parts, out_col="_rn"
         )
-        counts = ranked.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+        ranked = ranked.drop("_pid")
+        counts = sizes.groupBy().agg(
+            F.coalesce(F.sum("_cnt"), F.lit(0)).cast("bigint").alias("_n")
+        )
         from .corpus import join_singleton
 
         ranked = join_singleton(ranked, counts)

@@ -110,7 +110,7 @@ def _drain_events(spark: SparkSession, events_parquet: str, build, approx_keys: 
     stateful transformation, drain once into a memory sink with the state
     shard count sized to the key cardinality, and return the sink table."""
     from ..catalog import normalize_events
-    from .tuning import state_shuffle_partitions
+    from .tuning import PY_STATE_KEYS_PER_SHARD, state_shuffle_partitions
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(events_parquet).schema
@@ -118,7 +118,10 @@ def _drain_events(spark: SparkSession, events_parquet: str, build, approx_keys: 
     stream = normalize_events(spark.readStream.schema(schema).parquet(glob_path))
     out = build(stream)
     name = f"etl_stateful_out_{next(_name_counter)}"
-    with state_shuffle_partitions(spark, approx_keys):
+    # per-GROUP Python crossing → shard to the PyState law (tuning.py)
+    with state_shuffle_partitions(
+        spark, approx_keys, keys_per_shard=PY_STATE_KEYS_PER_SHARD
+    ):
         query = (
             out.writeStream.outputMode("update")
             .format("memory")

@@ -35,11 +35,14 @@ def _drain(
     spark: SparkSession, out: DataFrame, approx_keys: int, mode: str = "complete"
 ) -> DataFrame:
     """Shared AvailableNow → memory-sink drain with the state shard
-    count sized to the key cardinality (see :mod:`.tuning`)."""
-    from .tuning import state_shuffle_partitions
+    count sized to the key cardinality (see :mod:`.tuning`) — native
+    stateful operators, so the µs-per-key NATIVE law applies."""
+    from .tuning import NATIVE_STATE_KEYS_PER_SHARD, state_shuffle_partitions
 
     name = f"etl_stream_out_{next(_name_counter)}"
-    with state_shuffle_partitions(spark, approx_keys):
+    with state_shuffle_partitions(
+        spark, approx_keys, keys_per_shard=NATIVE_STATE_KEYS_PER_SHARD
+    ):
         query = (
             out.writeStream.outputMode(mode)
             .format("memory")

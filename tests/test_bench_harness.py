@@ -18,7 +18,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-from bench import floors_gate  # noqa: E402
+from bench import build_artifacts, floors_gate  # noqa: E402
 
 
 def _write_floors(tmp_path: Path, sf_dir: str, floors: dict) -> Path:
@@ -108,12 +108,56 @@ def test_non_numeric_floor_value_is_skipped_not_fatal(tmp_path):
 
 def test_gate_off_markers_ride_the_artifact_tail():
     """The driver's capture keeps only the TAIL of stdout, so the
-    gate-off keys must be emitted AFTER the bulky queries map — a
+    gate-off keys must serialize AFTER the bulky queries map — a
     head-clipped artifact showing n_inflated: 0 must still carry its
-    gate-off marker.  Pinned against the source since main() is not
-    callable without Spark."""
-    src = (REPO / "bench.py").read_text()
-    tail = src[src.index('result["queries"] = timings'):]
-    assert 'result["floors_skipped_scale_mismatch"]' in tail
-    assert 'result["floors_skipped_unreadable"]' in tail
-    assert 'result["inflated_names"]' in tail
+    gate-off marker."""
+    result, _ = build_artifacts(
+        timings={"q_a": 1.0, "q_b": 2.0},
+        runs={"q_a": [1.5, 1.0], "q_b": [2.0, 2.2]},
+        errors={},
+        inflated={"q_a": {"suite": 1.0, "floor": 0.4}},
+        floors_skipped={"recorded": "/x", "run": "/y"},
+        floors_unreadable={"run": "/y", "error": "bad_shape"},
+        sf=0.1,
+    )
+    line = json.dumps(result, separators=(",", ":"))
+    q_pos = line.index('"queries"')
+    for key in ("floors_skipped_scale_mismatch", "floors_skipped_unreadable",
+                "inflated_names", "n_inflated", "n_queries", "value"):
+        assert line.index(f'"{key}"') > q_pos, key
+    # value is last: it must survive any tail-window clip
+    assert line.rstrip("}").endswith('"value":3.0')
+
+
+def test_stdout_artifact_stays_inside_size_budget():
+    """BENCH_r12's stdout line grew past the driver's capture window (the
+    bulky `runs` map rode stdout) and the round-over-round PERF comparison
+    went blind (`prev_bench_ok: false`, zero per-query comparisons).  Pin
+    the fix: at 250 queries — well past the current 147-query headline —
+    the stdout line must stay small (runs/inflated details on stderr),
+    and the detail artifact must carry what moved off stdout."""
+    names = [f"q_some_longish_query_name_{i:03d}" for i in range(250)]
+    timings = {n: 123.456 for n in names}
+    runs = {n: [456.789, 123.456] for n in names}
+    inflated = {n: {"suite": 123.456, "floor": 1.234} for n in names}
+    result, detail = build_artifacts(
+        timings, runs, errors={}, inflated=inflated,
+        floors_skipped=None, floors_unreadable=None, sf=0.1,
+    )
+    line = json.dumps(result, separators=(",", ":"))
+    # worst case (~40 B/query map + EVERY query flagged by name): stays
+    # under 20 KB, vs ~60 KB for the old runs-on-stdout form at this size
+    assert len(line) < 20_000, len(line)
+    assert "runs" not in result
+    assert "inflated" not in result, "floor details belong on stderr"
+    assert result["inflated_names"] == sorted(names)
+    assert result["n_queries"] == 250
+    assert detail["runs"] == runs and detail["inflated"] == inflated
+    # the realistic shape (147 queries, handful of flags) stays ~6 KB
+    few = dict(list(timings.items())[:147])
+    slim, _ = build_artifacts(
+        few, {n: [1.0, 1.0] for n in few}, errors={},
+        inflated={n: {"suite": 9.0, "floor": 1.0} for n in names[:7]},
+        floors_skipped=None, floors_unreadable=None, sf=0.1,
+    )
+    assert len(json.dumps(slim, separators=(",", ":"))) < 8_192

@@ -83,6 +83,33 @@ def test_state_shard_sizing(spark):
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
 
 
+def test_state_shard_sizing_per_operator_class(spark):
+    """r14 shard-economics law (tuning.py): applyInPandasWithState ops
+    shard at ~200 keys/shard (per-group Python call dominates), native
+    window aggs at ~12k keys/shard (commit fixed cost dominates) — the
+    measured optima of scripts/probe_stream_shards{,2}.py."""
+    from etl_scripts_spark.streaming.tuning import (
+        NATIVE_STATE_KEYS_PER_SHARD,
+        PY_STATE_KEYS_PER_SHARD,
+        shards_for_keys,
+        state_shuffle_partitions,
+    )
+
+    # PyState: 7500 groups want full-core parallelism (37 pre-clamp, the
+    # session's configured slots after), 1500 groups sit at 7
+    assert shards_for_keys(7500, keys_per_shard=PY_STATE_KEYS_PER_SHARD) == 37
+    assert shards_for_keys(1500, keys_per_shard=PY_STATE_KEYS_PER_SHARD) == 7
+    # native: ~100k session keys → 8 shards; small key spaces floor at 4
+    assert shards_for_keys(100_000, keys_per_shard=NATIVE_STATE_KEYS_PER_SHARD) == 8
+    assert shards_for_keys(4000, keys_per_shard=NATIVE_STATE_KEYS_PER_SHARD) == 4
+    # the context manager still clamps to the configured slot count
+    with state_shuffle_partitions(
+        spark, 100_000, keys_per_shard=PY_STATE_KEYS_PER_SHARD
+    ) as n:
+        assert n == int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert n <= 8  # the test session's configured shuffle partitions
+
+
 def test_bucketed_samples_join_skips_shuffle(spark, tmp_path):
     """samples bucketed by project: a join between two co-bucketed tables
     must plan with NO Exchange on either side (the 100 TB point of

@@ -256,3 +256,90 @@ def test_incremental_parity_with_duckdb(spark):
     ).fetchdf()
     assert len(want) > 0 and want["is_dup"].sum() > 0
     assert compare(got, want) == []
+
+
+def _fuzz_corpus(seed: int, n_vocab: int, n_docs: int = 44):
+    """Deterministic pseudo-random corpus over exactly `n_vocab` distinct
+    tokens: coverage docs pin the realized vocabulary to n_vocab, random
+    docs of size 3..18 provide bulk, and planted mutations of earlier
+    docs guarantee above-threshold pairs exist."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"tk{i:03d}" for i in range(n_vocab)]
+    rows = []
+    # coverage docs: every vocab token appears at least once
+    for i in range(0, n_vocab, 16):
+        rows.append((1000 + i, " ".join(vocab[i:i + 16])))
+    bulk = [
+        (d, " ".join(rng.sample(vocab, rng.randint(3, 18))))
+        for d in range(n_docs)
+    ]
+    rows.extend(bulk)
+    # planted near-dups: copy a doc, drop one token, add another
+    for d in range(0, n_docs, 5):
+        mutated = bulk[d][1].split()[:-1] + [rng.choice(vocab)]
+        rows.append((2000 + d, " ".join(dict.fromkeys(mutated))))
+    return rows
+
+
+def _brute_pairs(rows, t_num: int, t_den: int):
+    """All-pairs reference with NO pruning: the prefix/positional/bitmask
+    machinery must reproduce this exactly."""
+    sets = {i: set(t.split()) for i, t in rows}
+    want = set()
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if inter * t_den >= union * t_num:
+                want.add((a, b, inter, union))
+    return want
+
+
+@pytest.mark.parametrize("n_vocab", [60, 62, 63, 64, 65, 66, 68])
+def test_fuzz_across_regime_boundary(spark, n_vocab):
+    """Randomized corpora sweeping the dense/sparse regime boundary
+    (|vocab| = 64): the bitmask emit-once law (≤ 64) and the general
+    PPJoin shape (> 64) must both equal the unpruned all-pairs
+    reference — the VERDICT-r13 protective fuzz for the dense-regime
+    completeness proof.  The test session's defaultParallelism keeps
+    these vocabularies in the SALTED branch of the candidate join, so
+    the salt guard is fuzzed too (the unsalted branch is swept below)."""
+    rows = _fuzz_corpus(seed=97 + n_vocab, n_vocab=n_vocab)
+    df = _docs(spark, rows)
+    got = setsim_pairs(df, "text", "doc_id", t_num=5, t_den=10).collect()
+    want = _brute_pairs(rows, 5, 10)
+    assert len(want) > 0
+    got_keys = {(r.id_a, r.id_b, r.n_common, r.n_union) for r in got}
+    assert got_keys == want
+    assert len(got) == len(want)  # exactly-once emission, no dup rows
+    for r in got:  # jaccard is a 4-dp round of n_common/n_union
+        assert abs(r.jaccard - r.n_common / r.n_union) <= 5e-5 + 1e-12
+
+
+@pytest.mark.parametrize("n_vocab", [63, 64, 65])
+def test_fuzz_regime_boundary_unsalted(spark, n_vocab):
+    """The same fuzz with the salt guard forced OFF (n_salts=1), driving
+    the internals directly — both regimes must be salt-independent."""
+    from etl_scripts_spark.operators.dedup import (
+        _setsim_pairs_bitmask,
+        _setsim_pairs_general,
+        _setsim_toks,
+    )
+
+    rows = _fuzz_corpus(seed=411 + n_vocab, n_vocab=n_vocab)
+    df = _docs(spark, rows)
+    toks = _setsim_toks(df, "text", "doc_id")
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df")).localCheckpoint()
+    impl = _setsim_pairs_bitmask if n_vocab <= 64 else _setsim_pairs_general
+    got = impl(toks, freq, 5, 10, 1).collect()
+    want = _brute_pairs(rows, 5, 10)
+    assert len(want) > 0
+    assert {(r.id_a, r.id_b, r.n_common, r.n_union) for r in got} == want
+    assert len(got) == len(want)

@@ -199,9 +199,17 @@ def test_resize_contract_raises(spark):
 def test_resize_byte_sum_fused_matches_chained(spark):
     """The fused decode→resize→sum stage is value-identical to
     resized_byte_sum(resize_image(...)) — one Arrow crossing instead of
-    three, same arithmetic (the optimization must not change the law)."""
+    three, same arithmetic (the optimization must not change the law).
+    Includes an UNDECODABLE payload row: both paths must yield NULL
+    channels/res_sum for it, not an executor error (the NULL-decode
+    branch was previously untested — ADVICE r13)."""
     df = spark.range(40).select(F.col("id").alias("doc_id"))
-    pay = multimodal.with_pixel_image_payload(df)
+    pay = multimodal.with_pixel_image_payload(df).unionByName(
+        spark.createDataFrame(
+            [(999, bytearray(b"\xff\xfenot-an-image-payload"))],
+            "doc_id long, payload binary",
+        )
+    )
     chained = {
         r.doc_id: (r.out_w, r.out_h, r.channels, r.res_sum)
         for r in multimodal.resized_byte_sum(
@@ -212,7 +220,8 @@ def test_resize_byte_sum_fused_matches_chained(spark):
         r.doc_id: (r.out_w, r.out_h, r.channels, r.res_sum)
         for r in multimodal.resize_byte_sum(pay, width=16, height=16).collect()
     }
-    assert fused == chained and len(fused) == 40
+    assert fused == chained and len(fused) == 41
+    assert fused[999] == (16, 16, None, None)
 
 
 def test_staged_write_publishes_atomically(spark, tmp_path):
