@@ -115,9 +115,9 @@ def _range_ranked(
     / :func:`exact_percentiles`: (globally-ranked frame still carrying
     `_pid`, partition-sizes frame (_pid, _cnt)).  Consumers that need the
     TOTAL row count aggregate the ≤ n_parts `sizes` rows instead of
-    re-counting the ranked frame — a count over the ranked output would
-    re-run the per-partition window sort as a second full pass (guide
-    §2.4; measured on q_lm_buckets r14)."""
+    re-counting the ranked frame — the count branch re-plans the
+    broadcast-offsets join over a second scan of the checkpoint (guide
+    §2.4 duplicated subtree; measured on q_lm_buckets r14)."""
     parted = (
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
@@ -192,9 +192,10 @@ def ntile_buckets(
     remainder-bearing frame.
     """
     # total row count from the ≤ n_parts partition sizes, NOT a count over
-    # the ranked frame: that count cannot prune the window away, so it
-    # re-sorted every partition a second time (r14: one full window pass
-    # removed from q_lm_buckets / the global exact_percentiles path)
+    # the ranked frame: Catalyst prunes the unused Window from that count,
+    # but the branch still re-plans the broadcast-offsets join — its own
+    # Exchange + HashAggregate tower over a second scan of the checkpoint
+    # (r14: q_lm_buckets 16 → 14 Exchanges, ABAB pairs 4.17 → 3.30 s)
     ranked, sizes = _range_ranked(df, order_cols, n_parts, out_col="_grank")
     ranked = ranked.drop("_pid")
     n_row = sizes.groupBy().agg(
