@@ -229,9 +229,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """
     from pyspark.sql import Observation
 
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).union(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    )
+    # symmetrize by exploding each pair into its two directed rows — ONE
+    # execution of the caller's pair subtree.  The union form referenced
+    # `pairs` twice, and the common callers hand over an UNMATERIALIZED
+    # expensive subtree (near-dup's verify join with its per-pair
+    # array_intersect; entity resolution's two-arm Levenshtein scoring):
+    # ReuseExchange dedupes the shuffle files under the two copies, but
+    # the join merge + verification filter still executed twice inside
+    # the edge-checkpoint job (guide §2.4 — the r13 verified_pairs bug
+    # class, one level up).  Same multiset as the union, same checkpoint.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+            )
+        ).alias("_e")
+    ).select("_e.src", "_e.dst")
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("lbl", F.col("id"))
